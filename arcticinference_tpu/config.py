@@ -1,0 +1,214 @@
+"""Typed configuration tree for the engine.
+
+The reference spreads configuration over vLLM dataclass patches
+(``arctic_inference/vllm/config.py:27-133``, ``args.py:24-148``).  Here the
+whole tree is owned by us: one dataclass per concern, composed into
+``EngineConfig``.  Flag names deliberately mirror the reference CLI so users
+can migrate configs 1:1 (``--ulysses-sequence-parallel-size``,
+``--enable-shift-parallel``, ``--shift-parallel-threshold``, and the
+speculative-config JSON keys at reference ``config.py:56-62``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+def _positive(name: str, value: int) -> None:
+    if value <= 0:
+        raise ValueError(f"{name} must be positive, got {value}")
+
+
+@dataclass
+class ModelConfig:
+    """What model to run and at which precision.
+
+    ``model`` may be a HuggingFace repo path on disk or a registered
+    architecture name (e.g. ``llama``, ``llama_swiftkv``).  When no
+    checkpoint directory exists the engine builds randomly-initialised
+    weights from ``hf_overrides`` — useful for benchmarking.
+    """
+
+    model: str = "llama"
+    tokenizer: Optional[str] = None
+    dtype: str = "bfloat16"                  # activation / default weight dtype
+    quantization: Optional[str] = None       # None | "fp8" (weight-only fp8)
+    max_model_len: int = 8192
+    # Direct architecture overrides (used when no config.json is found, and
+    # merged on top of one when it is).
+    hf_overrides: dict[str, Any] = field(default_factory=dict)
+    seed: int = 0
+    enforce_eager: bool = False              # disable per-bucket precompile warmup
+
+    def __post_init__(self) -> None:
+        _positive("max_model_len", self.max_model_len)
+        if self.quantization not in (None, "fp8"):
+            raise ValueError(f"Unknown quantization {self.quantization!r}")
+        if self.tokenizer is None:
+            self.tokenizer = self.model
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh layout: DP x PP x SP x TP (reference ``config.py:27-52``).
+
+    The reference computes ``world_size = PP * TP * SP`` (reference
+    ``config.py:41-48``); here the same product must equal the number of
+    mesh devices.  Shift parallelism (reference ``model_runner.py:54-87``)
+    runs the *same* weights under a second sharding where the sp and tp
+    axes are fused into one tensor-parallel axis of size SP*TP.
+    """
+
+    tensor_parallel_size: int = 1
+    ulysses_sequence_parallel_size: int = 1
+    data_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    enable_shift_parallel: bool = False
+    shift_parallel_threshold: int = 512      # tokens; <=: run full-TP program
+
+    def __post_init__(self) -> None:
+        _positive("tensor_parallel_size", self.tensor_parallel_size)
+        _positive("ulysses_sequence_parallel_size",
+                  self.ulysses_sequence_parallel_size)
+        _positive("data_parallel_size", self.data_parallel_size)
+        _positive("pipeline_parallel_size", self.pipeline_parallel_size)
+        if self.enable_shift_parallel and \
+                self.ulysses_sequence_parallel_size <= 1:
+            # Mirrors the validation at reference config.py:34-38.
+            raise ValueError(
+                "enable_shift_parallel requires "
+                "ulysses_sequence_parallel_size > 1")
+
+    @property
+    def world_size(self) -> int:
+        return (self.pipeline_parallel_size * self.tensor_parallel_size *
+                self.ulysses_sequence_parallel_size * self.data_parallel_size)
+
+    @property
+    def sp_tp_size(self) -> int:
+        """Size of the fused tensor-parallel axis used in shift mode."""
+        return (self.tensor_parallel_size *
+                self.ulysses_sequence_parallel_size)
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV cache layout.
+
+    ``kv_cache_dtype="fp8"`` stores K/V as float8_e4m3 with per-layer scales
+    (the reference relies on vLLM fp8 kv + its bulk-write CUDA kernel,
+    ``csrc/custom_ops/kernels.cu:15-69``; ours is a Pallas scatter-write).
+    """
+
+    block_size: int = 32                     # tokens per page (TPU-friendly)
+    num_blocks: Optional[int] = None         # None => size from hbm budget
+    hbm_utilization: float = 0.9
+    kv_cache_dtype: str = "auto"             # auto | bfloat16 | fp8
+
+    def __post_init__(self) -> None:
+        _positive("block_size", self.block_size)
+        if self.kv_cache_dtype not in ("auto", "bfloat16", "fp8"):
+            raise ValueError(
+                f"Unknown kv_cache_dtype {self.kv_cache_dtype!r}")
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous-batching limits (vLLM-v1-style token budget scheduler)."""
+
+    max_num_seqs: int = 64
+    max_num_batched_tokens: int = 2048
+    enable_chunked_prefill: bool = True
+
+    def __post_init__(self) -> None:
+        _positive("max_num_seqs", self.max_num_seqs)
+        _positive("max_num_batched_tokens", self.max_num_batched_tokens)
+
+
+@dataclass
+class SpeculativeConfig:
+    """Speculative decoding configuration.
+
+    Defaults mirror reference ``ArcticSpeculativeConfig``
+    (``config.py:56-62``): ``method`` is one of
+
+    - ``"suffix"``          — suffix decoding only (num_speculative_tokens
+                              defaults to ``suffix_cache_max_depth``,
+                              reference ``config.py:98-102``)
+    - ``"arctic"``          — Arctic MLP/LSTM speculator (draft model),
+                              optionally combined with suffix decoding
+    - ``"mlp_speculator"``  — alias accepted for compat
+    """
+
+    method: Optional[str] = None
+    model: Optional[str] = None              # draft model path / name
+    num_speculative_tokens: int = 3
+    disable_by_batch_size: Optional[int] = 64  # reference config.py:93-96
+    # Suffix decoding knobs (reference config.py:56-62):
+    enable_suffix_decoding: bool = False
+    suffix_cache_max_depth: int = 64
+    suffix_max_spec_factor: float = 1.0
+    suffix_max_spec_offset: float = 0.0
+    suffix_min_token_prob: float = 0.1
+
+    def __post_init__(self) -> None:
+        if self.method not in (None, "suffix", "arctic", "mlp_speculator",
+                               "lstm_speculator"):
+            raise ValueError(f"Unknown speculative method {self.method!r}")
+        if self.method == "suffix":
+            self.enable_suffix_decoding = True
+            # Suffix drafts are variable-length up to tree depth.
+            self.num_speculative_tokens = self.suffix_cache_max_depth
+        _positive("num_speculative_tokens", self.num_speculative_tokens)
+
+    @classmethod
+    def from_json(cls, text: str) -> "SpeculativeConfig":
+        """Parse the reference's ``--speculative-config`` JSON dict."""
+        return cls(**json.loads(text))
+
+
+@dataclass
+class ObservabilityConfig:
+    collect_spec_metrics: bool = True
+    log_interval_s: float = 10.0
+    enable_profiling: bool = False
+    profile_dir: Optional[str] = None
+
+
+@dataclass
+class EngineConfig:
+    """Top-level configuration composed from the pieces above."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    speculative: Optional[SpeculativeConfig] = None
+    observability: ObservabilityConfig = field(
+        default_factory=ObservabilityConfig)
+
+    def __post_init__(self) -> None:
+        if self.scheduler.max_num_batched_tokens < self.cache.block_size:
+            raise ValueError(
+                "max_num_batched_tokens must be >= cache block_size")
+
+    def replace(self, **kwargs: Any) -> "EngineConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "EngineConfig":
+        spec = d.get("speculative")
+        return cls(
+            model=ModelConfig(**d.get("model", {})),
+            parallel=ParallelConfig(**d.get("parallel", {})),
+            cache=CacheConfig(**d.get("cache", {})),
+            scheduler=SchedulerConfig(**d.get("scheduler", {})),
+            speculative=SpeculativeConfig(**spec) if spec else None,
+            observability=ObservabilityConfig(**d.get("observability", {})),
+        )

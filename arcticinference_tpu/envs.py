@@ -1,0 +1,36 @@
+"""Environment-variable flag registry.
+
+Lazy module-``__getattr__`` registry in the spirit of the reference's
+``arctic_inference/envs.py:22-31`` — flags are read from the environment at
+access time so tests can monkeypatch ``os.environ``.
+"""
+
+import os
+from typing import Any, Callable
+
+environment_variables: dict[str, Callable[[], Any]] = {
+    # Skip the draft-model <-> base-model architecture compatibility check
+    # (reference envs.py: ARCTIC_INFERENCE_SKIP_SPEC_MODEL_CHECK).
+    "ARCTIC_TPU_SKIP_SPEC_MODEL_CHECK":
+        lambda: os.environ.get("ARCTIC_TPU_SKIP_SPEC_MODEL_CHECK", "0") == "1",
+    # Force the jnp reference implementations instead of Pallas kernels
+    # (useful on CPU test meshes and for numerics A/B checks).
+    "ARCTIC_TPU_DISABLE_PALLAS":
+        lambda: os.environ.get("ARCTIC_TPU_DISABLE_PALLAS", "0") == "1",
+    # Directory for the compiled native suffix-tree library.
+    "ARCTIC_TPU_NATIVE_BUILD_DIR":
+        lambda: os.environ.get("ARCTIC_TPU_NATIVE_BUILD_DIR", ""),
+    # Force the pure-Python suffix tree (no C++ build).
+    "ARCTIC_TPU_PURE_PYTHON_SUFFIX":
+        lambda: os.environ.get("ARCTIC_TPU_PURE_PYTHON_SUFFIX", "0") == "1",
+}
+
+
+def __getattr__(name: str) -> Any:
+    if name in environment_variables:
+        return environment_variables[name]()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__() -> list[str]:
+    return list(environment_variables.keys())

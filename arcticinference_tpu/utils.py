@@ -1,0 +1,60 @@
+"""Small shared helpers."""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Sequence, TypeVar
+
+T = TypeVar("T")
+
+
+def cdiv(a: int, b: int) -> int:
+    """Ceiling division."""
+    return -(-a // b)
+
+
+def round_up(x: int, multiple: int) -> int:
+    return cdiv(x, multiple) * multiple
+
+
+def pad_to_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n; buckets must be sorted ascending.
+
+    Plays the role of the reference's cudagraph batch-size buckets
+    (reference ``model_runner.py:240-253``): every jitted program runs at a
+    bucketed shape so XLA compiles a bounded set of programs.
+    """
+    for b in buckets:
+        if b >= n:
+            return b
+    raise ValueError(f"{n} exceeds the largest bucket {buckets[-1]}")
+
+
+def default_token_buckets(max_tokens: int) -> list[int]:
+    """Power-of-two token buckets from 16 up to max_tokens (inclusive)."""
+    buckets = []
+    b = 16
+    while b < max_tokens:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_tokens)
+    return buckets
+
+
+class Timer:
+    """Wall-clock timer usable as a context manager."""
+
+    def __init__(self) -> None:
+        self.elapsed = 0.0
+
+    def __enter__(self) -> "Timer":
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc: object) -> None:
+        self.elapsed = time.perf_counter() - self._t0
+
+
+def chunked(seq: Sequence[T], size: int) -> Iterator[Sequence[T]]:
+    for i in range(0, len(seq), size):
+        yield seq[i:i + size]
