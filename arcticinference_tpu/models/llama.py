@@ -1,0 +1,330 @@
+"""Llama family as pure functions over a parameter pytree.
+
+TPU-first design notes (vs the reference's torch module tree inherited from
+vLLM):
+
+- Layer parameters are *stacked* along a leading layer axis and the forward
+  pass is one ``lax.scan`` — one compiled layer body regardless of depth,
+  fast XLA compiles, and clean weight sharding with a single PartitionSpec
+  per parameter kind.
+- The fused paged KV cache (``[L, N_blk, 2, Bs, Hkv*D]``, see
+  ``ops/kv_cache.py``) rides the scan carry and is updated with scatters at
+  ``[layer, slots]`` only — no per-layer cache copies; with buffer donation
+  the update is in place.
+- Attention is the ragged paged op from ``ops/attention.py`` (Pallas on
+  TPU).  Everything else (RMSNorm, RoPE, SwiGLU) is jnp that XLA fuses.
+
+Weight-only FP8 (``quantization="fp8"``) stores each matmul weight as
+float8_e4m3 plus a per-tensor scale; dequant happens inside the matmul
+(see ``ops/fp8.py``), mirroring the reference's compressed-tensors FP8
+checkpoints (reference ``vllm/spec_dec/fp8.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arcticinference_tpu.ops.attention import (
+    ragged_paged_attention_reference)
+from arcticinference_tpu.ops.fp8 import QuantizedLinear, fp8_quantize, matmul
+from arcticinference_tpu.ops.layers import (apply_rope, compute_rope_freqs,
+                                            rms_norm, silu_mlp)
+
+
+@dataclass(frozen=True)
+class LlamaArch:  # registry alias: Arch (see bottom of module)
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_layers: int = 4
+    num_heads: int = 16
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 500000.0
+    rope_scaling: Optional[dict] = None
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    max_position: int = 131072
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict[str, Any]) -> "LlamaArch":
+        num_heads = cfg.get("num_attention_heads", 16)
+        hidden = cfg.get("hidden_size", 2048)
+        rope_scaling = cfg.get("rope_scaling")
+        if rope_scaling is not None:
+            rope_scaling = dict(rope_scaling)
+            # HF historically uses "type" or "rope_type".
+            rope_scaling.setdefault(
+                "rope_type", rope_scaling.get("type", "default"))
+        return cls(
+            vocab_size=cfg.get("vocab_size", 32000),
+            hidden_size=hidden,
+            intermediate_size=cfg.get("intermediate_size", 4 * hidden),
+            num_layers=cfg.get("num_hidden_layers", 4),
+            num_heads=num_heads,
+            num_kv_heads=cfg.get("num_key_value_heads", num_heads),
+            head_dim=cfg.get("head_dim") or hidden // num_heads,
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=rope_scaling,
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            max_position=cfg.get("max_position_embeddings", 131072),
+        )
+
+
+def init_params(arch: LlamaArch, rng: jax.Array,
+                dtype: jnp.dtype = jnp.bfloat16,
+                quantization: Optional[str] = None) -> dict:
+    """Randomly initialised parameter pytree (benchmarks / tests)."""
+    keys = iter(jax.random.split(rng, 16))
+    d, hq, hkv, dh = (arch.hidden_size, arch.num_heads, arch.num_kv_heads,
+                      arch.head_dim)
+    li, lL = arch.intermediate_size, arch.num_layers
+
+    def w(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(
+            dtype)
+
+    params = {
+        "embed": w(next(keys), (arch.vocab_size, d)),
+        "layers": {
+            "input_norm": jnp.ones((lL, d), dtype),
+            "post_norm": jnp.ones((lL, d), dtype),
+            "wq": w(next(keys), (lL, d, hq * dh)),
+            "wk": w(next(keys), (lL, d, hkv * dh)),
+            "wv": w(next(keys), (lL, d, hkv * dh)),
+            "wo": w(next(keys), (lL, hq * dh, d)),
+            "w_gate": w(next(keys), (lL, d, li)),
+            "w_up": w(next(keys), (lL, d, li)),
+            "w_down": w(next(keys), (lL, li, d)),
+        },
+        "final_norm": jnp.ones((d,), dtype),
+    }
+    if not arch.tie_word_embeddings:
+        params["lm_head"] = w(next(keys), (d, arch.vocab_size))
+    if quantization == "fp8":
+        params = quantize_params(params)
+    return params
+
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_params(params: dict) -> dict:
+    """Convert the large matmul weights to weight-only FP8 (per-tensor scale).
+
+    Norms, embeddings and the LM head stay in bf16 (matching the reference
+    FP8-dynamic checkpoints, which quantize only the linear layers).
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in _QUANT_KEYS:
+        layers[k] = fp8_quantize(layers[k])
+    out["layers"] = layers
+    return out
+
+
+def _qkv(h, lp, arch):
+    q = matmul(h, lp["wq"])
+    k = matmul(h, lp["wk"])
+    v = matmul(h, lp["wv"])
+    t = h.shape[0]
+    return (q.reshape(t, arch.num_heads, arch.head_dim),
+            k.reshape(t, arch.num_kv_heads, arch.head_dim),
+            v.reshape(t, arch.num_kv_heads, arch.head_dim))
+
+
+def _write_kv_layer(kv, layer, k, v, slot_mapping):
+    """Scatter new tokens' K/V into the stacked cache at one layer.
+
+    Cache layout [L, N_blk, 2, Bs, Hkv*D]: each token's K (all heads) is
+    one contiguous row write.
+    """
+    bs = kv.shape[3]
+    t = k.shape[0]
+    slots = jnp.where(slot_mapping < 0, 0, slot_mapping)
+    blk = slots // bs
+    off = slots % bs
+    kv = kv.at[layer, blk, 0, off, :].set(k.reshape(t, -1).astype(kv.dtype))
+    kv = kv.at[layer, blk, 1, off, :].set(v.reshape(t, -1).astype(kv.dtype))
+    return kv
+
+
+def _attend(q, kv, layer, inputs, arch, attn_impl):
+    """Run ragged paged attention against one layer of the stacked cache."""
+    kv_layer = jax.lax.dynamic_index_in_dim(kv, layer, 0, keepdims=False)
+    return attn_impl(q, kv_layer, inputs)
+
+
+def forward(params: dict, arch: LlamaArch, kv: jax.Array,
+            inputs: dict[str, jax.Array],
+            attn_impl=None) -> tuple[jax.Array, jax.Array]:
+    """Run the decoder stack over a flat ragged token batch.
+
+    inputs: input_ids [T], positions [T], req_idx [T], slot_mapping [T],
+    block_tables [B, MaxBlk], seq_lens [B].
+    Returns (kv, hidden[T, D]).
+    """
+    if attn_impl is None:
+        attn_impl = _default_attn
+    h = params["embed"][inputs["input_ids"]]
+    inv_freq = compute_rope_freqs(arch.head_dim, arch.rope_theta,
+                                  arch.rope_scaling)
+
+    def layer_step(carry, xs):
+        h, kv = carry
+        lp, layer = xs
+        res = h
+        x = rms_norm(h, lp["input_norm"], arch.rms_norm_eps)
+        q, k, v = _qkv(x, lp, arch)
+        q = apply_rope(q, inputs["positions"], inv_freq)
+        k = apply_rope(k, inputs["positions"], inv_freq)
+        kv = _write_kv_layer(kv, layer, k, v, inputs["slot_mapping"])
+        o = _attend(q, kv, layer, inputs, arch, attn_impl)
+        t = o.shape[0]
+        h = res + matmul(o.reshape(t, -1), lp["wo"])
+        res = h
+        x = rms_norm(h, lp["post_norm"], arch.rms_norm_eps)
+        h = res + _mlp(x, lp)
+        return (h, kv), None
+
+    (h, kv), _ = jax.lax.scan(
+        layer_step, (h, kv),
+        (params["layers"], jnp.arange(arch.num_layers)))
+    h = rms_norm(h, params["final_norm"], arch.rms_norm_eps)
+    return kv, h
+
+
+def _mlp(x, lp):
+    g = matmul(x, lp["w_gate"])
+    u = matmul(x, lp["w_up"])
+    h = (jax.nn.silu(g.astype(jnp.float32)) *
+         u.astype(jnp.float32)).astype(x.dtype)
+    return matmul(h, lp["w_down"])
+
+
+def make_attn_impl(attn_qb: int = 32):
+    """Build the attention dispatcher; ``attn_qb`` is the static query-block
+    size used by the Pallas schedule (wide for prefill, narrow for decode)."""
+
+    def _attn(q, kv_layer, inputs):
+        from arcticinference_tpu import envs
+
+        if ("attn_item_req" in inputs and not envs.ARCTIC_TPU_DISABLE_PALLAS
+                and jax.default_backend() == "tpu"):
+            from arcticinference_tpu.ops.pallas.ragged_attention import (
+                ragged_paged_attention_kernel)
+            schedule = (inputs["attn_item_req"], inputs["attn_item_qstart"],
+                        inputs["attn_item_qlen"], inputs["attn_item_pages"],
+                        inputs["attn_item_pos_base"],
+                        inputs["attn_token_item"], inputs["attn_token_off"])
+            return ragged_paged_attention_kernel(
+                q, kv_layer, inputs["positions"], inputs["req_idx"],
+                inputs["block_tables"], inputs["seq_lens"],
+                qb=attn_qb, schedule=schedule,
+                kv_scale=inputs.get("kv_scale"))
+        return ragged_paged_attention_reference(
+            q, kv_layer, inputs["positions"], inputs["req_idx"],
+            inputs["block_tables"], inputs["seq_lens"])
+
+    return _attn
+
+
+_default_attn = make_attn_impl()
+
+
+def compute_logits(params: dict, hidden_rows: jax.Array) -> jax.Array:
+    """LM head over selected hidden rows; fp32 logits."""
+    head = params.get("lm_head")
+    if head is None:
+        return jnp.dot(hidden_rows, params["embed"].T,
+                       preferred_element_type=jnp.float32)
+    return matmul(hidden_rows, head, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint mapping
+# ---------------------------------------------------------------------------
+
+# name templates in HF Llama checkpoints -> (our key, transpose?)
+_LAYER_MAP = {
+    "self_attn.q_proj.weight": ("wq", True),
+    "self_attn.k_proj.weight": ("wk", True),
+    "self_attn.v_proj.weight": ("wv", True),
+    "self_attn.o_proj.weight": ("wo", True),
+    "mlp.gate_proj.weight": ("w_gate", True),
+    "mlp.up_proj.weight": ("w_up", True),
+    "mlp.down_proj.weight": ("w_down", True),
+    "input_layernorm.weight": ("input_norm", False),
+    "post_attention_layernorm.weight": ("post_norm", False),
+}
+
+
+def load_hf_state(arch: LlamaArch, tensors: dict[str, np.ndarray],
+                  dtype: jnp.dtype = jnp.bfloat16,
+                  quantization: Optional[str] = None) -> dict:
+    """Assemble the parameter pytree from a flat HF state dict.
+
+    ``tensors`` maps HF names to numpy arrays (from safetensors).  FP8
+    checkpoints with ``.weight_scale`` entries are folded into
+    QuantizedLinear leaves when ``quantization == "fp8"``.
+    """
+    lL = arch.num_layers
+    layer_stacks: dict[str, list] = {k: [None] * lL
+                                     for k, _ in _LAYER_MAP.values()}
+    scales: dict[str, list] = {k: [None] * lL
+                               for k, _ in _LAYER_MAP.values()}
+    params: dict = {"layers": {}}
+    for name, arr in tensors.items():
+        if name == "model.embed_tokens.weight":
+            params["embed"] = jnp.asarray(arr, dtype)
+        elif name == "model.norm.weight":
+            params["final_norm"] = jnp.asarray(arr, dtype)
+        elif name == "lm_head.weight":
+            params["lm_head"] = jnp.asarray(arr.T, dtype)
+        elif name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_s, _, leaf = rest.partition(".")
+            l = int(idx_s)
+            is_scale = leaf.endswith(".weight_scale")
+            base = leaf.replace(".weight_scale", ".weight")
+            if base not in _LAYER_MAP:
+                continue
+            key, transpose = _LAYER_MAP[base]
+            if is_scale:
+                scales[key][l] = np.asarray(arr, np.float32)
+            else:
+                a = arr.T if transpose else arr
+                layer_stacks[key][l] = a
+
+    for key, stack in layer_stacks.items():
+        if any(s is None for s in stack):
+            missing = [i for i, s in enumerate(stack) if s is None]
+            raise ValueError(f"missing layers {missing} for {key}")
+        have_scales = all(s is not None for s in scales[key])
+        if have_scales:
+            # Pre-quantized FP8 checkpoint: keep values, stack scales.
+            w = jnp.stack([jnp.asarray(s) for s in stack])
+            scale = jnp.stack([jnp.asarray(s).reshape(()) for s in
+                               scales[key]])
+            params["layers"][key] = QuantizedLinear(weight=w, scale=scale)
+        else:
+            w = jnp.stack([jnp.asarray(s, dtype) for s in stack])
+            params["layers"][key] = w
+
+    if arch.tie_word_embeddings:
+        params.pop("lm_head", None)
+    if quantization == "fp8" and not isinstance(
+            params["layers"]["wq"], QuantizedLinear):
+        params = quantize_params(params)
+    return params
+
+
+# Registry interface alias.
+Arch = LlamaArch

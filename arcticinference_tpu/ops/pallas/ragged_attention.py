@@ -1,0 +1,333 @@
+"""Ragged paged attention — the engine's hot Pallas kernel.
+
+One kernel serves the whole vLLM-v1-style mixed batch (chunked prefill +
+decode) against the paged KV cache; the reference relies on CUDA
+FlashAttention/FlashInfer for this (reference ``llama_swiftkv.py:46-52``).
+
+Design (TPU-first, not a port):
+
+- The host scheduler lowers the ragged token batch into fixed-size *work
+  items* ``(req, qstart, qlen, pos_base, npages)``; the grid is
+  ``(num_items,)`` and every program owns one query block across ALL kv
+  heads.  Items never span requests, so each program walks exactly one
+  request's page list.
+- KV cache layout is ``[num_blocks, block_size, Hkv*D]``: one page DMA
+  brings every kv head's K (or V) for 32 tokens in a single contiguous
+  64 KB transfer — the unit that keeps HBM streaming at full bandwidth on
+  the decode path.  Heads are peeled off with static lane slices in VMEM.
+- Pages are double-buffered (per-slot semaphores) and consumed by a
+  flash-style online-softmax accumulator in fp32, one accumulator set per
+  kv head (static Python loop -> fully unrolled).
+- Work-item query windows are aligned down to the 8-sublane boundary
+  host-side (window = qb + 8) so all dynamic slicing is tile-legal; the
+  surplus rows are computed and discarded (never gathered).
+- Output is written densely per item; a cheap gather maps rows back to
+  the flat token order.
+- ``qb`` is static: the engine compiles a wide-block variant for
+  prefill-heavy steps and a narrow one for decode-heavy steps (same role
+  as the reference's per-shape CUDA graphs, ``model_runner.py:778-856``).
+
+KV dtype may be bf16 or fp8 (float8_e4m3fn); fp8 pages are dequantized in
+VMEM right after DMA (``kv_scale``), halving decode HBM traffic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+N_BUF = 2        # KV chunk pipeline depth (double buffering)
+CHUNK_PAGES = 8  # pages consumed per flash iteration (256 KV tokens)
+
+
+def _attn_kernel(
+    # scalar prefetch
+    item_req, item_qstart, item_qlen, item_pages, item_pos_base,
+    block_tables,
+    # inputs
+    q_hbm, kv_hbm, kv_scale_smem,
+    # output
+    out_vmem,
+    # scratch
+    qbuf, kvbuf, qsem, kvsems,
+    *, qw: int, group: int, hkv: int, bs: int, head_dim: int, scale: float,
+    kv_bf16: bool,
+):
+    item = pl.program_id(0)
+    qlen = item_qlen[item]
+
+    @pl.when(qlen > 0)
+    def _run():
+        req = item_req[item]
+        # Host aligns qstart down to the 8-sublane boundary; surplus rows
+        # are computed but never gathered.
+        qstart = pl.multiple_of(item_qstart[item], 8)
+        npages = item_pages[item]
+        d = head_dim
+        rows = qw * group
+
+        q_dma = pltpu.make_async_copy(
+            q_hbm.at[:, :, pl.ds(qstart, qw), :], qbuf, qsem)
+        q_dma.start()
+
+        ck = CHUNK_PAGES * bs  # kv tokens per flash iteration
+
+        def chunk_dma(slot, c):
+            """Start DMAs for all in-range pages of chunk c into `slot`."""
+            for j in range(CHUNK_PAGES):
+                @pl.when(c * CHUNK_PAGES + j < npages)
+                def _start():
+                    page = block_tables[req, c * CHUNK_PAGES + j]
+                    pltpu.make_async_copy(
+                        kv_hbm.at[page], kvbuf.at[slot, j],
+                        kvsems.at[slot]).start()
+
+        def chunk_wait(slot, c):
+            for j in range(CHUNK_PAGES):
+                @pl.when(c * CHUNK_PAGES + j < npages)
+                def _wait():
+                    pltpu.make_async_copy(
+                        kv_hbm.at[0], kvbuf.at[slot, j],
+                        kvsems.at[slot]).wait()
+
+        n_chunks = (npages + CHUNK_PAGES - 1) // CHUNK_PAGES
+        chunk_dma(0, 0)
+        q_dma.wait()
+
+        # Positions are consecutive within an item: pos = base + t_off.
+        t_off = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0), qw)
+        pos_row = item_pos_base[item] + t_off
+
+        # Fold the kv dequant scale into q (for K) and the output (for V):
+        # the inner loop then never multiplies a [ck, d] tile by a scalar.
+        kv_scale = kv_scale_smem[0]
+        qf = [
+            (qbuf[h].reshape(rows, d).astype(jnp.float32)
+             * (scale * kv_scale)).astype(jnp.bfloat16)
+            for h in range(hkv)
+        ]
+
+        def body(c, carry):
+            slot = jax.lax.rem(c, N_BUF)
+
+            @pl.when(c + 1 < n_chunks)
+            def _prefetch():
+                chunk_dma(jax.lax.rem(c + 1, N_BUF), c + 1)
+
+            chunk_wait(slot, c)
+
+            kv_pos = (c * ck +
+                      jax.lax.broadcasted_iota(jnp.int32, (rows, ck), 1))
+            valid = kv_pos <= pos_row
+            # Tokens of out-of-range pages sit in un-DMA'd buffer space;
+            # their P entries are 0 but 0*NaN = NaN, so V must be zeroed.
+            tok_real = (c * ck + jax.lax.broadcasted_iota(
+                jnp.int32, (ck, 1), 0)) < npages * bs
+            # kvbuf slot: [CHUNK, 2, Bs, Hkv*D]; out-of-range pages hold
+            # stale data masked out by kv_pos (their positions are beyond
+            # every row's causal limit).
+            kchunk = kvbuf[slot, :, 0]         # [CHUNK, Bs, Hkv*D]
+            vchunk = kvbuf[slot, :, 1]
+
+            new_carry = []
+            for h in range(hkv):
+                m_prev, l_prev, acc = carry[h]
+                k = kchunk[:, :, h * d:(h + 1) * d].reshape(ck, d)
+                if not kv_bf16:
+                    k = k.astype(jnp.bfloat16)
+                s = jax.lax.dot_general(
+                    qf[h], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [rows, ck]
+                s = jnp.where(valid, s, -jnp.inf)
+                m_cur = jnp.max(s, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                # exp(-inf - finite) = 0 masks invalid columns for free;
+                # m_safe guards the all-masked-row NaN (-inf - -inf).
+                m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+                alpha = jnp.where(m_prev == -jnp.inf, 0.0,
+                                  jnp.exp(m_prev - m_safe))
+                pmat = jnp.exp(s - m_safe)
+                l_new = alpha * l_prev + jnp.sum(pmat, -1, keepdims=True)
+                v = vchunk[:, :, h * d:(h + 1) * d].reshape(ck, d)
+                # Zero un-DMA'd rows (0*NaN = NaN would poison the PV dot).
+                v = jnp.where(tok_real, v.astype(jnp.bfloat16), 0)
+                pv = jax.lax.dot_general(
+                    pmat.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                new_carry.append((m_new, l_new, acc * alpha + pv))
+            return tuple(new_carry)
+
+        init = tuple(
+            (jnp.full((rows, 1), -jnp.inf, jnp.float32),
+             jnp.zeros((rows, 1), jnp.float32),
+             jnp.zeros((rows, head_dim), jnp.float32))
+            for _ in range(hkv))
+        final = jax.lax.fori_loop(0, n_chunks, body, init)
+
+        for h in range(hkv):
+            _, l, acc = final[h]
+            # kv_scale for V was deferred to here (one [rows, d] multiply).
+            out = acc * (kv_scale / jnp.maximum(l, 1e-20))
+            out_vmem[0, h] = out.astype(out_vmem.dtype)
+
+    @pl.when(qlen == 0)
+    def _skip():
+        out_vmem[...] = jnp.zeros(out_vmem.shape, out_vmem.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("qb", "scale"))
+def _ragged_attention_call(
+    q, kv_cache, item_req, item_qstart, item_qlen,
+    item_pages, item_pos_base, block_tables, token_item, token_off,
+    kv_scale, qb: int, scale: float,
+):
+    t, hq, d = q.shape
+    n_blocks, _, bs, hkv_d = kv_cache.shape
+    hkv = hkv_d // d
+    group = hq // hkv
+    n_items = item_req.shape[0]
+    # Window = qb + 8: see module docstring.
+    qw = qb + 8
+    q = jnp.pad(q, ((0, qw), (0, 0), (0, 0)))
+    q = q.reshape(t + qw, hkv, group, d).transpose(1, 2, 0, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(n_items,),
+        in_specs=[
+            # q is sliced at token granularity (8-aligned via the host
+            # schedule): it stays in HBM and reaches VMEM via DMA.
+            pl.BlockSpec(memory_space=pltpu.HBM),   # q [Hkv, group, T+, D]
+            pl.BlockSpec(memory_space=pl.ANY),   # kv_cache
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_scale (1,)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hkv, qw * group, d), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, group, qw, d), q.dtype),         # qbuf
+            pltpu.VMEM((N_BUF, CHUNK_PAGES, 2, bs, hkv_d),
+                       kv_cache.dtype),                       # kvbuf
+            pltpu.SemaphoreType.DMA(()),                      # qsem
+            pltpu.SemaphoreType.DMA((N_BUF,)),                # kvsems
+        ],
+    )
+    kernel = functools.partial(
+        _attn_kernel, qw=qw, group=group, hkv=hkv, bs=bs, head_dim=d,
+        scale=scale, kv_bf16=kv_cache.dtype == jnp.bfloat16)
+    out_items = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_items, hkv, qw * group, d),
+                                       q.dtype),
+        grid_spec=grid_spec,
+    )(item_req, item_qstart, item_qlen, item_pages, item_pos_base,
+      block_tables, q, kv_cache, kv_scale)
+    # Rows are group-major: [items, hkv, group, qw, d] -> [items, qw, hq, d],
+    # then map dense per-item rows back to the ragged token order.
+    out_items = out_items.reshape(n_items, hkv, group, qw, d)
+    out_items = out_items.transpose(0, 3, 1, 2, 4).reshape(
+        n_items, qw, hq, d)
+    return out_items[token_item, token_off]
+
+
+def build_work_items(query_lens: np.ndarray, positions_last: np.ndarray,
+                     qb: int, block_size: int, num_items: int,
+                     total_tokens: int):
+    """Host-side schedule: split each request's query chunk into <=QB items.
+
+    query_lens: [B] new tokens per request; positions_last: [B] last
+    absolute position of each request this step.  Returns the prefetch
+    arrays plus the token->(item, offset) back-map.
+    """
+    b = len(query_lens)
+    item_req = np.zeros(num_items, np.int32)
+    item_qstart = np.zeros(num_items, np.int32)
+    item_qlen = np.zeros(num_items, np.int32)
+    item_pages = np.zeros(num_items, np.int32)
+    item_pos_base = np.zeros(num_items, np.int32)
+    token_item = np.zeros(total_tokens, np.int32)
+    token_off = np.zeros(total_tokens, np.int32)
+    it = 0
+    qpos = 0
+    for r in range(b):
+        qlen = int(query_lens[r])
+        if qlen == 0:
+            continue
+        first_pos = int(positions_last[r]) - qlen + 1
+        done = 0
+        while done < qlen:
+            n = min(qb, qlen - done)
+            if it >= num_items:
+                raise ValueError("work item overflow; raise num_items")
+            aligned = qpos & ~7  # sublane-tile alignment for the kernel DMA
+            item_req[it] = r
+            item_qstart[it] = aligned
+            item_qlen[it] = n
+            # Window row 0 is `aligned`; the item's first real token sits at
+            # offset qpos-aligned with position first_pos+done.
+            item_pos_base[it] = first_pos + done - (qpos - aligned)
+            last_pos = first_pos + done + n - 1
+            item_pages[it] = last_pos // block_size + 1
+            token_item[qpos:qpos + n] = it
+            token_off[qpos:qpos + n] = np.arange(qpos - aligned,
+                                                 qpos - aligned + n)
+            done += n
+            qpos += n
+            it += 1
+    return (item_req, item_qstart, item_qlen, item_pages, item_pos_base,
+            token_item, token_off)
+
+
+def ragged_paged_attention_kernel(
+    q: jax.Array,
+    kv_cache: jax.Array,
+    positions: jax.Array,
+    req_idx: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    scale: float | None = None,
+    qb: int = 32,
+    schedule: tuple | None = None,
+    kv_scale: jax.Array | None = None,
+) -> jax.Array:
+    """Drop-in replacement for the jnp reference.
+
+    When the engine already built a schedule (the fast path) pass it via
+    ``schedule``; otherwise one is derived on host from the metadata
+    (requires concrete inputs — fine for tests, not inside jit).
+    """
+    t, hq, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    if kv_scale is None:
+        kv_scale = jnp.ones((1,), jnp.float32)
+    if schedule is None:
+        req_np = np.asarray(req_idx)
+        pos_np = np.asarray(positions)
+        b = block_tables.shape[0]
+        qlens = np.zeros(b, np.int64)
+        last = np.zeros(b, np.int64)
+        for i in range(t):
+            r = req_np[i]
+            if r >= 0:
+                qlens[r] += 1
+                last[r] = max(last[r], pos_np[i])
+        num_items = -(-t // qb) + b
+        schedule = build_work_items(
+            qlens, last, qb, kv_cache.shape[2], num_items, t)
+    (item_req, item_qstart, item_qlen, item_pages, item_pos_base,
+     token_item, token_off) = schedule
+    return _ragged_attention_call(
+        q, kv_cache,
+        jnp.asarray(item_req), jnp.asarray(item_qstart),
+        jnp.asarray(item_qlen), jnp.asarray(item_pages),
+        jnp.asarray(item_pos_base),
+        block_tables, jnp.asarray(token_item), jnp.asarray(token_off),
+        kv_scale, qb=qb, scale=float(scale))

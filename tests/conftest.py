@@ -8,11 +8,17 @@ as recommended by the survey (SURVEY.md §4).
 import os
 
 # Must be set before jax initialises its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) prepends itself to jax_platforms even
+# when JAX_PLATFORMS=cpu is exported; overriding the config after import is
+# the reliable way to pin tests to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

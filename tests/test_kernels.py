@@ -1,0 +1,100 @@
+"""Pallas kernel numerics vs jnp references (CPU interpreter mode).
+
+On real TPU the same checks run via benchmarks/check_attention_kernel.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from arcticinference_tpu.ops.attention import (
+    ragged_paged_attention_reference)
+from arcticinference_tpu.ops.pallas.ragged_attention import (
+    build_work_items, ragged_paged_attention_kernel)
+from arcticinference_tpu.ops.fp8 import (fp8_dequantize, fp8_quantize)
+from arcticinference_tpu.ops.pallas.fp8_matmul import fp8_matmul_kernel
+
+
+def make_case(qlens, ctx, Hq=4, Hkv=2, D=128, Bs=32, MaxBlk=8, seed=0):
+    rng = np.random.default_rng(seed)
+    B = len(qlens)
+    T = sum(qlens)
+    block_tables = np.zeros((B, MaxBlk), np.int32)
+    nb = 1
+    for r in range(B):
+        total = ctx[r] + qlens[r]
+        for i in range((total + Bs - 1) // Bs):
+            block_tables[r, i] = nb
+            nb += 1
+    kv_cache = jnp.asarray(
+        rng.standard_normal((nb + 1, 2, Bs, Hkv * D)), jnp.float32)
+    positions = np.zeros(T, np.int32)
+    req_idx = np.full(T, -1, np.int32)
+    t = 0
+    for r in range(B):
+        for i in range(qlens[r]):
+            positions[t] = ctx[r] + i
+            req_idx[t] = r
+            t += 1
+    seq_lens = np.array([ctx[r] + qlens[r] for r in range(B)], np.int32)
+    q = jnp.asarray(rng.standard_normal((T, Hq, D)), jnp.float32)
+    return (q, kv_cache, jnp.asarray(positions), jnp.asarray(req_idx),
+            jnp.asarray(block_tables), jnp.asarray(seq_lens)), req_idx
+
+
+@pytest.mark.parametrize("qlens,ctx", [
+    ([10, 1], [0, 37]),
+    ([1, 1, 1], [5, 64, 31]),
+    ([40, 3], [0, 100]),
+])
+def test_ragged_attention_kernel_interpret(qlens, ctx):
+    inputs, req_np = make_case(qlens, ctx)
+    ref = ragged_paged_attention_reference(*inputs)
+    with pltpu.force_tpu_interpret_mode():
+        out = ragged_paged_attention_kernel(*inputs, qb=8)
+    valid = req_np >= 0
+    diff = float(jnp.max(jnp.abs((out - ref)[valid])))
+    assert diff < 0.02, diff
+
+
+def test_work_items_cover_all_tokens():
+    qlens = np.array([10, 1, 20, 0, 3])
+    last = np.array([9, 100, 50, 0, 7])
+    n_items = -(-34 // 8) + 5
+    (req, qstart, qlen, pages, pos_base, tok_item,
+     tok_off) = build_work_items(qlens, last, 8, 32, n_items, 34)
+    # Every token maps to an item owning it.
+    t = 0
+    for r, ql in enumerate(qlens):
+        for _ in range(ql):
+            it = tok_item[t]
+            assert req[it] == r
+            # Row tok_off within the window corresponds to this token.
+            assert qstart[it] + tok_off[t] == t
+            t += 1
+    # qstart aligned; real rows within window.
+    assert all(s % 8 == 0 for s in qstart)
+
+
+def test_fp8_quant_dequant_roundtrip():
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((4, 64, 32)),
+                    jnp.float32)
+    q = fp8_quantize(w)
+    wd = fp8_dequantize(q, jnp.float32)
+    rel = float(jnp.max(jnp.abs(wd - w)) / jnp.max(jnp.abs(w)))
+    assert rel < 0.1  # e4m3 has ~2 decimal digits
+
+
+def test_fp8_matmul_interpret():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((16, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    q = fp8_quantize(w)
+    ref = x @ fp8_dequantize(q, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = fp8_matmul_kernel(x.astype(jnp.bfloat16), q.weight, q.scale,
+                                out_dtype=jnp.float32)
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.05, rel
