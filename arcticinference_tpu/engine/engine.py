@@ -1,0 +1,231 @@
+"""LLMEngine: the step loop tying scheduler, runner and speculation together.
+
+Mirror of the reference's execute_model + propose_draft_token_ids flow
+(reference ``model_runner.py:218-524`` and ``:526-603``), owned end to end:
+
+  schedule -> prepare inputs -> device step -> host verify (greedy accept)
+  -> commit tokens / stops -> update suffix cache -> propose next drafts
+
+Speculation sources per step and per request:
+- suffix decoding (host C++ tree), if enabled
+- the Arctic MLP/LSTM draft model, if configured
+The suffix result wins when its score (estimated accepted length) is at
+least ``num_speculative_tokens``, matching reference
+``model_runner.py:546-575``; both are disabled above
+``disable_by_batch_size`` running requests (reference ``config.py:93-96``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from arcticinference_tpu.config import EngineConfig
+from arcticinference_tpu.engine.request import (Request, RequestStatus,
+                                                SamplingParams)
+from arcticinference_tpu.engine.runner import ModelRunner
+from arcticinference_tpu.engine.scheduler import Scheduler, SchedulerOutput
+from arcticinference_tpu.models.loader import load_model
+from arcticinference_tpu.stats import SpecDecodingStats
+
+
+class LLMEngine:
+
+    def __init__(self, config: EngineConfig, mesh=None):
+        self.config = config
+        module, arch, params = load_model(config.model)
+        self.arch = arch
+        self.eos_token_id: Optional[int] = getattr(arch, "eos_token_id",
+                                                   None)
+        self.runner = ModelRunner(config, module, arch, params, mesh=mesh)
+        self.scheduler = Scheduler(config.scheduler, config.cache,
+                                   self.runner.num_blocks)
+        self.spec_stats = SpecDecodingStats()
+        self._rng = jax.random.PRNGKey(config.model.seed)
+
+        self.spec_config = config.speculative
+        self._suffix_cache = None
+        self._drafter = None
+        if self.spec_config is not None:
+            if self.spec_config.enable_suffix_decoding:
+                from arcticinference_tpu.spec.suffix_cache import SuffixCache
+                self._suffix_cache = SuffixCache(
+                    self.spec_config.suffix_cache_max_depth)
+            if self.spec_config.method in ("arctic", "mlp_speculator",
+                                           "lstm_speculator"):
+                from arcticinference_tpu.spec.proposer import ArcticProposer
+                self._drafter = ArcticProposer(self.spec_config, arch)
+
+    # ------------------------------------------------------------------ #
+    # Request management
+    # ------------------------------------------------------------------ #
+
+    def add_request(self, req_id: str, prompt_token_ids: list[int],
+                    sampling: Optional[SamplingParams] = None) -> Request:
+        if not prompt_token_ids:
+            raise ValueError("prompt must not be empty")
+        if len(prompt_token_ids) >= self.config.model.max_model_len:
+            raise ValueError(
+                f"prompt length {len(prompt_token_ids)} >= max_model_len "
+                f"{self.config.model.max_model_len}")
+        req = Request(req_id=req_id,
+                      prompt_token_ids=list(prompt_token_ids),
+                      sampling=sampling or SamplingParams(),
+                      arrival_time=time.time())
+        self.scheduler.add_request(req)
+        return req
+
+    def abort_request(self, req_id: str):
+        req = self.scheduler.abort_request(req_id)
+        if req is not None:
+            self._evict_spec_state(req)
+        return req
+
+    @property
+    def has_unfinished(self) -> bool:
+        return self.scheduler.num_unfinished > 0
+
+    # ------------------------------------------------------------------ #
+    # Step loop
+    # ------------------------------------------------------------------ #
+
+    def step(self) -> list[Request]:
+        """Run one engine iteration; returns requests finished this step."""
+        sched_out = self.scheduler.schedule()
+        if not sched_out.scheduled:
+            return []
+        for req in sched_out.preempted:
+            self._evict_spec_state(req)
+
+        step_inputs = self.runner.prepare_inputs(sched_out)
+        self._rng, step_rng = jax.random.split(self._rng)
+        argmax, sampled, rows = self.runner.execute(step_inputs, step_rng)
+
+        finished: list[Request] = []
+        accepted_row: dict[str, int] = {}
+        for r, s in enumerate(sched_out.scheduled):
+            req = s.request
+            lo = step_inputs.sample_row_start[r]
+            k = step_inputs.sample_row_count[r]
+
+            if req.num_computed_tokens + s.num_new_tokens < \
+                    len(req.prompt_token_ids):
+                # Mid-prefill chunk: no tokens produced.
+                self.scheduler.update_after_step(s, [], 0)
+                continue
+
+            # Greedy-accept verification against the argmax chain; for
+            # temperature>0 requests the (single) row uses the device
+            # sampler instead.
+            drafts = s.spec_token_ids
+            use_sampler = req.sampling.temperature > 0
+            rowvals = (sampled if use_sampler else argmax)[lo:lo + k]
+            n_acc = 0
+            for i, d in enumerate(drafts):
+                if rowvals[i] == d:
+                    n_acc += 1
+                else:
+                    break
+            new_tokens = [int(x) for x in drafts[:n_acc]] + \
+                [int(rowvals[n_acc])]
+            if drafts:
+                self.spec_stats.observe(len(drafts), n_acc)
+                req.num_draft_tokens += len(drafts)
+                req.num_accepted_draft_tokens += n_acc
+            accepted_row[req.req_id] = lo + n_acc
+
+            if req.first_token_time is None:
+                req.first_token_time = time.time()
+            self.scheduler.update_after_step(s, new_tokens, n_acc)
+            self._update_suffix_cache(req, new_tokens)
+
+            stop = req.check_stop(self.eos_token_id,
+                                  self.config.model.max_model_len)
+            if stop is not None:
+                req.finish_time = time.time()
+                self.scheduler.finish_request(req, stop)
+                self._evict_spec_state(req)
+                finished.append(req)
+
+        self._propose_drafts(sched_out, step_inputs, rows, accepted_row)
+        return finished
+
+    # ------------------------------------------------------------------ #
+    # Speculation
+    # ------------------------------------------------------------------ #
+
+    def _spec_disabled_now(self) -> bool:
+        sc = self.spec_config
+        if sc is None:
+            return True
+        if sc.disable_by_batch_size and \
+                len(self.scheduler.running) > sc.disable_by_batch_size:
+            return True
+        return False
+
+    def _propose_drafts(self, sched_out: SchedulerOutput, step_inputs,
+                        rows, accepted_row: dict[str, int]) -> None:
+        if self._spec_disabled_now():
+            return
+        sc = self.spec_config
+
+        suffix_results = {}
+        if self._suffix_cache is not None:
+            for s in sched_out.scheduled:
+                req = s.request
+                if (req.status.is_finished or req.is_prefilling
+                        or req.sampling.temperature > 0):
+                    continue
+                pattern = req.all_token_ids[-sc.suffix_cache_max_depth:]
+                cap = min(sc.num_speculative_tokens,
+                          self.config.model.max_model_len
+                          - req.num_tokens - 1)
+                if not pattern or cap <= 0:
+                    continue
+                res = self._suffix_cache.speculate(
+                    req.req_id, pattern,
+                    max_spec_tokens=cap,
+                    max_spec_factor=sc.suffix_max_spec_factor,
+                    max_spec_offset=sc.suffix_max_spec_offset,
+                    min_token_prob=sc.suffix_min_token_prob,
+                    use_cached_prompt=self._suffix_cache.has_cached_prompt(
+                        req.req_id))
+                suffix_results[req.req_id] = res
+
+        # Choose suffix drafts when the expected acceptance beats what the
+        # draft model would offer (reference model_runner.py:546-575).
+        min_score = (0 if sc.method == "suffix"
+                     else sc.num_speculative_tokens)
+        drafter_reqs = []
+        for s in sched_out.scheduled:
+            req = s.request
+            if req.status.is_finished or req.is_prefilling or \
+                    req.sampling.temperature > 0:
+                continue
+            res = suffix_results.get(req.req_id)
+            if res is not None and res.score >= min_score and res.token_ids:
+                req.spec_token_ids = [int(t) for t in res.token_ids]
+            elif self._drafter is not None:
+                drafter_reqs.append(s)
+
+        if drafter_reqs and self._drafter is not None:
+            self._drafter.propose(
+                drafter_reqs, step_inputs, rows, accepted_row,
+                max_len_cap=self.config.model.max_model_len)
+
+    def _update_suffix_cache(self, req: Request,
+                             new_tokens: list[int]) -> None:
+        if self._suffix_cache is None:
+            return
+        if not self._suffix_cache.has_cached_prompt(req.req_id):
+            self._suffix_cache.cache_prompt(req.req_id,
+                                            req.prompt_token_ids)
+        self._suffix_cache.update_response(req.req_id, new_tokens)
+
+    def _evict_spec_state(self, req: Request) -> None:
+        if self._suffix_cache is not None and \
+                self._suffix_cache.has_cached_prompt(req.req_id):
+            self._suffix_cache.evict_prompt(req.req_id)

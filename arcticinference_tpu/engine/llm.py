@@ -1,0 +1,97 @@
+"""Offline inference API: the equivalent of ``vllm.LLM`` for this engine.
+
+    from arcticinference_tpu.engine.llm import LLM
+    llm = LLM(EngineConfig(...))
+    outs = llm.generate(["Hello"], SamplingParams(max_tokens=32))
+
+Works with raw token ids too (``prompt_token_ids=...``) so tests and
+benchmarks need no tokenizer/checkpoint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Sequence, Union
+
+from arcticinference_tpu.config import EngineConfig
+from arcticinference_tpu.engine.engine import LLMEngine
+from arcticinference_tpu.engine.request import Request, SamplingParams
+
+
+@dataclass
+class RequestOutput:
+    req_id: str
+    prompt_token_ids: list[int]
+    token_ids: list[int]
+    text: Optional[str] = None
+    finish_reason: str = "stop"
+    num_accepted_draft_tokens: int = 0
+    num_draft_tokens: int = 0
+
+
+class LLM:
+
+    def __init__(self, config: EngineConfig):
+        self.config = config
+        self.engine = LLMEngine(config)
+        self.tokenizer = self._load_tokenizer()
+        if self.engine.eos_token_id is None and self.tokenizer is not None:
+            self.engine.eos_token_id = self.tokenizer.eos_token_id
+        self._next_id = 0
+
+    def _load_tokenizer(self):
+        path = Path(self.config.model.tokenizer or self.config.model.model)
+        if not (path / "tokenizer_config.json").exists() and \
+                not (path / "tokenizer.json").exists():
+            return None
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(str(path))
+
+    def generate(
+        self,
+        prompts: Optional[Sequence[str]] = None,
+        sampling_params: Union[SamplingParams, Sequence[SamplingParams],
+                               None] = None,
+        prompt_token_ids: Optional[Sequence[Sequence[int]]] = None,
+    ) -> list[RequestOutput]:
+        if prompts is None and prompt_token_ids is None:
+            raise ValueError("provide prompts or prompt_token_ids")
+        if prompt_token_ids is None:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "no tokenizer available; pass prompt_token_ids")
+            prompt_token_ids = [self.tokenizer.encode(p) for p in prompts]
+        n = len(prompt_token_ids)
+        if isinstance(sampling_params, SamplingParams) or \
+                sampling_params is None:
+            sampling_params = [sampling_params or SamplingParams()] * n
+
+        requests: list[Request] = []
+        for ids, sp in zip(prompt_token_ids, sampling_params):
+            rid = f"req-{self._next_id}"
+            self._next_id += 1
+            requests.append(
+                self.engine.add_request(rid, list(ids), sp))
+
+        done: dict[str, Request] = {}
+        while self.engine.has_unfinished:
+            for req in self.engine.step():
+                done[req.req_id] = req
+
+        outputs = []
+        for req in requests:
+            fin = done.get(req.req_id, req)
+            text = (self.tokenizer.decode(fin.output_token_ids)
+                    if self.tokenizer is not None else None)
+            outputs.append(RequestOutput(
+                req_id=fin.req_id,
+                prompt_token_ids=fin.prompt_token_ids,
+                token_ids=list(fin.output_token_ids),
+                text=text,
+                finish_reason=fin.status.name.lower(),
+                num_accepted_draft_tokens=fin.num_accepted_draft_tokens,
+                num_draft_tokens=fin.num_draft_tokens,
+            ))
+        return outputs

@@ -1,0 +1,96 @@
+"""Request state and sampling parameters."""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+
+@dataclass
+class SamplingParams:
+    max_tokens: int = 128
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    stop_token_ids: tuple[int, ...] = ()
+    ignore_eos: bool = False
+
+    def __post_init__(self) -> None:
+        if self.max_tokens <= 0:
+            raise ValueError("max_tokens must be positive")
+        if self.temperature < 0:
+            raise ValueError("temperature must be >= 0")
+
+
+class RequestStatus(enum.Enum):
+    WAITING = enum.auto()
+    RUNNING = enum.auto()
+    PREEMPTED = enum.auto()
+    FINISHED_STOPPED = enum.auto()     # eos / stop token
+    FINISHED_LENGTH = enum.auto()      # hit max_tokens / max_model_len
+    FINISHED_ABORTED = enum.auto()
+
+    @property
+    def is_finished(self) -> bool:
+        return self in (RequestStatus.FINISHED_STOPPED,
+                        RequestStatus.FINISHED_LENGTH,
+                        RequestStatus.FINISHED_ABORTED)
+
+
+@dataclass
+class Request:
+    req_id: str
+    prompt_token_ids: list[int]
+    sampling: SamplingParams = field(default_factory=SamplingParams)
+    arrival_time: float = 0.0
+
+    status: RequestStatus = RequestStatus.WAITING
+    output_token_ids: list[int] = field(default_factory=list)
+    # Tokens whose KV is already computed & cached.
+    num_computed_tokens: int = 0
+    # Draft tokens proposed for the NEXT step (speculative decoding).
+    spec_token_ids: list[int] = field(default_factory=list)
+    block_ids: list[int] = field(default_factory=list)
+    # Telemetry
+    first_token_time: Optional[float] = None
+    finish_time: Optional[float] = None
+    num_accepted_draft_tokens: int = 0
+    num_draft_tokens: int = 0
+
+    @property
+    def num_tokens(self) -> int:
+        """Known tokens: prompt + generated so far."""
+        return len(self.prompt_token_ids) + len(self.output_token_ids)
+
+    @property
+    def all_token_ids(self) -> list[int]:
+        return self.prompt_token_ids + self.output_token_ids
+
+    @property
+    def is_prefilling(self) -> bool:
+        return self.num_computed_tokens < len(self.prompt_token_ids)
+
+    def check_stop(self, eos_token_id: Optional[int],
+                   max_model_len: int) -> Optional[RequestStatus]:
+        """Return a finished status if the request should stop now.
+
+        Called after appending newly accepted tokens; trims output past a
+        stop condition.
+        """
+        out = self.output_token_ids
+        sp = self.sampling
+        for i, tok in enumerate(out):
+            if (not sp.ignore_eos and eos_token_id is not None
+                    and tok == eos_token_id):
+                del out[i + 1:]
+                return RequestStatus.FINISHED_STOPPED
+            if tok in sp.stop_token_ids:
+                del out[i + 1:]
+                return RequestStatus.FINISHED_STOPPED
+        if len(out) >= sp.max_tokens:
+            del out[sp.max_tokens:]
+            return RequestStatus.FINISHED_LENGTH
+        if self.num_tokens >= max_model_len:
+            return RequestStatus.FINISHED_LENGTH
+        return None

@@ -1,0 +1,246 @@
+"""Model runner: lowers SchedulerOutput to padded device arrays, runs the
+jitted step, returns per-request verification results.
+
+The TPU analogue of the reference's GPUModelRunner (reference
+``model_runner.py:218-524``), re-designed for XLA:
+
+- Every step runs at a *bucketed* shape (token count and sample-row count
+  padded to powers of two) so the set of compiled programs is bounded —
+  the role CUDA-graph capture lists play in the reference
+  (``model_runner.py:240-253``).
+- The KV cache is donated to the jitted step, so scatter updates are in
+  place.
+- Greedy speculative verification happens host-side on the returned
+  argmax rows (cheap: <= a few hundred int comparisons), which keeps the
+  device program free of dynamic shapes.  Temperature sampling runs on
+  device with per-row parameters.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arcticinference_tpu.config import EngineConfig
+from arcticinference_tpu.engine.scheduler import SchedulerOutput
+from arcticinference_tpu.ops.kv_cache import KVCacheSpec, allocate_kv_cache
+from arcticinference_tpu.ops.pallas.ragged_attention import build_work_items
+from arcticinference_tpu.utils import cdiv, default_token_buckets, \
+    pad_to_bucket
+
+
+@dataclass
+class StepInputs:
+    """Host-side arrays for one engine step (already padded)."""
+
+    arrays: dict[str, np.ndarray]
+    t_pad: int
+    s_pad: int
+    attn_qb: int
+    # Row ranges into the sample rows per scheduled request.
+    sample_row_start: list[int]
+    sample_row_count: list[int]
+
+
+class ModelRunner:
+
+    def __init__(self, config: EngineConfig, module, arch, params,
+                 mesh=None):
+        self.config = config
+        self.module = module
+        self.arch = arch
+        self.params = params
+        self.mesh = mesh
+
+        cache_cfg = config.cache
+        self.block_size = cache_cfg.block_size
+        self.max_blocks_per_req = cdiv(config.model.max_model_len,
+                                       self.block_size)
+        num_blocks = cache_cfg.num_blocks or self._auto_num_blocks()
+        self.num_blocks = num_blocks
+        kv_dtype = (jnp.float8_e4m3fn
+                    if cache_cfg.kv_cache_dtype == "fp8" else jnp.bfloat16)
+        self.kv_spec = KVCacheSpec(
+            num_layers=arch.num_layers,
+            num_blocks=num_blocks,
+            num_kv_heads=arch.num_kv_heads,
+            block_size=self.block_size,
+            head_dim=arch.head_dim,
+            dtype=kv_dtype)
+        self.kv = allocate_kv_cache(self.kv_spec)
+        self.kv_scale = jnp.ones((1,), jnp.float32)
+
+        self.b_max = config.scheduler.max_num_seqs
+        self.token_buckets = default_token_buckets(
+            config.scheduler.max_num_batched_tokens)
+        self.sample_buckets = default_token_buckets(
+            max(16, 2 * self.b_max))
+        self._step_fns: dict[int, Any] = {}
+
+    def _auto_num_blocks(self) -> int:
+        """Size the cache from an HBM budget estimate."""
+        # Rough: v5e 16GiB; params + activations + cache must fit.
+        param_bytes = sum(
+            np.prod(x.shape) * jnp.dtype(x.dtype).itemsize
+            for x in jax.tree.leaves(self.params))
+        hbm = 16 * 1024 ** 3
+        if jax.default_backend() == "cpu":
+            hbm = 2 * 1024 ** 3
+        budget = int(hbm * self.config.cache.hbm_utilization) - param_bytes \
+            - (1 << 30)  # activations / workspace reserve
+        spec = KVCacheSpec(
+            num_layers=self.arch.num_layers, num_blocks=1,
+            num_kv_heads=self.arch.num_kv_heads,
+            block_size=self.block_size, head_dim=self.arch.head_dim,
+            dtype=(jnp.float8_e4m3fn
+                   if self.config.cache.kv_cache_dtype == "fp8"
+                   else jnp.bfloat16))
+        n = max(budget // spec.bytes_per_block, 16)
+        return int(min(n, 1 << 17))
+
+    # ------------------------------------------------------------------ #
+    # Input preparation (host)
+    # ------------------------------------------------------------------ #
+
+    def prepare_inputs(self, sched_out: SchedulerOutput) -> StepInputs:
+        scheduled = sched_out.scheduled
+        total = sum(s.num_new_tokens for s in scheduled)
+        t_pad = pad_to_bucket(max(total, 1), self.token_buckets)
+        b = self.b_max
+
+        input_ids = np.zeros(t_pad, np.int32)
+        positions = np.zeros(t_pad, np.int32)
+        req_idx = np.full(t_pad, -1, np.int32)
+        slot_mapping = np.full(t_pad, -1, np.int32)
+        block_tables = np.zeros((b, self.max_blocks_per_req), np.int32)
+        seq_lens = np.zeros(b, np.int32)
+        query_lens = np.zeros(b, np.int64)
+        last_pos = np.zeros(b, np.int64)
+
+        sample_rows: list[int] = []
+        row_start: list[int] = []
+        row_count: list[int] = []
+
+        t = 0
+        for r, s in enumerate(scheduled):
+            req = s.request
+            n = s.num_new_tokens
+            ctx = req.num_computed_tokens
+            toks = (req.all_token_ids + s.spec_token_ids)[ctx:ctx + n]
+            assert len(toks) == n, (len(toks), n, ctx)
+            input_ids[t:t + n] = toks
+            positions[t:t + n] = np.arange(ctx, ctx + n)
+            req_idx[t:t + n] = r
+            bt = req.block_ids
+            block_tables[r, :len(bt)] = bt
+            for i in range(n):
+                pos = ctx + i
+                slot_mapping[t + i] = (bt[pos // self.block_size]
+                                       * self.block_size
+                                       + pos % self.block_size)
+            seq_lens[r] = ctx + n
+            query_lens[r] = n
+            last_pos[r] = ctx + n - 1
+            # Verify rows: the last (#drafts + 1) token rows.
+            k = len(s.spec_token_ids) + 1
+            row_start.append(len(sample_rows))
+            row_count.append(k)
+            sample_rows.extend(range(t + n - k, t + n))
+            t += n
+
+        s_pad = pad_to_bucket(max(len(sample_rows), 1), self.sample_buckets)
+        logits_indices = np.zeros(s_pad, np.int32)
+        logits_indices[:len(sample_rows)] = sample_rows
+
+        # Sampling params per row (applied to the bonus/sample rows).
+        temperature = np.zeros(s_pad, np.float32)
+        top_k = np.zeros(s_pad, np.int32)
+        top_p = np.ones(s_pad, np.float32)
+        for r, s in enumerate(scheduled):
+            sp = s.request.sampling
+            lo, k = row_start[r], row_count[r]
+            temperature[lo:lo + k] = sp.temperature
+            top_k[lo:lo + k] = sp.top_k
+            top_p[lo:lo + k] = sp.top_p
+
+        # Attention work-item schedule.
+        attn_qb = 8 if int(query_lens.max(initial=1)) <= 8 else 32
+        num_items = t_pad // attn_qb + b
+        schedule = build_work_items(
+            query_lens, last_pos, attn_qb, self.block_size, num_items,
+            t_pad)
+        (item_req, item_qstart, item_qlen, item_pages, item_pos_base,
+         token_item, token_off) = schedule
+
+        arrays = dict(
+            input_ids=input_ids, positions=positions, req_idx=req_idx,
+            slot_mapping=slot_mapping, block_tables=block_tables,
+            seq_lens=seq_lens, logits_indices=logits_indices,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            attn_item_req=item_req, attn_item_qstart=item_qstart,
+            attn_item_qlen=item_qlen, attn_item_pages=item_pages,
+            attn_item_pos_base=item_pos_base, attn_token_item=token_item,
+            attn_token_off=token_off,
+        )
+        return StepInputs(arrays=arrays, t_pad=t_pad, s_pad=s_pad,
+                          attn_qb=attn_qb, sample_row_start=row_start,
+                          sample_row_count=row_count)
+
+    # ------------------------------------------------------------------ #
+    # Device step
+    # ------------------------------------------------------------------ #
+
+    def _get_step_fn(self, attn_qb: int):
+        fn = self._step_fns.get(attn_qb)
+        if fn is not None:
+            return fn
+        module, arch = self.module, self.arch
+
+        def step(params, kv, inputs, rng):
+            fwd_inputs = dict(inputs)
+            logits_indices = fwd_inputs.pop("logits_indices")
+            temperature = fwd_inputs.pop("temperature")
+            top_k = fwd_inputs.pop("top_k")
+            top_p = fwd_inputs.pop("top_p")
+            kv, h = module.forward(
+                params, arch, kv, fwd_inputs,
+                attn_impl=_make_attn(module, attn_qb))
+            rows = h[logits_indices]
+            logits = module.compute_logits(params, rows)
+            argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            from arcticinference_tpu.ops.sampling import sample
+            sampled = sample(logits, temperature, top_k, top_p, rng)
+            return kv, argmax, sampled, rows
+
+        fn = jax.jit(step, donate_argnums=(1,))
+        self._step_fns[attn_qb] = fn
+        return fn
+
+    def execute(self, step_inputs: StepInputs,
+                rng: Optional[jax.Array] = None):
+        """Run one device step; returns (argmax, sampled, rows) on host/dev.
+
+        argmax/sampled come back as numpy [S_pad]; rows stay on device for
+        the speculator.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        dev_inputs = {k: jnp.asarray(v)
+                      for k, v in step_inputs.arrays.items()}
+        dev_inputs["kv_scale"] = self.kv_scale
+        fn = self._get_step_fn(step_inputs.attn_qb)
+        self.kv, argmax, sampled, rows = fn(
+            self.params, self.kv, dev_inputs, rng)
+        return np.asarray(argmax), np.asarray(sampled), rows
+
+
+def _make_attn(module, attn_qb: int):
+    make = getattr(module, "make_attn_impl", None)
+    if make is None:
+        return None
+    return make(attn_qb)

@@ -1,0 +1,177 @@
+"""Continuous-batching scheduler (vLLM-v1-style token-budget scheduling).
+
+The reference inherits this whole layer from vLLM; here it is ours.  Each
+step the scheduler hands the runner a flat token batch: for every running
+request either its next prompt chunk (chunked prefill) or 1 + #draft
+tokens to verify (decode with speculation), all within
+``max_num_batched_tokens``.  Preemption is by recompute (free the blocks,
+requeue) — same policy vLLM defaults to.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+from arcticinference_tpu.config import CacheConfig, SchedulerConfig
+from arcticinference_tpu.engine.block_manager import (BlockManager,
+                                                      NoFreeBlocksError)
+from arcticinference_tpu.engine.request import Request, RequestStatus
+
+
+@dataclass
+class ScheduledRequest:
+    request: Request
+    num_new_tokens: int          # tokens to run this step (incl. drafts)
+    spec_token_ids: list[int]    # drafts being verified this step
+
+
+@dataclass
+class SchedulerOutput:
+    scheduled: list[ScheduledRequest] = field(default_factory=list)
+    preempted: list[Request] = field(default_factory=list)
+
+    @property
+    def total_tokens(self) -> int:
+        return sum(s.num_new_tokens for s in self.scheduled)
+
+
+class Scheduler:
+
+    def __init__(self, scheduler_config: SchedulerConfig,
+                 cache_config: CacheConfig, num_blocks: int):
+        self.config = scheduler_config
+        self.block_size = cache_config.block_size
+        self.block_manager = BlockManager(num_blocks, cache_config.block_size)
+        self.waiting: deque[Request] = deque()
+        self.running: list[Request] = []
+
+    @property
+    def num_unfinished(self) -> int:
+        return len(self.waiting) + len(self.running)
+
+    def add_request(self, request: Request) -> None:
+        self.waiting.append(request)
+
+    def abort_request(self, req_id: str) -> Optional[Request]:
+        for i, r in enumerate(self.running):
+            if r.req_id == req_id:
+                r.status = RequestStatus.FINISHED_ABORTED
+                self._release(r)
+                del self.running[i]
+                return r
+        for i, r in enumerate(self.waiting):
+            if r.req_id == req_id:
+                r.status = RequestStatus.FINISHED_ABORTED
+                del self.waiting[i]
+                return r
+        return None
+
+    def _release(self, request: Request) -> None:
+        if request.block_ids:
+            self.block_manager.free(request.block_ids)
+            request.block_ids = []
+
+    def finish_request(self, request: Request, status: RequestStatus) -> None:
+        request.status = status
+        self._release(request)
+        if request in self.running:
+            self.running.remove(request)
+
+    def schedule(self) -> SchedulerOutput:
+        out = SchedulerOutput()
+        budget = self.config.max_num_batched_tokens
+
+        # --- running requests first (decode + ongoing prefill chunks) ------
+        for req in list(self.running):
+            if budget <= 0:
+                break
+            if req.status is not RequestStatus.RUNNING:
+                continue  # preempted by an earlier request this step
+            if req.is_prefilling:
+                chunk = min(budget,
+                            len(req.prompt_token_ids)
+                            - req.num_computed_tokens)
+                if not self.config.enable_chunked_prefill:
+                    chunk = (len(req.prompt_token_ids)
+                             - req.num_computed_tokens)
+                    if chunk > budget:
+                        continue
+                n = chunk
+                drafts: list[int] = []
+            else:
+                drafts = req.spec_token_ids
+                n = 1 + len(drafts)
+                if n > budget:
+                    drafts = drafts[:budget - 1]
+                    n = 1 + len(drafts)
+            try:
+                self.block_manager.grow_to(
+                    req.block_ids, req.num_computed_tokens + n)
+            except NoFreeBlocksError:
+                victim = self._preempt(skip=req)
+                if victim is None:
+                    continue
+                out.preempted.append(victim)
+                try:
+                    self.block_manager.grow_to(
+                        req.block_ids, req.num_computed_tokens + n)
+                except NoFreeBlocksError:
+                    continue
+            out.scheduled.append(ScheduledRequest(req, n, drafts))
+            budget -= n
+
+        # --- admit waiting requests (new prefills) -------------------------
+        while (self.waiting and budget > 0
+               and len(self.running) < self.config.max_num_seqs):
+            req = self.waiting[0]
+            remaining = len(req.prompt_token_ids) - req.num_computed_tokens
+            chunk = min(budget, remaining)
+            if not self.config.enable_chunked_prefill and chunk < remaining:
+                break
+            need = self.block_manager.blocks_needed(
+                req.num_computed_tokens + chunk) - len(req.block_ids)
+            if not self.block_manager.can_allocate(need):
+                break
+            self.block_manager.grow_to(
+                req.block_ids, req.num_computed_tokens + chunk)
+            self.waiting.popleft()
+            req.status = RequestStatus.RUNNING
+            self.running.append(req)
+            out.scheduled.append(ScheduledRequest(req, chunk, []))
+            budget -= chunk
+
+        return out
+
+    def _preempt(self, skip: Request) -> Optional[Request]:
+        """Recompute-preempt the lowest-priority running request."""
+        for req in reversed(self.running):
+            if req is skip:
+                continue
+            self.running.remove(req)
+            self._release(req)
+            req.status = RequestStatus.WAITING
+            req.num_computed_tokens = 0
+            req.spec_token_ids = []
+            self.waiting.appendleft(req)
+            return req
+        return None
+
+    def update_after_step(self, scheduled: ScheduledRequest,
+                          new_token_ids: list[int],
+                          num_accepted_drafts: int) -> None:
+        """Commit one request's step results.
+
+        new_token_ids: tokens sampled this step (accepted drafts + bonus;
+        empty while prefilling a non-final chunk).
+        """
+        req = scheduled.request
+        req.num_computed_tokens += scheduled.num_new_tokens
+        if scheduled.spec_token_ids:
+            # Rejected drafts occupied scheduled slots but produced no
+            # tokens: roll the computed counter back to the real frontier.
+            rejected = len(scheduled.spec_token_ids) - num_accepted_drafts
+            req.num_computed_tokens -= rejected
+        req.output_token_ids.extend(new_token_ids)
+        req.spec_token_ids = []

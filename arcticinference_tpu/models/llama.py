@@ -51,6 +51,7 @@ class LlamaArch:  # registry alias: Arch (see bottom of module)
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     max_position: int = 131072
+    eos_token_id: Optional[int] = None
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "LlamaArch":
@@ -75,7 +76,14 @@ class LlamaArch:  # registry alias: Arch (see bottom of module)
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             max_position=cfg.get("max_position_embeddings", 131072),
+            eos_token_id=_first_eos(cfg.get("eos_token_id")),
         )
+
+
+def _first_eos(eos):
+    if isinstance(eos, (list, tuple)):
+        return eos[0] if eos else None
+    return eos
 
 
 def init_params(arch: LlamaArch, rng: jax.Array,

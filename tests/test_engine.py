@@ -1,0 +1,206 @@
+"""End-to-end engine tests on the CPU backend.
+
+The key correctness oracle: the engine's paged continuous-batching output
+must exactly match naive full-context greedy decoding with the same
+weights (computed via the model's own forward on a scratch cache).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                        ModelConfig, SchedulerConfig,
+                                        SpeculativeConfig)
+from arcticinference_tpu.engine.block_manager import (BlockManager,
+                                                      NoFreeBlocksError)
+from arcticinference_tpu.engine.llm import LLM
+from arcticinference_tpu.engine.request import SamplingParams
+
+TINY = dict(
+    vocab_size=97, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=16)
+
+
+def tiny_config(**kw) -> EngineConfig:
+    spec = kw.pop("speculative", None)
+    return EngineConfig(
+        model=ModelConfig(model="llama", hf_overrides=dict(TINY),
+                          max_model_len=256, dtype="float32", **kw.pop(
+                              "model_kw", {})),
+        cache=CacheConfig(block_size=8, num_blocks=128),
+        scheduler=SchedulerConfig(max_num_seqs=4,
+                                  max_num_batched_tokens=64),
+        speculative=spec,
+    )
+
+
+@pytest.fixture(scope="module")
+def llm():
+    return LLM(tiny_config())
+
+
+def naive_greedy(llm: LLM, prompt: list[int], n: int) -> list[int]:
+    """Oracle: recompute the full context each token on a scratch cache."""
+    from arcticinference_tpu.ops.kv_cache import (KVCacheSpec,
+                                                  allocate_kv_cache)
+
+    eng = llm.engine
+    module, arch, params = eng.runner.module, eng.arch, eng.runner.params
+    out = []
+    toks = list(prompt)
+    for _ in range(n):
+        t = len(toks)
+        spec = KVCacheSpec(num_layers=arch.num_layers, num_blocks=64,
+                           num_kv_heads=arch.num_kv_heads, block_size=8,
+                           head_dim=arch.head_dim, dtype=jnp.float32)
+        kv = allocate_kv_cache(spec)
+        inputs = dict(
+            input_ids=jnp.asarray(toks, jnp.int32),
+            positions=jnp.arange(t, dtype=jnp.int32),
+            req_idx=jnp.zeros(t, jnp.int32),
+            slot_mapping=jnp.arange(8, 8 + t, dtype=jnp.int32),
+            block_tables=jnp.arange(1, 33, dtype=jnp.int32)[None, :],
+            seq_lens=jnp.array([t], jnp.int32),
+        )
+        kv, h = module.forward(params, arch, kv, inputs)
+        logits = module.compute_logits(params, h[-1:])
+        tok = int(jnp.argmax(logits, -1)[0])
+        out.append(tok)
+        toks.append(tok)
+    return out
+
+
+class TestGreedyCorrectness:
+
+    def test_single_request_matches_naive(self, llm):
+        prompt = [3, 14, 15, 92, 65, 35]
+        want = naive_greedy(llm, prompt, 8)
+        got = llm.generate(prompt_token_ids=[prompt],
+                           sampling_params=SamplingParams(max_tokens=8))
+        assert got[0].token_ids == want
+
+    def test_batch_matches_naive(self, llm):
+        rng = np.random.default_rng(0)
+        prompts = [list(rng.integers(1, 97, rng.integers(3, 40)))
+                   for _ in range(5)]
+        prompts = [[int(x) for x in p] for p in prompts]
+        wants = [naive_greedy(llm, p, 6) for p in prompts]
+        outs = llm.generate(prompt_token_ids=prompts,
+                            sampling_params=SamplingParams(max_tokens=6))
+        for o, w in zip(outs, wants):
+            assert o.token_ids == w
+
+    def test_long_prompt_chunked_prefill(self, llm):
+        # Prompt longer than max_num_batched_tokens forces chunking.
+        rng = np.random.default_rng(1)
+        prompt = [int(x) for x in rng.integers(1, 97, 150)]
+        want = naive_greedy(llm, prompt, 4)
+        out = llm.generate(prompt_token_ids=[prompt],
+                           sampling_params=SamplingParams(max_tokens=4))
+        assert out[0].token_ids == want
+
+    def test_max_tokens_respected(self, llm):
+        out = llm.generate(prompt_token_ids=[[5, 6, 7]],
+                           sampling_params=SamplingParams(max_tokens=3))
+        assert len(out[0].token_ids) == 3
+        assert out[0].finish_reason == "finished_length"
+
+    def test_stop_token(self, llm):
+        base = llm.generate(prompt_token_ids=[[5, 6, 7]],
+                            sampling_params=SamplingParams(max_tokens=5))
+        first = base[0].token_ids[0]
+        out = llm.generate(
+            prompt_token_ids=[[5, 6, 7]],
+            sampling_params=SamplingParams(max_tokens=5,
+                                           stop_token_ids=(first,)))
+        assert out[0].token_ids == [first]
+        assert out[0].finish_reason == "finished_stopped"
+
+
+class TestSampling:
+
+    def test_temperature_changes_output(self, llm):
+        p = [[9, 8, 7, 6]]
+        a = llm.generate(prompt_token_ids=p,
+                         sampling_params=SamplingParams(
+                             max_tokens=12, temperature=5.0))
+        b = llm.generate(prompt_token_ids=p,
+                         sampling_params=SamplingParams(
+                             max_tokens=12, temperature=5.0))
+        # With high temperature on random weights, two runs (different rng
+        # streams) should diverge.
+        assert a[0].token_ids != b[0].token_ids
+
+
+class TestSuffixDecoding:
+
+    def test_repetitive_output_accelerated(self):
+        cfg = tiny_config(speculative=SpeculativeConfig(
+            method="suffix", suffix_cache_max_depth=16))
+        llm2 = LLM(cfg)
+        base = LLM(tiny_config())
+        prompt = [3, 14, 15, 92, 65, 35]
+        want = base.generate(prompt_token_ids=[prompt],
+                             sampling_params=SamplingParams(max_tokens=24))
+        got = llm2.generate(prompt_token_ids=[prompt],
+                            sampling_params=SamplingParams(max_tokens=24))
+        # Identical tokens (speculation never changes greedy output)...
+        assert got[0].token_ids == want[0].token_ids
+        # ...and with random weights the chain loops quickly, so suffix
+        # decoding must have accepted drafts.
+        assert got[0].num_accepted_draft_tokens > 0
+
+    def test_cross_request_reuse(self):
+        cfg = tiny_config(speculative=SpeculativeConfig(method="suffix"))
+        llm2 = LLM(cfg)
+        prompt = [3, 14, 15, 92]
+        llm2.generate(prompt_token_ids=[prompt],
+                      sampling_params=SamplingParams(max_tokens=16))
+        out2 = llm2.generate(prompt_token_ids=[prompt],
+                             sampling_params=SamplingParams(max_tokens=16))
+        # Second identical request should draft heavily from the first
+        # response (global tree) and accept nearly everything.
+        assert out2[0].num_accepted_draft_tokens >= \
+            len(out2[0].token_ids) // 2
+
+
+class TestBlockManager:
+
+    def test_alloc_free_cycle(self):
+        bm = BlockManager(num_blocks=10, block_size=4)
+        a = bm.allocate(3)
+        assert len(set(a)) == 3 and 0 not in a
+        bm.free(a)
+        assert bm.num_free_blocks == 9
+
+    def test_exhaustion(self):
+        bm = BlockManager(num_blocks=4, block_size=4)
+        bm.allocate(3)
+        with pytest.raises(NoFreeBlocksError):
+            bm.allocate(1)
+
+    def test_grow_to(self):
+        bm = BlockManager(num_blocks=10, block_size=4)
+        ids: list[int] = []
+        bm.grow_to(ids, 9)   # 3 blocks
+        assert len(ids) == 3
+        bm.grow_to(ids, 12)  # still 3
+        assert len(ids) == 3
+        bm.grow_to(ids, 13)  # 4th
+        assert len(ids) == 4
+
+
+class TestSchedulerBehavior:
+
+    def test_more_requests_than_slots(self):
+        llm2 = LLM(tiny_config())
+        rng = np.random.default_rng(2)
+        prompts = [[int(x) for x in rng.integers(1, 97, 10)]
+                   for _ in range(9)]  # > max_num_seqs=4
+        outs = llm2.generate(prompt_token_ids=prompts,
+                             sampling_params=SamplingParams(max_tokens=4))
+        assert len(outs) == 9
+        assert all(len(o.token_ids) == 4 for o in outs)
