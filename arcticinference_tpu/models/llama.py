@@ -22,6 +22,7 @@ checkpoints (reference ``vllm/spec_dec/fp8.py``).
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field
 from typing import Any, Optional
@@ -89,35 +90,47 @@ def _first_eos(eos):
 def init_params(arch: LlamaArch, rng: jax.Array,
                 dtype: jnp.dtype = jnp.bfloat16,
                 quantization: Optional[str] = None) -> dict:
-    """Randomly initialised parameter pytree (benchmarks / tests)."""
+    """Randomly initialised parameter pytree (benchmarks / tests).
+
+    FP8 leaves are quantized one at a time under jit so the full bf16
+    model never materialises (an 8B model must stay under one chip's HBM
+    during init).
+    """
     keys = iter(jax.random.split(rng, 16))
     d, hq, hkv, dh = (arch.hidden_size, arch.num_heads, arch.num_kv_heads,
                       arch.head_dim)
     li, lL = arch.intermediate_size, arch.num_layers
+    quant = quantization == "fp8"
 
     def w(key, shape):
         return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(
             dtype)
+
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def qw_jit(key, shape):
+        x = jax.random.normal(key, shape, jnp.bfloat16) * 0.02
+        return fp8_quantize(x)
+
+    def qw(key, shape):
+        return qw_jit(key, shape) if quant else w(key, shape)
 
     params = {
         "embed": w(next(keys), (arch.vocab_size, d)),
         "layers": {
             "input_norm": jnp.ones((lL, d), dtype),
             "post_norm": jnp.ones((lL, d), dtype),
-            "wq": w(next(keys), (lL, d, hq * dh)),
-            "wk": w(next(keys), (lL, d, hkv * dh)),
-            "wv": w(next(keys), (lL, d, hkv * dh)),
-            "wo": w(next(keys), (lL, hq * dh, d)),
-            "w_gate": w(next(keys), (lL, d, li)),
-            "w_up": w(next(keys), (lL, d, li)),
-            "w_down": w(next(keys), (lL, li, d)),
+            "wq": qw(next(keys), (lL, d, hq * dh)),
+            "wk": qw(next(keys), (lL, d, hkv * dh)),
+            "wv": qw(next(keys), (lL, d, hkv * dh)),
+            "wo": qw(next(keys), (lL, hq * dh, d)),
+            "w_gate": qw(next(keys), (lL, d, li)),
+            "w_up": qw(next(keys), (lL, d, li)),
+            "w_down": qw(next(keys), (lL, li, d)),
         },
         "final_norm": jnp.ones((d,), dtype),
     }
     if not arch.tie_word_embeddings:
         params["lm_head"] = w(next(keys), (d, arch.vocab_size))
-    if quantization == "fp8":
-        params = quantize_params(params)
     return params
 
 
@@ -172,15 +185,24 @@ def _attend(q, kv, layer, inputs, arch, attn_impl):
 
 def forward(params: dict, arch: LlamaArch, kv: jax.Array,
             inputs: dict[str, jax.Array],
-            attn_impl=None) -> tuple[jax.Array, jax.Array]:
+            attn_impl=None, pctx=None) -> tuple[jax.Array, jax.Array]:
     """Run the decoder stack over a flat ragged token batch.
 
     inputs: input_ids [T], positions [T], req_idx [T], slot_mapping [T],
     block_tables [B, MaxBlk], seq_lens [B].
     Returns (kv, hidden[T, D]).
+
+    ``pctx`` (parallel/ulysses.py:ParallelContext) injects the SPMD hooks
+    when running under shard_map: per-mode weight slicing, the Ulysses
+    token<->head all-to-all around attention, and TP psum reductions.
+    Single-chip execution passes pctx=None and every hook is identity.
     """
     if attn_impl is None:
         attn_impl = _default_attn
+    arch_q = pctx.arch_view(arch) if pctx is not None else arch
+    psum = pctx.psum if pctx is not None else (lambda x: x)
+    # Positions of the locally-held tokens (sp-sharded under Ulysses).
+    rope_positions = inputs.get("positions_local", inputs["positions"])
     h = params["embed"][inputs["input_ids"]]
     inv_freq = compute_rope_freqs(arch.head_dim, arch.rope_theta,
                                   arch.rope_scaling)
@@ -188,18 +210,24 @@ def forward(params: dict, arch: LlamaArch, kv: jax.Array,
     def layer_step(carry, xs):
         h, kv = carry
         lp, layer = xs
+        if pctx is not None:
+            lp = pctx.layer_params(lp)
         res = h
         x = rms_norm(h, lp["input_norm"], arch.rms_norm_eps)
-        q, k, v = _qkv(x, lp, arch)
-        q = apply_rope(q, inputs["positions"], inv_freq)
-        k = apply_rope(k, inputs["positions"], inv_freq)
+        q, k, v = _qkv(x, lp, arch_q)
+        q = apply_rope(q, rope_positions, inv_freq)
+        k = apply_rope(k, rope_positions, inv_freq)
+        if pctx is not None:
+            q, k, v = pctx.dispatch(q, k, v)
         kv = _write_kv_layer(kv, layer, k, v, inputs["slot_mapping"])
         o = _attend(q, kv, layer, inputs, arch, attn_impl)
+        if pctx is not None:
+            o = pctx.combine(o)
         t = o.shape[0]
-        h = res + matmul(o.reshape(t, -1), lp["wo"])
+        h = res + psum(matmul(o.reshape(t, -1), lp["wo"]))
         res = h
         x = rms_norm(h, lp["post_norm"], arch.rms_norm_eps)
-        h = res + _mlp(x, lp)
+        h = res + psum(_mlp(x, lp))
         return (h, kv), None
 
     (h, kv), _ = jax.lax.scan(

@@ -1,0 +1,102 @@
+"""Device mesh construction and parameter/cache shardings.
+
+The reference builds NCCL process groups ``_TP,_PP,_DP,_EP,_SP,_SP_TP``
+(reference ``ulysses.py:95-295``); here the same product layout is one
+``jax.sharding.Mesh`` with named axes and the "groups" are just axis
+tuples:
+
+- tp         -> axis "tp"
+- sp         -> axis "sp"
+- sp_tp      -> the fused ("tp", "sp") tuple.  Axis ORDER matters: a
+  weight stored sharded over "tp" can be re-sharded to ("tp", "sp") with
+  a comm-free local slice (each sp peer takes a sub-slice of its tp
+  shard), which is what makes shift parallelism cheap; and the KV cache
+  head axis is sharded over ("tp", "sp") in BOTH modes, giving the
+  KV-layout invariance the reference relies on
+  (``docs/shift-parallel.rst:34-36``).
+- dp         -> axis "dp" (engine replicas; batch-sharded)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from arcticinference_tpu.config import ParallelConfig
+
+SP_TP = ("tp", "sp")  # fused tensor-parallel axis used in shift mode
+
+
+def build_mesh(cfg: ParallelConfig,
+               devices: Optional[list] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    need = cfg.world_size
+    if len(devices) < need:
+        raise ValueError(
+            f"parallel config needs {need} devices, have {len(devices)}")
+    devs = np.asarray(devices[:need]).reshape(
+        cfg.data_parallel_size,
+        cfg.ulysses_sequence_parallel_size,
+        cfg.tensor_parallel_size)
+    return Mesh(devs, ("dp", "sp", "tp"))
+
+
+def param_specs(quantized: bool = False) -> dict:
+    """PartitionSpecs for the Llama parameter pytree (weights stored
+    tp-sharded, replicated over sp — the SP-mode layout)."""
+    col = P(None, None, "tp")      # [L, in, out] -> shard out
+    row = P(None, "tp", None)      # [L, in, out] -> shard in
+    specs = {
+        "embed": P(None, None),
+        "final_norm": P(None),
+        "lm_head": P(None, "tp"),
+        "layers": {
+            "input_norm": P(None, None),
+            "post_norm": P(None, None),
+            "wq": col, "wk": col, "wv": col,
+            "wo": row,
+            "w_gate": col, "w_up": col,
+            "w_down": row,
+        },
+    }
+    return specs
+
+
+def quantized_leaf_spec(spec: P) -> tuple:
+    """A QuantizedLinear leaf flattens to (weight, scale): weight follows
+    the weight spec, the per-layer scale vector is replicated."""
+    return (spec, P(None))
+
+
+def shard_params(params, mesh: Mesh, specs: Optional[dict] = None):
+    """Place a parameter pytree onto the mesh with the SP-mode layout."""
+    from arcticinference_tpu.ops.fp8 import QuantizedLinear
+
+    if specs is None:
+        specs = param_specs()
+
+    def place(leaf, spec):
+        if isinstance(leaf, QuantizedLinear):
+            wspec, sspec = quantized_leaf_spec(spec)
+            return QuantizedLinear(
+                jax.device_put(leaf.weight, NamedSharding(mesh, wspec)),
+                jax.device_put(leaf.scale, NamedSharding(mesh, sspec)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(
+        place, params, specs,
+        is_leaf=lambda x: isinstance(x, QuantizedLinear))
+
+
+def kv_cache_spec() -> P:
+    """KV cache [L, N, 2, Bs, Hkv*D]: head-feature axis sharded over the
+    fused sp_tp axis — identical in SP and shift modes."""
+    return P(None, None, None, None, SP_TP)
+
+
+def replicated_spec(ndim: int) -> P:
+    return P(*([None] * ndim))

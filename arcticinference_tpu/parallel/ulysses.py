@@ -1,0 +1,197 @@
+"""Ulysses sequence parallelism + shift parallelism as SPMD programs.
+
+TPU-native re-design of reference ``arctic_inference/vllm/ulysses.py``:
+instead of swapping NCCL process groups at runtime
+(``model_runner.py:73-74``), both execution modes are ``shard_map``
+programs over one ``Mesh(dp, sp, tp)`` sharing the same stored weights and
+the same paged KV cache:
+
+- **SP (Ulysses) mode** — tokens sharded over ``sp``, weights sharded over
+  ``tp``; attention exchanges tokens<->heads with ``lax.all_to_all`` over
+  the ``sp`` axis (the hot collective, reference ``ulysses.py:457-519``),
+  so each device attends over the FULL token batch with
+  ``H/(sp*tp)`` heads; TP reductions are ``psum`` over ``tp``.
+- **Shift (full-TP) mode** — tokens replicated, every weight locally
+  re-sliced from its tp shard to the fused ``(tp, sp)`` shard (a
+  comm-free dynamic slice — the reason weights need no second copy,
+  unlike the reference's dual-model load, ``model_runner.py:746-776``);
+  reductions are ``psum`` over both axes.
+
+KV-layout invariance: in both modes the cache holds the same
+``H/(sp*tp)`` heads per device, sharded over the fused ``("tp","sp")``
+axis in that order, so the two programs read/write bit-identical pages
+(the property stated in reference ``docs/shift-parallel.rst:34-36``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from arcticinference_tpu.config import ParallelConfig
+from arcticinference_tpu.ops.fp8 import QuantizedLinear
+from arcticinference_tpu.parallel import mesh as mesh_lib
+
+
+def _local_slice(w, axis: int, idx, n: int):
+    """Take this device's 1/n slice of `w` along `axis` (comm-free)."""
+    size = w.shape[axis] // n
+    return jax.lax.dynamic_slice_in_dim(w, idx * size, size, axis)
+
+
+class ParallelContext:
+    """Per-device hooks injected into the model forward under shard_map."""
+
+    def __init__(self, cfg: ParallelConfig, mode: str):
+        assert mode in ("sp", "shift")
+        self.cfg = cfg
+        self.mode = mode
+        self.sp = cfg.ulysses_sequence_parallel_size
+        self.tp = cfg.tensor_parallel_size
+
+    # -- weights ---------------------------------------------------------
+
+    def layer_params(self, lp: dict) -> dict:
+        """In shift mode, re-slice each tp weight shard to the fused
+        (tp, sp) shard (sp-th subchunk): pure local slicing."""
+        if self.mode == "sp" or self.sp == 1:
+            return lp
+        s = jax.lax.axis_index("sp")
+        out = dict(lp)
+        # Axes are for per-layer [in, out] weights (scan strips the L dim).
+        for key, axis in (("wq", 1), ("wk", 1), ("wv", 1), ("w_gate", 1),
+                          ("w_up", 1), ("wo", 0), ("w_down", 0)):
+            w = lp[key]
+            if isinstance(w, QuantizedLinear):
+                out[key] = QuantizedLinear(
+                    _local_slice(w.weight, axis, s, self.sp), w.scale)
+            else:
+                out[key] = _local_slice(w, axis, s, self.sp)
+        return out
+
+    # -- head counts at qkv time ----------------------------------------
+
+    def arch_view(self, arch):
+        div = self.tp if self.mode == "sp" else self.tp * self.sp
+        return dataclasses.replace(
+            arch,
+            num_heads=arch.num_heads // div,
+            num_kv_heads=max(arch.num_kv_heads // div, 1))
+
+    # -- collectives -----------------------------------------------------
+
+    def dispatch(self, q, k, v):
+        """SP all-to-all: [T/sp, H/tp, D] -> [T, H/(sp*tp), D]."""
+        if self.mode != "sp" or self.sp == 1:
+            return q, k, v
+        a2a = functools.partial(
+            jax.lax.all_to_all, axis_name="sp", split_axis=1,
+            concat_axis=0, tiled=True)
+        return a2a(q), a2a(k), a2a(v)
+
+    def combine(self, o):
+        """Reverse all-to-all: [T, H/(sp*tp), D] -> [T/sp, H/tp, D]."""
+        if self.mode != "sp" or self.sp == 1:
+            return o
+        return jax.lax.all_to_all(o, axis_name="sp", split_axis=0,
+                                  concat_axis=1, tiled=True)
+
+    def psum(self, x):
+        """Row-parallel reduction: tp in SP mode, (tp, sp) in shift."""
+        axes = ("tp",) if self.mode == "sp" else ("tp", "sp")
+        axes = tuple(a for a in axes
+                     if (self.tp if a == "tp" else self.sp) > 1)
+        if not axes:
+            return x
+        return jax.lax.psum(x, axes)
+
+    # -- token-axis views ------------------------------------------------
+
+    def local_inputs(self, inputs: dict) -> dict:
+        """Token-indexed arrays the qkv/mlp path sees: sp-sharded in SP
+        mode (handled by shard_map in_specs), untouched here."""
+        return inputs
+
+
+def token_in_specs(mode: str) -> P:
+    return P("sp") if mode == "sp" else P(None)
+
+
+def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
+                         mode: str, attn_qb: Optional[int] = None,
+                         quantized: bool = False):
+    """Build the shard_map'd forward for one mode.
+
+    Returns fn(params, kv, inputs) -> (kv, hidden[T, D_model]) operating on
+    GLOBAL arrays (hidden gathered over sp).
+    """
+    pctx = ParallelContext(cfg, mode)
+    heads_div = cfg.sp_tp_size
+    if arch.num_kv_heads % heads_div != 0:
+        raise NotImplementedError(
+            f"num_kv_heads={arch.num_kv_heads} must be divisible by "
+            f"sp*tp={heads_div} (KV-head replication lands later)")
+
+    attn_impl = None
+    make_attn = getattr(module, "make_attn_impl", None)
+    if make_attn is not None and attn_qb is not None:
+        attn_impl = make_attn(attn_qb)
+
+    tok_spec = token_in_specs(mode)
+    # Per-token arrays fed to qkv/embedding; attention metadata stays full.
+    token_keys = ("input_ids",)
+    pos_key_spec = tok_spec
+
+    param_spec_tree = _param_spec_tree(module, quantized)
+    kv_spec = mesh_lib.kv_cache_spec()
+
+    def body(params, kv, tok_inputs, full_inputs):
+        inputs = dict(full_inputs)
+        inputs.update(tok_inputs)
+        kv, h = module.forward(
+            params, arch, kv, inputs, attn_impl=attn_impl, pctx=pctx)
+        return kv, h
+
+    in_specs = (
+        param_spec_tree,
+        kv_spec,
+        {k: tok_spec for k in ("input_ids", "positions_local")},
+        P(),  # full_inputs replicated
+    )
+    out_specs = (kv_spec, tok_spec)
+
+    smapped = shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False)
+
+    def fn(params, kv, inputs):
+        tok_inputs = {
+            "input_ids": inputs["input_ids"],
+            "positions_local": inputs["positions"],
+        }
+        full_inputs = {k: v for k, v in inputs.items()
+                       if k != "input_ids"}
+        return smapped(params, kv, tok_inputs, full_inputs)
+
+    return fn
+
+
+def _param_spec_tree(module, quantized: bool):
+    """Build the exact-structure spec pytree for shard_map in_specs."""
+    specs = mesh_lib.param_specs()
+
+    if not quantized:
+        return specs
+    q_keys = getattr(module, "_QUANT_KEYS", ())
+    layers = dict(specs["layers"])
+    for k in q_keys:
+        layers[k] = QuantizedLinear(layers[k], P(None))
+    out = dict(specs)
+    out["layers"] = layers
+    return out
