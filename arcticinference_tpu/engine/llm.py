@@ -95,3 +95,73 @@ class LLM:
                 num_draft_tokens=fin.num_draft_tokens,
             ))
         return outputs
+
+
+class EmbeddingMixin:
+    """Pooled-embedding path: one-shot batched prefill, no decode.
+
+    Mirror of the capability the reference gets from vLLM's encode mode
+    (reference ``embedding/replica.py:213-224``); here it is a dedicated
+    jitted forward + segment-mean pooling over each request's tokens.
+    """
+
+    def encode(self, prompts=None, prompt_token_ids=None,
+               pooling: str = "mean"):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        if prompt_token_ids is None:
+            if self.tokenizer is None:
+                raise ValueError("no tokenizer; pass prompt_token_ids")
+            prompt_token_ids = [self.tokenizer.encode(p) for p in prompts]
+        runner = self.engine.runner
+        bm = self.engine.scheduler.block_manager
+        budget = self.config.scheduler.max_num_batched_tokens
+        out: list[np.ndarray] = []
+        batch: list[list[int]] = []
+        total = 0
+        for ids in prompt_token_ids:
+            if len(ids) > budget:
+                raise ValueError(
+                    f"prompt of {len(ids)} tokens exceeds "
+                    f"max_num_batched_tokens={budget}")
+            if (total + len(ids) > budget
+                    or len(batch) >= self.config.scheduler.max_num_seqs):
+                out.extend(self._encode_batch(batch, pooling))
+                batch, total = [], 0
+            batch.append(list(ids))
+            total += len(ids)
+        if batch:
+            out.extend(self._encode_batch(batch, pooling))
+        return out
+
+    def _encode_batch(self, batch, pooling):
+        import numpy as np
+        from arcticinference_tpu.engine.request import (Request,
+                                                        SamplingParams)
+        from arcticinference_tpu.engine.scheduler import (ScheduledRequest,
+                                                          SchedulerOutput)
+
+        runner = self.engine.runner
+        bm = self.engine.scheduler.block_manager
+        reqs = []
+        sched = SchedulerOutput()
+        for i, ids in enumerate(batch):
+            req = Request(req_id=f"emb-{i}", prompt_token_ids=ids,
+                          sampling=SamplingParams(max_tokens=1))
+            bm.grow_to(req.block_ids, len(ids))
+            reqs.append(req)
+            sched.scheduled.append(ScheduledRequest(req, len(ids), []))
+        try:
+            si = runner.prepare_inputs(sched)
+            pooled = runner.execute_encode(si, pooling=pooling)
+        finally:
+            for req in reqs:
+                bm.free(req.block_ids)
+        return [np.asarray(pooled[i]) for i in range(len(batch))]
+
+
+# Attach the embedding API to LLM.
+LLM.encode = EmbeddingMixin.encode
+LLM._encode_batch = EmbeddingMixin._encode_batch

@@ -80,7 +80,15 @@ class ModelRunner:
             config.scheduler.max_num_batched_tokens)
         self.sample_buckets = default_token_buckets(
             max(16, 2 * self.b_max))
-        self._step_fns: dict[int, Any] = {}
+        self._step_fns: dict[Any, Any] = {}
+        self.swift = bool(getattr(module, "NEEDS_SWIFT_SCHEDULE", False))
+        self.returns_rows = bool(
+            getattr(module, "RETURNS_SAMPLE_ROWS", False))
+        self._i32_keys = self._I32_KEYS + (
+            tuple(f"swift_{k}" for k in
+                  ("item_req", "item_qstart", "item_qlen", "item_pages",
+                   "item_pos_base", "token_item", "token_off"))
+            if self.swift else ())
 
     def _auto_num_blocks(self) -> int:
         """Size the cache from an HBM budget estimate."""
@@ -187,6 +195,19 @@ class ModelRunner:
             attn_item_pos_base=item_pos_base, attn_token_item=token_item,
             attn_token_off=token_off,
         )
+        if self.swift:
+            # Second ragged-attention schedule over the surviving sample
+            # rows (contiguous per request in the s_pad layout).
+            srow = np.zeros(b, np.int64)
+            for r in range(len(scheduled)):
+                srow[r] = row_count[r]
+            sw_items = s_pad // 8 + b
+            sw = build_work_items(srow, last_pos, 8, self.block_size,
+                                  sw_items, s_pad)
+            for key, val in zip(("item_req", "item_qstart", "item_qlen",
+                                 "item_pages", "item_pos_base",
+                                 "token_item", "token_off"), sw):
+                arrays[f"swift_{key}"] = val
         return StepInputs(arrays=arrays, t_pad=t_pad, s_pad=s_pad,
                           attn_qb=attn_qb, sample_row_start=row_start,
                           sample_row_count=row_count)
@@ -195,48 +216,90 @@ class ModelRunner:
     # Device step
     # ------------------------------------------------------------------ #
 
-    def _get_step_fn(self, attn_qb: int):
-        fn = self._step_fns.get(attn_qb)
+    # Order in which the int32 step arrays are packed into ONE host->device
+    # transfer (device-to-host round trips dominate step latency on a
+    # tunneled TPU, and 17 small uploads cost 17 latencies).
+    _I32_KEYS = ("input_ids", "positions", "req_idx", "slot_mapping",
+                 "block_tables", "seq_lens", "logits_indices", "top_k",
+                 "attn_item_req", "attn_item_qstart", "attn_item_qlen",
+                 "attn_item_pages", "attn_item_pos_base", "attn_token_item",
+                 "attn_token_off")
+    _F32_KEYS = ("temperature", "top_p")
+
+    def _pack(self, arrays: dict[str, np.ndarray]):
+        i32 = np.concatenate([arrays[k].ravel() for k in self._i32_keys])
+        f32 = np.concatenate([arrays[k].ravel() for k in self._F32_KEYS])
+        shapes = tuple((k, arrays[k].shape) for k in
+                       self._i32_keys + self._F32_KEYS)
+        return i32, f32, shapes
+
+    @staticmethod
+    def _unpack(i32, f32, shapes):
+        out = {}
+        bufs = {np.dtype(np.int32): [i32, 0], np.dtype(np.float32): [f32, 0]}
+        for k, shape in shapes:
+            buf_key = (np.dtype(np.float32)
+                       if k in ModelRunner._F32_KEYS else np.dtype(np.int32))
+            buf, off = bufs[buf_key]
+            n = int(np.prod(shape))
+            out[k] = jax.lax.dynamic_slice_in_dim(
+                buf, off, n).reshape(shape)
+            bufs[buf_key][1] = off + n
+        return out
+
+    def _get_step_fn(self, attn_qb: int, need_sampling: bool, shapes):
+        key = (attn_qb, need_sampling, shapes)
+        fn = self._step_fns.get(key)
         if fn is not None:
             return fn
         module, arch = self.module, self.arch
 
-        def step(params, kv, inputs, rng):
-            fwd_inputs = dict(inputs)
-            logits_indices = fwd_inputs.pop("logits_indices")
-            temperature = fwd_inputs.pop("temperature")
-            top_k = fwd_inputs.pop("top_k")
-            top_p = fwd_inputs.pop("top_p")
+        returns_rows = self.returns_rows
+
+        def step(params, kv, i32, f32, kv_scale, rng):
+            inputs = ModelRunner._unpack(i32, f32, shapes)
+            inputs["kv_scale"] = kv_scale
+            logits_indices = inputs["logits_indices"]
+            temperature = inputs.pop("temperature")
+            top_k = inputs.pop("top_k")
+            top_p = inputs.pop("top_p")
             kv, h = module.forward(
-                params, arch, kv, fwd_inputs,
-                attn_impl=_make_attn(module, attn_qb))
-            rows = h[logits_indices]
+                params, arch, kv, inputs,
+                attn_impl=_make_attn(module, attn_qb),
+                unroll=jax.default_backend() == "tpu")
+            rows = h if returns_rows else h[logits_indices]
             logits = module.compute_logits(params, rows)
             argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            from arcticinference_tpu.ops.sampling import sample
-            sampled = sample(logits, temperature, top_k, top_p, rng)
-            return kv, argmax, sampled, rows
+            if need_sampling:
+                from arcticinference_tpu.ops.sampling import sample
+                sampled = sample(logits, temperature, top_k, top_p, rng)
+                tokens = jnp.concatenate([argmax, sampled])
+            else:
+                tokens = jnp.concatenate([argmax, argmax])
+            return kv, tokens, rows
 
         fn = jax.jit(step, donate_argnums=(1,))
-        self._step_fns[attn_qb] = fn
+        self._step_fns[key] = fn
         return fn
 
     def execute(self, step_inputs: StepInputs,
                 rng: Optional[jax.Array] = None):
-        """Run one device step; returns (argmax, sampled, rows) on host/dev.
+        """Run one device step; returns (argmax, sampled, rows).
 
-        argmax/sampled come back as numpy [S_pad]; rows stay on device for
-        the speculator.
+        argmax/sampled come back as numpy [S_pad] (one packed D2H
+        transfer); rows stay on device for the speculator.
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        dev_inputs = {k: jnp.asarray(v)
-                      for k, v in step_inputs.arrays.items()}
-        dev_inputs["kv_scale"] = self.kv_scale
-        fn = self._get_step_fn(step_inputs.attn_qb)
-        self.kv, argmax, sampled, rows = fn(
-            self.params, self.kv, dev_inputs, rng)
-        return np.asarray(argmax), np.asarray(sampled), rows
+        i32, f32, shapes = self._pack(step_inputs.arrays)
+        need_sampling = bool(step_inputs.arrays["temperature"].max() > 0)
+        fn = self._get_step_fn(step_inputs.attn_qb, need_sampling, shapes)
+        self.kv, tokens, rows = fn(
+            self.params, self.kv, jnp.asarray(i32), jnp.asarray(f32),
+            self.kv_scale, rng)
+        tokens = np.asarray(tokens)
+        s = step_inputs.s_pad
+        return tokens[:s], tokens[s:], rows
 
 
 def _make_attn(module, attn_qb: int):
@@ -244,3 +307,54 @@ def _make_attn(module, attn_qb: int):
     if make is None:
         return None
     return make(attn_qb)
+
+
+def _attach_encode():
+    """Add the embedding (pooled) execution path to ModelRunner."""
+
+    def _get_encode_fn(self, attn_qb: int, shapes, pooling: str):
+        key = ("encode", attn_qb, shapes, pooling)
+        fn = self._step_fns.get(key)
+        if fn is not None:
+            return fn
+        module, arch = self.module, self.arch
+        b_max = self.b_max
+
+        def encode(params, kv, i32, f32, kv_scale):
+            inputs = ModelRunner._unpack(i32, f32, shapes)
+            inputs["kv_scale"] = kv_scale
+            kv, h = module.forward(
+                params, arch, kv, inputs,
+                attn_impl=_make_attn(module, attn_qb),
+                unroll=jax.default_backend() == "tpu")
+            req_idx = inputs["req_idx"]
+            seg = jnp.where(req_idx < 0, b_max, req_idx)
+            hf = h.astype(jnp.float32)
+            if pooling == "mean":
+                sums = jax.ops.segment_sum(hf, seg, num_segments=b_max + 1)
+                counts = jax.ops.segment_sum(
+                    jnp.ones((h.shape[0], 1), jnp.float32), seg,
+                    num_segments=b_max + 1)
+                pooled = sums[:b_max] / jnp.maximum(counts[:b_max], 1.0)
+            elif pooling == "last":
+                pooled = hf[inputs["logits_indices"][:b_max]]
+            else:
+                raise ValueError(f"unknown pooling {pooling!r}")
+            return kv, pooled
+
+        fn = jax.jit(encode, donate_argnums=(1,))
+        self._step_fns[key] = fn
+        return fn
+
+    def execute_encode(self, step_inputs, pooling: str = "mean"):
+        i32, f32, shapes = self._pack(step_inputs.arrays)
+        fn = self._get_encode_fn(step_inputs.attn_qb, shapes, pooling)
+        self.kv, pooled = fn(self.params, self.kv, jnp.asarray(i32),
+                             jnp.asarray(f32), self.kv_scale)
+        return np.asarray(pooled)
+
+    ModelRunner._get_encode_fn = _get_encode_fn
+    ModelRunner.execute_encode = execute_encode
+
+
+_attach_encode()

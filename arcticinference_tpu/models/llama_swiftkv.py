@@ -1,0 +1,324 @@
+"""LlamaSwiftKV: early-exit prefill with projected KV for later layers.
+
+Capability mirror of reference ``vllm/swiftkv/llama_swiftkv.py`` (the
+SwiftKV architecture, ``docs/swiftkv.rst``): the first
+``num_key_value_layers`` (K) decoder layers run normally; at the K-layer
+boundary a single fused projection produces the K/V of ALL remaining
+layers from one normed hidden state (``norm_swiftkv`` +
+``kv_proj_swiftkv``, reference ``llama_swiftkv.py:259-274``), which is
+bulk-written into the paged cache (the reference needs a CUDA kernel for
+this, ``csrc/custom_ops/kernels.cu``; here it is one batched scatter).
+Only the to-be-sampled rows (``logits_indices``) then run the remaining
+layers — the "token drop" early exit (reference
+``llama_swiftkv.py:658-685``) that cuts prefill compute up to ~50%.
+
+TPU-first simplifications vs the reference:
+- Token drop is a static-shape gather (sample rows are already padded to
+  a bucket), so no attention-metadata surgery (cf. the FlashInfer
+  re-planning at reference ``llama_swiftkv.py:433-571``) — the host
+  simply provides a second ragged-attention schedule over the surviving
+  rows (``swift_*`` arrays).
+- Later layers reuse the same ragged paged attention kernel in
+  read-only mode (their KV is already in the cache).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arcticinference_tpu.models import llama as llama_mod
+from arcticinference_tpu.models.llama import (
+    LlamaArch, _mlp, _qkv, _write_kv_layer, compute_logits as
+    _compute_logits, make_attn_impl)
+from arcticinference_tpu.ops.fp8 import (QuantizedLinear, fp8_quantize,
+                                         matmul)
+from arcticinference_tpu.ops.layers import (apply_rope, compute_rope_freqs,
+                                            rms_norm)
+
+# The runner uses these flags to adapt its step function.
+RETURNS_SAMPLE_ROWS = True
+NEEDS_SWIFT_SCHEDULE = True
+
+compute_logits = _compute_logits
+
+
+@dataclass(frozen=True)
+class LlamaSwiftKVArch(LlamaArch):
+    num_key_value_layers: int = 0  # 0 -> num_layers (plain llama)
+
+    @classmethod
+    def from_hf_config(cls, cfg: dict[str, Any]) -> "LlamaSwiftKVArch":
+        base = LlamaArch.from_hf_config(cfg)
+        kvl = cfg.get("num_key_value_layers") or base.num_layers
+        return cls(**{**base.__dict__, "num_key_value_layers": kvl})
+
+    @property
+    def num_swift_layers(self) -> int:
+        return self.num_layers - self.num_key_value_layers
+
+
+Arch = LlamaSwiftKVArch
+
+
+def init_params(arch: LlamaSwiftKVArch, rng: jax.Array,
+                dtype=jnp.bfloat16,
+                quantization: Optional[str] = None) -> dict:
+    ka = arch.num_key_value_layers
+    kb = arch.num_swift_layers
+    d, hkv, dh = arch.hidden_size, arch.num_kv_heads, arch.head_dim
+    base_a = llama_mod.init_params(
+        LlamaArch(**{**{f.name: getattr(arch, f.name)
+                        for f in LlamaArch.__dataclass_fields__.values()},
+                     "num_layers": ka}),
+        rng, dtype, quantization)
+    params = {
+        "embed": base_a.pop("embed"),
+        "final_norm": base_a.pop("final_norm"),
+        "layers_a": base_a["layers"],
+    }
+    if "lm_head" in base_a:
+        params["lm_head"] = base_a["lm_head"]
+    if kb > 0:
+        rng_b, rng_kv = jax.random.split(jax.random.fold_in(rng, 7))
+        base_b = llama_mod.init_params(
+            LlamaArch(**{**{f.name: getattr(arch, f.name)
+                            for f in
+                            LlamaArch.__dataclass_fields__.values()},
+                         "num_layers": kb}),
+            rng_b, dtype, quantization)
+        layers_b = base_b["layers"]
+        layers_b.pop("wk")
+        layers_b.pop("wv")
+        params["layers_b"] = layers_b
+        wkv = (jax.random.normal(rng_kv, (kb, d, 2 * hkv * dh),
+                                 jnp.float32) * 0.02).astype(dtype)
+        params["wkv_swift"] = (fp8_quantize(wkv)
+                               if quantization == "fp8" else wkv)
+        params["norm_swiftkv"] = jnp.ones((d,), dtype)
+    return params
+
+
+def _bulk_write_swift_kv(kv, k, v, slot_mapping, first_layer: int):
+    """Write all swift layers' K/V in one batched scatter.
+
+    k/v: [L2, T, Hkv*D]; the TPU equivalent of the reference's
+    reshape_and_cache_flash_bulk CUDA kernel (kernels.cu:15-69).
+    """
+    l2, t, hd = k.shape
+    bs = kv.shape[3]
+    slots = jnp.where(slot_mapping < 0, 0, slot_mapping)
+    blk = slots // bs           # [T]
+    off = slots % bs
+    layer_ids = first_layer + jnp.arange(l2)
+    kv = kv.at[layer_ids[:, None], blk[None, :], 0, off[None, :], :].set(
+        k.astype(kv.dtype))
+    kv = kv.at[layer_ids[:, None], blk[None, :], 1, off[None, :], :].set(
+        v.astype(kv.dtype))
+    return kv
+
+
+def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
+            inputs: dict[str, jax.Array],
+            attn_impl=None, pctx=None,
+            unroll: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Returns (kv, hidden of the SAMPLE ROWS [S_pad, D]).
+
+    Requires inputs["logits_indices"] (the surviving rows) and the
+    ``swift_*`` attention schedule over those rows.
+    """
+    assert pctx is None, "sharded SwiftKV lands in a later round"
+    if attn_impl is None:
+        attn_impl = llama_mod._default_attn
+    ka = arch.num_key_value_layers
+    kb = arch.num_swift_layers
+    h = params["embed"][inputs["input_ids"]]
+    inv_freq = compute_rope_freqs(arch.head_dim, arch.rope_theta,
+                                  arch.rope_scaling)
+
+    # ---- standard first-K layers -------------------------------------
+    def layer_step(carry, xs):
+        h, kv = carry
+        lp, layer = xs
+        res = h
+        x = rms_norm(h, lp["input_norm"], arch.rms_norm_eps)
+        q, k, v = _qkv(x, lp, arch)
+        q = apply_rope(q, inputs["positions"], inv_freq)
+        k = apply_rope(k, inputs["positions"], inv_freq)
+        kv = _write_kv_layer(kv, layer, k, v, inputs["slot_mapping"])
+        o = llama_mod._attend(q, kv, layer, inputs, arch, attn_impl)
+        t = o.shape[0]
+        h = res + matmul(o.reshape(t, -1), lp["wo"])
+        res = h
+        x = rms_norm(h, lp["post_norm"], arch.rms_norm_eps)
+        h = res + _mlp(x, lp)
+        return (h, kv), None
+
+    if unroll:
+        for l in range(ka):
+            lp = jax.tree.map(lambda a: a[l], params["layers_a"])
+            (h, kv), _ = layer_step((h, kv), (lp, l))
+    else:
+        (h, kv), _ = jax.lax.scan(
+            layer_step, (h, kv),
+            (params["layers_a"], jnp.arange(ka)))
+
+    if kb == 0:
+        h = rms_norm(h, params["final_norm"], arch.rms_norm_eps)
+        return kv, h[inputs["logits_indices"]]
+
+    # ---- one-shot KV projection for the remaining layers -------------
+    t = h.shape[0]
+    hkv, dh = arch.num_kv_heads, arch.head_dim
+    x = rms_norm(h, params["norm_swiftkv"], arch.rms_norm_eps)
+    wkv = params["wkv_swift"]
+    if isinstance(wkv, QuantizedLinear):
+        from arcticinference_tpu.ops.fp8 import fp8_dequantize
+        wkv = fp8_dequantize(wkv, x.dtype)
+    kv_all = jnp.einsum("td,lde->lte", x, wkv,
+                        preferred_element_type=jnp.float32).astype(h.dtype)
+    k_all = kv_all[:, :, :hkv * dh].reshape(kb, t, hkv, dh)
+    v_all = kv_all[:, :, hkv * dh:]
+    k_all = jax.vmap(
+        lambda kl: apply_rope(kl, inputs["positions"], inv_freq))(k_all)
+    kv = _bulk_write_swift_kv(kv, k_all.reshape(kb, t, hkv * dh), v_all,
+                              inputs["slot_mapping"], ka)
+
+    # ---- token drop: only sample rows continue -----------------------
+    rows = inputs["logits_indices"]
+    hs = h[rows]
+    swift_inputs = dict(inputs)
+    swift_inputs["positions"] = inputs["positions"][rows]
+    swift_inputs["req_idx"] = inputs["req_idx"][rows]
+    # The swift_* schedule replaces the attn_* one for the smaller batch.
+    for key in ("item_req", "item_qstart", "item_qlen", "item_pages",
+                "item_pos_base", "token_item", "token_off"):
+        sk = f"swift_{key}"
+        if sk in inputs:
+            swift_inputs[f"attn_{key}"] = inputs[sk]
+
+    def swift_layer_step(carry, xs):
+        h, kv = carry
+        lp, layer = xs
+        res = h
+        x = rms_norm(h, lp["input_norm"], arch.rms_norm_eps)
+        s = x.shape[0]
+        q = matmul(x, lp["wq"]).reshape(s, arch.num_heads, arch.head_dim)
+        q = apply_rope(q, swift_inputs["positions"], inv_freq)
+        o = llama_mod._attend(q, kv, layer, swift_inputs, arch, attn_impl)
+        h = res + matmul(o.reshape(s, -1), lp["wo"])
+        res = h
+        x = rms_norm(h, lp["post_norm"], arch.rms_norm_eps)
+        h = res + _mlp(x, lp)
+        return (h, kv), None
+
+    if unroll:
+        for l in range(kb):
+            lp = jax.tree.map(lambda a: a[l], params["layers_b"])
+            (hs, kv), _ = swift_layer_step((hs, kv), (lp, ka + l))
+    else:
+        (hs, kv), _ = jax.lax.scan(
+            swift_layer_step, (hs, kv),
+            (params["layers_b"], ka + jnp.arange(kb)))
+    hs = rms_norm(hs, params["final_norm"], arch.rms_norm_eps)
+    return kv, hs
+
+
+def quantize_params(params: dict) -> dict:
+    out = dict(params)
+    for key in ("layers_a", "layers_b"):
+        if key not in out:
+            continue
+        layers = dict(out[key])
+        for k in llama_mod._QUANT_KEYS:
+            if k in layers and not isinstance(layers[k], QuantizedLinear):
+                layers[k] = fp8_quantize(layers[k])
+        out[key] = layers
+    if "wkv_swift" in out and not isinstance(out["wkv_swift"],
+                                             QuantizedLinear):
+        out["wkv_swift"] = fp8_quantize(out["wkv_swift"])
+    return out
+
+
+# ---------------------------------------------------------------------- #
+# HF checkpoint mapping (Snowflake/Llama-3.1-SwiftKV-* checkpoints)
+# ---------------------------------------------------------------------- #
+
+def load_hf_state(arch: LlamaSwiftKVArch, tensors: dict[str, np.ndarray],
+                  dtype=jnp.bfloat16,
+                  quantization: Optional[str] = None) -> dict:
+    ka = arch.num_key_value_layers
+    kb = arch.num_swift_layers
+    hkv, dh, d = arch.num_kv_heads, arch.head_dim, arch.hidden_size
+
+    # First-K layers load exactly like plain llama.
+    sub_a = {}
+    passthrough = {}
+    wkv_stack = [None] * kb
+    b_stacks: dict[str, list] = {
+        k: [None] * kb for k in ("wq", "wo", "w_gate", "w_up", "w_down",
+                                 "input_norm", "post_norm")}
+    name_map_b = {
+        "self_attn.q_proj_swiftkv.weight": ("wq", True),
+        "self_attn.q_proj.weight": ("wq", True),
+        "self_attn.o_proj.weight": ("wo", True),
+        "mlp.gate_proj.weight": ("w_gate", True),
+        "mlp.up_proj.weight": ("w_up", True),
+        "mlp.down_proj.weight": ("w_down", True),
+        "input_layernorm.weight": ("input_norm", False),
+        "post_attention_layernorm.weight": ("post_norm", False),
+    }
+    for name, arr in tensors.items():
+        if name == "model.norm_swiftkv.weight":
+            passthrough["norm_swiftkv"] = jnp.asarray(arr, dtype)
+            continue
+        if name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx_s, _, leaf = rest.partition(".")
+            l = int(idx_s)
+            if l >= ka:
+                i = l - ka
+                if leaf == "self_attn.kv_proj_swiftkv.weight":
+                    wkv_stack[i] = np.asarray(arr).T  # [D, 2*Hkv*Dh]
+                    continue
+                if leaf in name_map_b:
+                    key, transpose = name_map_b[leaf]
+                    b_stacks[key][i] = (np.asarray(arr).T if transpose
+                                        else np.asarray(arr))
+                    continue
+                continue
+        sub_a[name] = arr
+
+    arch_a = LlamaArch(**{**{f.name: getattr(arch, f.name)
+                             for f in
+                             LlamaArch.__dataclass_fields__.values()},
+                          "num_layers": ka})
+    base = llama_mod.load_hf_state(arch_a, sub_a, dtype, quantization)
+    params = {
+        "embed": base["embed"],
+        "final_norm": base["final_norm"],
+        "layers_a": base["layers"],
+    }
+    if "lm_head" in base:
+        params["lm_head"] = base["lm_head"]
+    if kb > 0:
+        layers_b = {}
+        for key, stack in b_stacks.items():
+            missing = [i for i, s in enumerate(stack) if s is None]
+            if missing:
+                raise ValueError(f"missing swift layers {missing} "
+                                 f"for {key}")
+            layers_b[key] = jnp.stack(
+                [jnp.asarray(s, dtype) for s in stack])
+        params["layers_b"] = layers_b
+        params["wkv_swift"] = jnp.stack(
+            [jnp.asarray(s, dtype) for s in wkv_stack])
+        params["norm_swiftkv"] = passthrough["norm_swiftkv"]
+    if quantization == "fp8":
+        params = quantize_params(params)
+    return params

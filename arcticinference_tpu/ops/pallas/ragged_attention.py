@@ -48,8 +48,8 @@ CHUNK_PAGES = 8  # pages consumed per flash iteration (256 KV tokens)
 
 def _attn_kernel(
     # scalar prefetch
-    item_req, item_qstart, item_qlen, item_pages, item_pos_base,
-    block_tables,
+    layer_smem, item_req, item_qstart, item_qlen, item_pages,
+    item_pos_base, block_tables,
     # inputs
     q_hbm, kv_hbm, kv_scale_smem,
     # output
@@ -78,6 +78,8 @@ def _attn_kernel(
 
         ck = CHUNK_PAGES * bs  # kv tokens per flash iteration
 
+        layer = layer_smem[0]
+
         def chunk_dma(slot, c):
             """Start DMAs for all in-range pages of chunk c into `slot`."""
             for j in range(CHUNK_PAGES):
@@ -85,7 +87,7 @@ def _attn_kernel(
                 def _start():
                     page = block_tables[req, c * CHUNK_PAGES + j]
                     pltpu.make_async_copy(
-                        kv_hbm.at[page], kvbuf.at[slot, j],
+                        kv_hbm.at[layer, page], kvbuf.at[slot, j],
                         kvsems.at[slot]).start()
 
         def chunk_wait(slot, c):
@@ -93,7 +95,7 @@ def _attn_kernel(
                 @pl.when(c * CHUNK_PAGES + j < npages)
                 def _wait():
                     pltpu.make_async_copy(
-                        kv_hbm.at[0], kvbuf.at[slot, j],
+                        kv_hbm.at[0, 0], kvbuf.at[slot, j],
                         kvsems.at[slot]).wait()
 
         n_chunks = (npages + CHUNK_PAGES - 1) // CHUNK_PAGES
@@ -184,12 +186,12 @@ def _attn_kernel(
 
 @functools.partial(jax.jit, static_argnames=("qb", "scale"))
 def _ragged_attention_call(
-    q, kv_cache, item_req, item_qstart, item_qlen,
+    q, kv_cache, layer, item_req, item_qstart, item_qlen,
     item_pages, item_pos_base, block_tables, token_item, token_off,
     kv_scale, qb: int, scale: float,
 ):
     t, hq, d = q.shape
-    n_blocks, _, bs, hkv_d = kv_cache.shape
+    num_layers, n_blocks, _, bs, hkv_d = kv_cache.shape
     hkv = hkv_d // d
     group = hq // hkv
     n_items = item_req.shape[0]
@@ -199,7 +201,7 @@ def _ragged_attention_call(
     q = q.reshape(t + qw, hkv, group, d).transpose(1, 2, 0, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(n_items,),
         in_specs=[
             # q is sliced at token granularity (8-aligned via the host
@@ -227,8 +229,8 @@ def _ragged_attention_call(
         out_shape=jax.ShapeDtypeStruct((n_items, hkv, qw * group, d),
                                        q.dtype),
         grid_spec=grid_spec,
-    )(item_req, item_qstart, item_qlen, item_pages, item_pos_base,
-      block_tables, q, kv_cache, kv_scale)
+    )(layer.reshape(1), item_req, item_qstart, item_qlen, item_pages,
+      item_pos_base, block_tables, q, kv_cache, kv_scale)
     # Rows are group-major: [items, hkv, group, qw, d] -> [items, qw, hq, d],
     # then map dense per-item rows back to the ragged token order.
     out_items = out_items.reshape(n_items, hkv, group, qw, d)
@@ -296,6 +298,7 @@ def ragged_paged_attention_kernel(
     qb: int = 32,
     schedule: tuple | None = None,
     kv_scale: jax.Array | None = None,
+    layer: jax.Array | None = None,
 ) -> jax.Array:
     """Drop-in replacement for the jnp reference.
 
@@ -308,6 +311,10 @@ def ragged_paged_attention_kernel(
         scale = d ** -0.5
     if kv_scale is None:
         kv_scale = jnp.ones((1,), jnp.float32)
+    if layer is None:
+        # Single-layer cache view: add the (trivial) layer dim.
+        kv_cache = kv_cache[None]
+        layer = jnp.zeros((), jnp.int32)
     if schedule is None:
         req_np = np.asarray(req_idx)
         pos_np = np.asarray(positions)
@@ -321,11 +328,11 @@ def ragged_paged_attention_kernel(
                 last[r] = max(last[r], pos_np[i])
         num_items = -(-t // qb) + b
         schedule = build_work_items(
-            qlens, last, qb, kv_cache.shape[2], num_items, t)
+            qlens, last, qb, kv_cache.shape[3], num_items, t)
     (item_req, item_qstart, item_qlen, item_pages, item_pos_base,
      token_item, token_off) = schedule
     return _ragged_attention_call(
-        q, kv_cache,
+        q, kv_cache, jnp.asarray(layer, jnp.int32),
         jnp.asarray(item_req), jnp.asarray(item_qstart),
         jnp.asarray(item_qlen), jnp.asarray(item_pages),
         jnp.asarray(item_pos_base),

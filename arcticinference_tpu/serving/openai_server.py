@@ -1,0 +1,263 @@
+"""OpenAI-compatible HTTP server (aiohttp).
+
+The reference serves through vLLM's FastAPI server; this engine owns its
+own frontend.  Endpoints: /v1/completions, /v1/chat/completions (incl.
+SSE streaming), /v1/models, /health, /metrics (JSON engine stats).
+
+Run:  python -m arcticinference_tpu.serving.openai_server --model ... \
+          --port 8000 [--config config.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import time
+import uuid
+from typing import Any, Optional
+
+from aiohttp import web
+
+from arcticinference_tpu.config import EngineConfig, ModelConfig, \
+    SpeculativeConfig
+from arcticinference_tpu.engine.async_engine import AsyncLLMEngine
+from arcticinference_tpu.engine.request import SamplingParams
+
+
+class OpenAIServer:
+
+    def __init__(self, config: EngineConfig,
+                 served_model_name: Optional[str] = None):
+        self.config = config
+        self.engine = AsyncLLMEngine(config)
+        self.model_name = served_model_name or config.model.model
+        self.tokenizer = self._load_tokenizer()
+        self.app = web.Application()
+        self.app.add_routes([
+            web.post("/v1/completions", self.completions),
+            web.post("/v1/chat/completions", self.chat_completions),
+            web.get("/v1/models", self.models),
+            web.get("/health", self.health),
+            web.get("/metrics", self.metrics),
+        ])
+
+    def _load_tokenizer(self):
+        from pathlib import Path
+
+        path = Path(self.config.model.tokenizer or self.config.model.model)
+        if (path / "tokenizer_config.json").exists() or \
+                (path / "tokenizer.json").exists():
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(str(path))
+        return None
+
+    # -- helpers ---------------------------------------------------------
+
+    def _sampling_from(self, body: dict[str, Any]) -> SamplingParams:
+        eos_ignore = bool(body.get("ignore_eos", False))
+        return SamplingParams(
+            max_tokens=int(body.get("max_tokens", 128)),
+            temperature=float(body.get("temperature", 0.0)),
+            top_p=float(body.get("top_p", 1.0)),
+            top_k=int(body.get("top_k", 0)),
+            ignore_eos=eos_ignore,
+            stop_token_ids=tuple(body.get("stop_token_ids", ())),
+        )
+
+    def _encode(self, text: str) -> list[int]:
+        if self.tokenizer is None:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "no tokenizer loaded; send "
+                                          "prompt_token_ids"}),
+                content_type="application/json")
+        return self.tokenizer.encode(text)
+
+    def _decode(self, ids: list[int]) -> str:
+        if self.tokenizer is None:
+            return " ".join(map(str, ids))
+        return self.tokenizer.decode(ids, skip_special_tokens=True)
+
+    # -- endpoints -------------------------------------------------------
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.model_name, "object": "model",
+                      "owned_by": "arcticinference-tpu"}],
+        })
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        eng = self.engine.engine
+        return web.json_response({
+            "num_waiting": len(eng.scheduler.waiting),
+            "num_running": len(eng.scheduler.running),
+            "spec_decoding": eng.spec_stats.summary(),
+        })
+
+    async def completions(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        prompt = body.get("prompt")
+        prompt_ids = body.get("prompt_token_ids")
+        if prompt_ids is None:
+            if prompt is None:
+                raise web.HTTPBadRequest(text="prompt required")
+            if isinstance(prompt, list):
+                prompt = prompt[0]
+            prompt_ids = self._encode(prompt)
+        sampling = self._sampling_from(body)
+        rid = f"cmpl-{uuid.uuid4().hex[:16]}"
+        if body.get("stream"):
+            return await self._stream_completion(
+                request, rid, prompt_ids, sampling, chat=False)
+        token_ids, finish = await self._collect(prompt_ids, sampling, rid)
+        return web.json_response({
+            "id": rid, "object": "text_completion",
+            "created": int(time.time()), "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "text": self._decode(token_ids),
+                "token_ids": token_ids,
+                "finish_reason": _reason(finish),
+            }],
+            "usage": _usage(prompt_ids, token_ids),
+        })
+
+    async def chat_completions(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        messages = body.get("messages")
+        if not messages:
+            raise web.HTTPBadRequest(text="messages required")
+        prompt_ids = self._chat_prompt_ids(messages)
+        sampling = self._sampling_from(body)
+        rid = f"chatcmpl-{uuid.uuid4().hex[:16]}"
+        if body.get("stream"):
+            return await self._stream_completion(
+                request, rid, prompt_ids, sampling, chat=True)
+        token_ids, finish = await self._collect(prompt_ids, sampling, rid)
+        return web.json_response({
+            "id": rid, "object": "chat.completion",
+            "created": int(time.time()), "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant",
+                            "content": self._decode(token_ids)},
+                "finish_reason": _reason(finish),
+            }],
+            "usage": _usage(prompt_ids, token_ids),
+        })
+
+    def _chat_prompt_ids(self, messages: list[dict]) -> list[int]:
+        if self.tokenizer is not None and \
+                getattr(self.tokenizer, "chat_template", None):
+            return self.tokenizer.apply_chat_template(
+                messages, add_generation_prompt=True)
+        text = "\n".join(f"{m.get('role')}: {m.get('content')}"
+                         for m in messages) + "\nassistant:"
+        return self._encode(text)
+
+    async def _collect(self, prompt_ids, sampling, rid):
+        token_ids: list[int] = []
+        finish = None
+        async for chunk in self.engine.generate(prompt_ids, sampling, rid):
+            token_ids.extend(chunk.new_token_ids)
+            if chunk.finished:
+                finish = chunk.finish_reason
+        return token_ids, finish
+
+    async def _stream_completion(self, request, rid, prompt_ids, sampling,
+                                 chat: bool):
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        sent_text = ""
+        all_ids: list[int] = []
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        try:
+            async for chunk in self.engine.generate(prompt_ids, sampling,
+                                                    rid):
+                all_ids.extend(chunk.new_token_ids)
+                full = self._decode(all_ids)
+                delta_text = full[len(sent_text):]
+                # Hold back partial unicode tails.
+                if delta_text.endswith("�"):
+                    delta_text = ""
+                if delta_text:
+                    sent_text = full
+                payload = {
+                    "id": rid, "object": obj,
+                    "created": int(time.time()),
+                    "model": self.model_name,
+                    "choices": [
+                        {"index": 0,
+                         "delta": {"content": delta_text}}
+                        if chat else
+                        {"index": 0, "text": delta_text,
+                         "token_ids": chunk.new_token_ids}],
+                }
+                if chunk.finished:
+                    payload["choices"][0]["finish_reason"] = _reason(
+                        chunk.finish_reason)
+                await resp.write(
+                    f"data: {json.dumps(payload)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+        except (ConnectionResetError, asyncio.CancelledError):
+            await self.engine.abort(rid)
+            raise
+        await resp.write_eof()
+        return resp
+
+
+def _reason(finish: Optional[str]) -> str:
+    if finish == "finished_length":
+        return "length"
+    return "stop"
+
+
+def _usage(prompt_ids, token_ids) -> dict:
+    return {
+        "prompt_tokens": len(prompt_ids),
+        "completion_tokens": len(token_ids),
+        "total_tokens": len(prompt_ids) + len(token_ids),
+    }
+
+
+def build_config(args: argparse.Namespace) -> EngineConfig:
+    if args.config:
+        cfg = EngineConfig.from_dict(json.loads(open(args.config).read()))
+    else:
+        cfg = EngineConfig()
+    if args.model:
+        cfg.model.model = args.model
+        cfg.model.tokenizer = args.model
+    if args.quantization:
+        cfg.model.quantization = args.quantization
+    if args.speculative_config:
+        cfg.speculative = SpeculativeConfig.from_json(
+            args.speculative_config)
+    return cfg
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default=None)
+    parser.add_argument("--config", default=None,
+                        help="EngineConfig JSON file")
+    parser.add_argument("--quantization", default=None)
+    parser.add_argument("--speculative-config", default=None,
+                        help='JSON, e.g. {"method": "suffix"}')
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    args = parser.parse_args()
+    server = OpenAIServer(build_config(args))
+    web.run_app(server.app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

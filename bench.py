@@ -27,7 +27,13 @@ LLAMA_8B = dict(
 
 
 def main():
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/arctic_tpu_jax_cache")
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from arcticinference_tpu.config import (CacheConfig, EngineConfig,
                                             ModelConfig, SchedulerConfig)
@@ -42,7 +48,7 @@ def main():
                          num_key_value_heads=8, head_dim=32,
                          vocab_size=1024)
 
-    batch = 16 if on_tpu else 4
+    batch = 32 if on_tpu else 4
     prompt_len = 128 if on_tpu else 16
     gen_len = 64 if on_tpu else 8
 
@@ -64,9 +70,10 @@ def main():
                for _ in range(batch)]
     sp = SamplingParams(max_tokens=gen_len, ignore_eos=True)
 
-    # Warmup: compile prefill + decode buckets.
-    llm.generate(prompt_token_ids=[prompts[0]],
-                 sampling_params=SamplingParams(max_tokens=4,
+    # Warmup covers the same shape buckets as the measured run (prefill
+    # bucket + decode bucket) so compile time stays out of the timing.
+    llm.generate(prompt_token_ids=prompts,
+                 sampling_params=SamplingParams(max_tokens=2,
                                                 ignore_eos=True))
 
     t0 = time.perf_counter()

@@ -1,0 +1,129 @@
+"""OpenAI server tests via aiohttp test client (tiny model, CPU)."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from arcticinference_tpu.serving.openai_server import OpenAIServer
+from tests.test_engine import tiny_config
+
+
+@pytest.fixture(scope="module")
+def loop():
+    loop = asyncio.new_event_loop()
+    yield loop
+    loop.close()
+
+
+@pytest.fixture(scope="module")
+def server(loop):
+    srv = OpenAIServer(tiny_config(), served_model_name="tiny-llama")
+    yield srv
+    srv.engine.close()
+
+
+async def _client(server):
+    return TestClient(TestServer(server.app))
+
+
+def test_health_and_models(server, loop):
+    async def run():
+        client = await _client(server)
+        async with client:
+            r = await client.get("/health")
+            assert r.status == 200
+            r = await client.get("/v1/models")
+            data = await r.json()
+            assert data["data"][0]["id"] == "tiny-llama"
+
+    loop.run_until_complete(run())
+
+
+def test_completions_with_token_ids(server, loop):
+    async def run():
+        client = await _client(server)
+        async with client:
+            r = await client.post("/v1/completions", json={
+                "prompt_token_ids": [3, 14, 15, 92],
+                "max_tokens": 6,
+            })
+            assert r.status == 200
+            data = await r.json()
+            choice = data["choices"][0]
+            assert len(choice["token_ids"]) == 6
+            assert choice["finish_reason"] == "length"
+            assert data["usage"]["completion_tokens"] == 6
+
+    loop.run_until_complete(run())
+
+
+def test_completions_requires_prompt(server, loop):
+    async def run():
+        client = await _client(server)
+        async with client:
+            r = await client.post("/v1/completions", json={})
+            assert r.status == 400
+
+    loop.run_until_complete(run())
+
+
+def test_streaming_completion(server, loop):
+    async def run():
+        client = await _client(server)
+        async with client:
+            r = await client.post("/v1/completions", json={
+                "prompt_token_ids": [5, 6, 7],
+                "max_tokens": 5,
+                "stream": True,
+            })
+            assert r.status == 200
+            body = await r.text()
+            events = [line[6:] for line in body.splitlines()
+                      if line.startswith("data: ")]
+            assert events[-1] == "[DONE]"
+            tok_count = 0
+            finish = None
+            for e in events[:-1]:
+                payload = json.loads(e)
+                ch = payload["choices"][0]
+                tok_count += len(ch.get("token_ids", []))
+                finish = ch.get("finish_reason", finish)
+            assert tok_count == 5
+            assert finish == "length"
+
+    loop.run_until_complete(run())
+
+
+def test_concurrent_requests(server, loop):
+    async def run():
+        client = await _client(server)
+        async with client:
+            async def one(seed):
+                r = await client.post("/v1/completions", json={
+                    "prompt_token_ids": [seed, seed + 1, seed + 2],
+                    "max_tokens": 4,
+                })
+                return await r.json()
+
+            results = await asyncio.gather(*[one(s) for s in
+                                             (3, 17, 29, 41, 53)])
+            for data in results:
+                assert len(data["choices"][0]["token_ids"]) == 4
+
+    loop.run_until_complete(run())
+
+
+def test_chat_completion_fallback_template(server, loop):
+    async def run():
+        client = await _client(server)
+        async with client:
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 4,
+            })
+            # Tiny model has no tokenizer -> needs encode -> 400.
+            assert r.status == 400
+
+    loop.run_until_complete(run())
