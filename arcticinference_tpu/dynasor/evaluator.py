@@ -1,0 +1,128 @@
+"""Math-answer normalization and equivalence.
+
+Lean re-implementation of the capability of reference
+``dynasor/evaluator.py`` (Qwen2.5-Math-derived): normalize LaTeX-ish
+answers and decide symbolic/numeric equality, used by the certainty logic
+to compare consecutive probe answers.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+_LATEX_SUBS = [
+    (r"\\left", ""), (r"\\right", ""),
+    (r"\\!", ""), (r"\\,", ""), (r"\\;", ""), (r"\\ ", " "),
+    (r"\\%", "%"), (r"\\\$", ""),
+    (r"\\text\{([^{}]*)\}", r"\1"),
+    (r"\\mathrm\{([^{}]*)\}", r"\1"),
+    (r"\\mbox\{([^{}]*)\}", r"\1"),
+    (r"\\dfrac", r"\\frac"), (r"\\tfrac", r"\\frac"),
+    (r"\\cdot", "*"), (r"\\times", "*"), (r"\\div", "/"),
+    (r"\\pi", "pi"), (r"\\infty", "oo"),
+    (r"\\sqrt\{([^{}]*)\}", r"sqrt(\1)"),
+    (r"\\sqrt(\d)", r"sqrt(\1)"),
+    (r"\^\{([^{}]*)\}", r"**(\1)"),
+    (r"\^(\d)", r"**\1"),
+    (r"\{", "("), (r"\}", ")"),
+    (r"\$", ""),
+]
+
+
+def normalize_answer(ans: Optional[str]) -> str:
+    """Normalize an extracted answer string for comparison."""
+    if ans is None:
+        return ""
+    s = ans.strip()
+    # strip trailing period / units-ish suffixes
+    s = s.rstrip(".")
+    s = re.sub(r"\\frac\{([^{}]*)\}\{([^{}]*)\}", r"(\1)/(\2)", s)
+    s = re.sub(r"\\frac(\d)(\d)", r"\1/\2", s)
+    for pat, rep in _LATEX_SUBS:
+        s = re.sub(pat, rep, s)
+    s = s.replace(" ", "")
+    # canonicalize thousands separators: 1,234 -> 1234
+    s = re.sub(r"(?<=\d),(?=\d{3}\b)", "", s)
+    # leading zeros in decimals: .5 -> 0.5
+    s = re.sub(r"(?<![\d.])\.(\d)", r"0.\1", s)
+    return s
+
+
+def _to_number(s: str) -> Optional[float]:
+    try:
+        if s.endswith("%"):
+            return float(s[:-1]) / 100.0
+        return float(s)
+    except ValueError:
+        return None
+
+
+def _sympy_equal(a: str, b: str) -> Optional[bool]:
+    try:
+        import sympy
+        from sympy.parsing.sympy_parser import (parse_expr,
+                                                standard_transformations,
+                                                implicit_multiplication)
+
+        tf = standard_transformations + (implicit_multiplication,)
+        ea = parse_expr(a, transformations=tf, evaluate=True)
+        eb = parse_expr(b, transformations=tf, evaluate=True)
+        return bool(sympy.simplify(ea - eb) == 0)
+    except Exception:
+        return None
+
+
+def math_equal(a: Optional[str], b: Optional[str],
+               tolerance: float = 1e-6) -> bool:
+    """True if the two answers are mathematically equivalent."""
+    na, nb = normalize_answer(a), normalize_answer(b)
+    if not na or not nb:
+        return na == nb
+    if na == nb:
+        return True
+    fa, fb = _to_number(na), _to_number(nb)
+    if fa is not None and fb is not None:
+        return abs(fa - fb) <= tolerance * max(1.0, abs(fa), abs(fb))
+    res = _sympy_equal(na, nb)
+    if res is not None:
+        return res
+    return False
+
+
+def extract_boxed(text: str) -> Optional[str]:
+    """Extract the content of the last ``\\boxed{...}`` (nested braces ok)."""
+    idx = text.rfind("\\boxed{")
+    if idx < 0:
+        return None
+    i = idx + len("\\boxed{")
+    depth = 1
+    out = []
+    while i < len(text) and depth > 0:
+        c = text[i]
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                break
+        out.append(c)
+        i += 1
+    return "".join(out) if depth == 0 else None
+
+
+def extract_answer(text: str) -> Optional[str]:
+    """Extract the final answer from a (possibly truncated) completion.
+
+    Tries \\boxed{}, then 'answer is ...' patterns, then a bare trailing
+    expression after 'Final Answer'.
+    """
+    boxed = extract_boxed(text)
+    if boxed is not None:
+        return boxed
+    m = re.search(
+        r"(?:final answer|answer)\s*(?:is|:)?\s*([^\n.,;]+)",
+        text, re.IGNORECASE)
+    if m:
+        return m.group(1).strip()
+    return None
