@@ -1,0 +1,160 @@
+"""Serving benchmark harness.
+
+Mirror of the reference's pytest benchmark harness
+(``tests/benchmarks/conftest.py`` + ``benchmark_utils.py:17-97``): a
+matrix of engine configs is launched (in-process here — one chip, one
+tenant), a synthetic random workload with configurable prompt/output
+lengths is replayed at a given concurrency, and throughput / TTFT / TPOT
+are reported per config.
+
+Usage:
+  python benchmarks/serve_bench.py --configs baseline suffix \
+      --num-prompts 64 --input-len 256 --output-len 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+LLAMA_8B = dict(
+    vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+    num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
+    head_dim=128, rope_theta=500000.0)
+
+TINY = dict(
+    vocab_size=512, hidden_size=256, intermediate_size=512,
+    num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=8,
+    head_dim=32)
+
+
+def build_config(name: str, on_tpu: bool):
+    from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                            ModelConfig, SchedulerConfig,
+                                            SpeculativeConfig)
+
+    overrides = dict(LLAMA_8B if on_tpu else TINY)
+    model = "llama"
+    spec = None
+    if name == "suffix":
+        spec = SpeculativeConfig(method="suffix", suffix_cache_max_depth=64)
+    elif name == "spec":
+        spec = SpeculativeConfig(method="arctic", num_speculative_tokens=3)
+    elif name == "swiftkv":
+        model = "llama_swiftkv"
+        overrides["num_key_value_layers"] = \
+            overrides["num_hidden_layers"] // 2
+    elif name != "baseline":
+        raise ValueError(f"unknown config {name}")
+    return EngineConfig(
+        model=ModelConfig(model=model, hf_overrides=overrides,
+                          quantization="fp8" if on_tpu else None,
+                          max_model_len=4096 if on_tpu else 512),
+        cache=CacheConfig(block_size=32,
+                          num_blocks=800 if on_tpu else 128),
+        scheduler=SchedulerConfig(
+            max_num_seqs=32 if on_tpu else 8,
+            max_num_batched_tokens=2048 if on_tpu else 256),
+        speculative=spec,
+    )
+
+
+def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
+            on_tpu: bool) -> dict:
+    import jax
+
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+
+    cfg = build_config(name, on_tpu)
+    llm = LLM(cfg)
+    rng = np.random.default_rng(0)
+    vocab = cfg.model.hf_overrides["vocab_size"]
+    prompts = [[int(x) for x in rng.integers(1, vocab - 1, input_len)]
+               for _ in range(num_prompts)]
+    sp = SamplingParams(max_tokens=output_len, ignore_eos=True)
+
+    # Warmup compiles at the run's shape buckets.
+    llm.generate(prompt_token_ids=prompts,
+                 sampling_params=SamplingParams(max_tokens=2,
+                                                ignore_eos=True))
+
+    eng = llm.engine
+    for i, p in enumerate(prompts):
+        eng.add_request(f"bench-{name}-{i}", p, sp)
+    t0 = time.perf_counter()
+    first_token_t: dict[str, float] = {}
+    finished = []
+    while eng.has_unfinished:
+        done = eng.step()
+        now = time.perf_counter()
+        for r in eng.scheduler.running:
+            if r.output_token_ids and r.req_id not in first_token_t:
+                first_token_t[r.req_id] = now
+        for r in done:
+            if r.req_id not in first_token_t:
+                first_token_t[r.req_id] = now
+            finished.append(r)
+    dt = time.perf_counter() - t0
+
+    gen_tokens = sum(len(r.output_token_ids) for r in finished)
+    ttfts = [first_token_t[r.req_id] - t0 for r in finished]
+    tpots = [(dt - ttft) / max(len(r.output_token_ids) - 1, 1)
+             for r, ttft in zip(finished, ttfts)]
+    out = {
+        "config": name,
+        "num_prompts": num_prompts,
+        "input_len": input_len,
+        "output_len": output_len,
+        "total_time_s": round(dt, 3),
+        "output_tokens_per_s": round(gen_tokens / dt, 2),
+        "total_tokens_per_s": round(
+            (gen_tokens + num_prompts * input_len) / dt, 2),
+        "ttft_p50_ms": round(float(np.percentile(ttfts, 50)) * 1e3, 1),
+        "ttft_p99_ms": round(float(np.percentile(ttfts, 99)) * 1e3, 1),
+        "tpot_mean_ms": round(float(np.mean(tpots)) * 1e3, 2),
+        "spec": eng.spec_stats.summary(),
+    }
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--configs", nargs="+",
+                        default=["baseline", "suffix"],
+                        choices=["baseline", "suffix", "spec", "swiftkv"])
+    parser.add_argument("--num-prompts", type=int, default=32)
+    parser.add_argument("--input-len", type=int, default=128)
+    parser.add_argument("--output-len", type=int, default=64)
+    args = parser.parse_args()
+
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/arctic_tpu_jax_cache")
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    on_tpu = jax.default_backend() == "tpu"
+    results = []
+    for name in args.configs:
+        print(f"== running {name} ==", flush=True)
+        results.append(run_one(name, args.num_prompts, args.input_len,
+                               args.output_len, on_tpu))
+        print(json.dumps(results[-1], indent=2), flush=True)
+    print("\n=== summary ===")
+    for r in results:
+        print(f"{r['config']:10s} {r['output_tokens_per_s']:10.1f} tok/s  "
+              f"ttft p50 {r['ttft_p50_ms']:8.1f} ms  "
+              f"tpot {r['tpot_mean_ms']:6.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
