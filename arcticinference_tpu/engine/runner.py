@@ -45,6 +45,7 @@ class StepInputs:
     # Row ranges into the sample rows per scheduled request.
     sample_row_start: list[int]
     sample_row_count: list[int]
+    total_tokens: int = 0
 
 
 class ModelRunner:
@@ -54,8 +55,20 @@ class ModelRunner:
         self.config = config
         self.module = module
         self.arch = arch
-        self.params = params
         self.mesh = mesh
+        pcfg = config.parallel
+        if pcfg.world_size > 1 and mesh is None:
+            from arcticinference_tpu.parallel import mesh as mesh_lib
+
+            if pcfg.data_parallel_size != 1:
+                raise NotImplementedError(
+                    "dp>1 runs as engine replicas; use replica_manager")
+            if getattr(module, "NEEDS_SWIFT_SCHEDULE", False):
+                raise NotImplementedError(
+                    "sharded SwiftKV lands in a later round")
+            self.mesh = mesh_lib.build_mesh(pcfg)
+            params = mesh_lib.shard_params(params, self.mesh)
+        self.params = params
 
         cache_cfg = config.cache
         self.block_size = cache_cfg.block_size
@@ -73,6 +86,14 @@ class ModelRunner:
             head_dim=arch.head_dim,
             dtype=kv_dtype)
         self.kv = allocate_kv_cache(self.kv_spec)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from arcticinference_tpu.parallel import mesh as mesh_lib
+
+            self.kv = jax.device_put(
+                self.kv, NamedSharding(self.mesh,
+                                       mesh_lib.kv_cache_spec()))
         self.kv_scale = jnp.ones((1,), jnp.float32)
 
         self.b_max = config.scheduler.max_num_seqs
@@ -210,7 +231,7 @@ class ModelRunner:
                 arrays[f"swift_{key}"] = val
         return StepInputs(arrays=arrays, t_pad=t_pad, s_pad=s_pad,
                           attn_qb=attn_qb, sample_row_start=row_start,
-                          sample_row_count=row_count)
+                          sample_row_count=row_count, total_tokens=total)
 
     # ------------------------------------------------------------------ #
     # Device step
@@ -247,14 +268,50 @@ class ModelRunner:
             bufs[buf_key][1] = off + n
         return out
 
-    def _get_step_fn(self, attn_qb: int, need_sampling: bool, shapes):
-        key = (attn_qb, need_sampling, shapes)
+    def _choose_mode(self, total_tokens: int) -> str:
+        """Shift parallelism: run the full-TP program for small batches
+        (reference model_runner.py:236-239), the Ulysses-SP program for
+        large ones.  Single chip / no sp -> "single"."""
+        if self.mesh is None:
+            return "single"
+        pcfg = self.config.parallel
+        if pcfg.ulysses_sequence_parallel_size <= 1:
+            return "sp"  # pure TP: the sp program with sp=1 IS plain TP
+        if pcfg.enable_shift_parallel and \
+                total_tokens <= pcfg.shift_parallel_threshold:
+            return "shift"
+        return "sp"
+
+    def _forward_fn(self, attn_qb: int, mode: str):
+        if mode == "single":
+            def fwd(params, kv, inputs):
+                return self.module.forward(
+                    params, self.arch, kv, inputs,
+                    attn_impl=_make_attn(self.module, attn_qb),
+                    unroll=jax.default_backend() == "tpu")
+            return fwd
+        from arcticinference_tpu.ops.fp8 import QuantizedLinear
+        from arcticinference_tpu.parallel.ulysses import (
+            make_sharded_forward)
+
+        quantized = any(
+            isinstance(x, QuantizedLinear)
+            for x in jax.tree.leaves(
+                self.params,
+                is_leaf=lambda x: isinstance(x, QuantizedLinear)))
+        return make_sharded_forward(
+            self.module, self.arch, self.mesh, self.config.parallel,
+            mode, attn_qb=attn_qb, quantized=quantized)
+
+    def _get_step_fn(self, attn_qb: int, need_sampling: bool, shapes,
+                     mode: str):
+        key = (attn_qb, need_sampling, shapes, mode)
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
-        module, arch = self.module, self.arch
-
+        module = self.module
         returns_rows = self.returns_rows
+        fwd = self._forward_fn(attn_qb, mode)
 
         def step(params, kv, i32, f32, kv_scale, rng):
             inputs = ModelRunner._unpack(i32, f32, shapes)
@@ -263,10 +320,7 @@ class ModelRunner:
             temperature = inputs.pop("temperature")
             top_k = inputs.pop("top_k")
             top_p = inputs.pop("top_p")
-            kv, h = module.forward(
-                params, arch, kv, inputs,
-                attn_impl=_make_attn(module, attn_qb),
-                unroll=jax.default_backend() == "tpu")
+            kv, h = fwd(params, kv, inputs)
             rows = h if returns_rows else h[logits_indices]
             logits = module.compute_logits(params, rows)
             argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -293,7 +347,9 @@ class ModelRunner:
             rng = jax.random.PRNGKey(0)
         i32, f32, shapes = self._pack(step_inputs.arrays)
         need_sampling = bool(step_inputs.arrays["temperature"].max() > 0)
-        fn = self._get_step_fn(step_inputs.attn_qb, need_sampling, shapes)
+        mode = self._choose_mode(step_inputs.total_tokens)
+        fn = self._get_step_fn(step_inputs.attn_qb, need_sampling, shapes,
+                               mode)
         self.kv, tokens, rows = fn(
             self.params, self.kv, jnp.asarray(i32), jnp.asarray(f32),
             self.kv_scale, rng)

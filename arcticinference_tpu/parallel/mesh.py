@@ -79,13 +79,21 @@ def shard_params(params, mesh: Mesh, specs: Optional[dict] = None):
     if specs is None:
         specs = param_specs()
 
+    def put(x, spec):
+        try:
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        except ValueError:
+            # Dim not divisible by the axis (e.g. tiny test vocab):
+            # fall back to replication for this leaf.
+            return jax.device_put(
+                x, NamedSharding(mesh, P(*([None] * x.ndim))))
+
     def place(leaf, spec):
         if isinstance(leaf, QuantizedLinear):
             wspec, sspec = quantized_leaf_spec(spec)
-            return QuantizedLinear(
-                jax.device_put(leaf.weight, NamedSharding(mesh, wspec)),
-                jax.device_put(leaf.scale, NamedSharding(mesh, sspec)))
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+            return QuantizedLinear(put(leaf.weight, wspec),
+                                   put(leaf.scale, sspec))
+        return put(leaf, spec)
 
     return jax.tree.map(
         place, params, specs,

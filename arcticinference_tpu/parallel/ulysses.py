@@ -177,14 +177,22 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
         }
         full_inputs = {k: v for k, v in inputs.items()
                        if k != "input_ids"}
-        return smapped(params, kv, tok_inputs, full_inputs)
+        # The LM head is consumed outside shard_map (logits run under
+        # auto-GSPMD); pass only the decoder params through.
+        fwd_params = {k: params[k] for k in _FWD_KEYS if k in params}
+        return smapped(fwd_params, kv, tok_inputs, full_inputs)
 
     return fn
 
 
+_FWD_KEYS = ("embed", "layers", "final_norm")
+
+
 def _param_spec_tree(module, quantized: bool):
-    """Build the exact-structure spec pytree for shard_map in_specs."""
-    specs = mesh_lib.param_specs()
+    """Build the exact-structure spec pytree for shard_map in_specs
+    (decoder params only — the LM head stays outside shard_map)."""
+    specs = {k: v for k, v in mesh_lib.param_specs().items()
+             if k in _FWD_KEYS}
 
     if not quantized:
         return specs

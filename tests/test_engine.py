@@ -26,8 +26,9 @@ TINY = dict(
 
 def tiny_config(**kw) -> EngineConfig:
     spec = kw.pop("speculative", None)
+    hf = {**TINY, **kw.pop("hf", {})}
     return EngineConfig(
-        model=ModelConfig(model="llama", hf_overrides=dict(TINY),
+        model=ModelConfig(model="llama", hf_overrides=hf,
                           max_model_len=256, dtype="float32", **kw.pop(
                               "model_kw", {})),
         cache=CacheConfig(block_size=8, num_blocks=128),

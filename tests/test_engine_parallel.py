@@ -1,0 +1,71 @@
+"""Engine-level SPMD tests: the full engine on a CPU mesh must reproduce
+single-chip outputs, including per-step shift<->SP mode switching."""
+
+import numpy as np
+import pytest
+
+from arcticinference_tpu.config import ParallelConfig
+from arcticinference_tpu.engine.llm import LLM
+from arcticinference_tpu.engine.request import SamplingParams
+from tests.test_engine import tiny_config
+
+PROMPTS = [[3, 14, 15, 92, 65, 35, 89, 79], [27, 18, 28, 18]]
+
+# Enough kv heads to shard over sp*tp <= 8.
+PAR_HF = dict(num_attention_heads=8, num_key_value_heads=8, head_dim=8)
+
+
+@pytest.fixture(scope="module")
+def single_outputs():
+    llm = LLM(tiny_config(hf=dict(PAR_HF)))
+    return llm.generate(prompt_token_ids=PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=10))
+
+
+def _parallel_cfg(**kw):
+    cfg = tiny_config(hf=dict(PAR_HF))
+    return cfg.replace(parallel=ParallelConfig(**kw))
+
+
+@pytest.mark.parametrize("tp,sp", [(2, 1), (2, 2), (1, 4)])
+def test_engine_tp_sp_matches_single(single_outputs, tp, sp):
+    cfg = _parallel_cfg(tensor_parallel_size=tp,
+                        ulysses_sequence_parallel_size=sp)
+    llm = LLM(cfg)
+    assert llm.engine.runner.mesh is not None
+    outs = llm.generate(prompt_token_ids=PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=10))
+    for o, ref in zip(outs, single_outputs):
+        assert o.token_ids == ref.token_ids
+
+
+def test_engine_shift_parallel_switching(single_outputs):
+    """Threshold between decode batch size and prefill size: prefill runs
+    the SP program, decode runs the full-TP shift program, sharing KV."""
+    cfg = _parallel_cfg(tensor_parallel_size=2,
+                        ulysses_sequence_parallel_size=2,
+                        enable_shift_parallel=True,
+                        shift_parallel_threshold=4)
+    llm = LLM(cfg)
+    outs = llm.generate(prompt_token_ids=PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=10))
+    for o, ref in zip(outs, single_outputs):
+        assert o.token_ids == ref.token_ids
+    # Both programs were actually compiled & used.
+    modes = {k[3] for k in llm.engine.runner._step_fns}
+    assert {"sp", "shift"} <= modes
+
+
+def test_engine_parallel_suffix_decoding(single_outputs):
+    from arcticinference_tpu.config import SpeculativeConfig
+
+    cfg = tiny_config(speculative=SpeculativeConfig(method="suffix"),
+                      hf=dict(PAR_HF))
+    cfg = cfg.replace(parallel=ParallelConfig(
+        tensor_parallel_size=2, ulysses_sequence_parallel_size=2,
+        enable_shift_parallel=True, shift_parallel_threshold=16))
+    llm = LLM(cfg)
+    outs = llm.generate(prompt_token_ids=PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=10))
+    for o, ref in zip(outs, single_outputs):
+        assert o.token_ids == ref.token_ids
