@@ -17,11 +17,14 @@ least ``num_speculative_tokens``, matching reference
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Optional
 
 import jax
 import numpy as np
+
+logger = logging.getLogger("arcticinference_tpu")
 
 from arcticinference_tpu.config import EngineConfig
 from arcticinference_tpu.engine.request import (Request, RequestStatus,
@@ -44,6 +47,10 @@ class LLMEngine:
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    self.runner.num_blocks)
         self.spec_stats = SpecDecodingStats()
+        from arcticinference_tpu.stats import EngineStats
+        self.engine_stats = EngineStats()
+        self._last_log = time.time()
+        self._profiling = False
         self._rng = jax.random.PRNGKey(config.model.seed)
 
         self.spec_config = config.speculative
@@ -97,6 +104,7 @@ class LLMEngine:
         sched_out = self.scheduler.schedule()
         if not sched_out.scheduled:
             return []
+        self._maybe_observe(sched_out)
         for req in sched_out.preempted:
             self._evict_spec_state(req)
 
@@ -151,7 +159,33 @@ class LLMEngine:
                 finished.append(req)
 
         self._propose_drafts(sched_out, step_inputs, rows, accepted_row)
+        self.engine_stats.num_steps += 1
+        self.engine_stats.num_finished += len(finished)
         return finished
+
+    def _maybe_observe(self, sched_out) -> None:
+        obs = self.config.observability
+        for s in sched_out.scheduled:
+            if s.request.is_prefilling:
+                self.engine_stats.num_prompt_tokens += s.num_new_tokens
+            else:
+                self.engine_stats.num_generated_tokens += s.num_new_tokens
+        now = time.time()
+        if now - self._last_log >= obs.log_interval_s:
+            self._last_log = now
+            st = self.engine_stats
+            msg = (f"steps={st.num_steps} running="
+                   f"{len(self.scheduler.running)} waiting="
+                   f"{len(self.scheduler.waiting)} gen_tok/s="
+                   f"{st.tokens_per_second():.1f} free_blocks="
+                   f"{self.scheduler.block_manager.num_free_blocks}")
+            if self.spec_stats.num_drafts:
+                msg += (f" spec_accept="
+                        f"{self.spec_stats.acceptance_rate:.2f}")
+            logger.info(msg)
+        if obs.enable_profiling and obs.profile_dir and not self._profiling:
+            jax.profiler.start_trace(obs.profile_dir)
+            self._profiling = True
 
     # ------------------------------------------------------------------ #
     # Speculation
