@@ -282,13 +282,17 @@ class ModelRunner:
             return "shift"
         return "sp"
 
-    def _forward_fn(self, attn_qb: int, mode: str):
+    def _forward_fn(self, attn_qb: int, mode: str, t_pad: int):
+        # Unroll only small (decode-ish) buckets: there the scan's
+        # per-layer weight-slice copies dominate; for big prefill buckets
+        # compute dominates and scan keeps compile time sane.
+        unroll = (jax.default_backend() == "tpu" and t_pad <= 256)
         if mode == "single":
             def fwd(params, kv, inputs):
                 return self.module.forward(
                     params, self.arch, kv, inputs,
                     attn_impl=_make_attn(self.module, attn_qb),
-                    unroll=jax.default_backend() == "tpu")
+                    unroll=unroll)
             return fwd
         from arcticinference_tpu.ops.fp8 import QuantizedLinear
         from arcticinference_tpu.parallel.ulysses import (
@@ -304,14 +308,14 @@ class ModelRunner:
             mode, attn_qb=attn_qb, quantized=quantized)
 
     def _get_step_fn(self, attn_qb: int, need_sampling: bool, shapes,
-                     mode: str):
+                     mode: str, t_pad: int):
         key = (attn_qb, need_sampling, shapes, mode)
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
         module = self.module
         returns_rows = self.returns_rows
-        fwd = self._forward_fn(attn_qb, mode)
+        fwd = self._forward_fn(attn_qb, mode, t_pad)
 
         def step(params, kv, i32, f32, kv_scale, rng):
             inputs = ModelRunner._unpack(i32, f32, shapes)
@@ -349,7 +353,7 @@ class ModelRunner:
         need_sampling = bool(step_inputs.arrays["temperature"].max() > 0)
         mode = self._choose_mode(step_inputs.total_tokens)
         fn = self._get_step_fn(step_inputs.attn_qb, need_sampling, shapes,
-                               mode)
+                               mode, step_inputs.t_pad)
         self.kv, tokens, rows = fn(
             self.params, self.kv, jnp.asarray(i32), jnp.asarray(f32),
             self.kv_scale, rng)
@@ -382,7 +386,7 @@ def _attach_encode():
             kv, h = module.forward(
                 params, arch, kv, inputs,
                 attn_impl=_make_attn(module, attn_qb),
-                unroll=jax.default_backend() == "tpu")
+                unroll=False)
             req_idx = inputs["req_idx"]
             seg = jnp.where(req_idx < 0, b_max, req_idx)
             hf = h.astype(jnp.float32)

@@ -205,3 +205,22 @@ class TestSchedulerBehavior:
                              sampling_params=SamplingParams(max_tokens=4))
         assert len(outs) == 9
         assert all(len(o.token_ids) == 4 for o in outs)
+
+
+class TestFp8KVCache:
+
+    def test_fp8_kv_outputs_close_to_bf16(self):
+        # fp8 KV storage (unit scale) should preserve greedy outputs on
+        # most steps; require exact-prefix agreement for several tokens.
+        base = LLM(tiny_config())
+        cfg = tiny_config()
+        cfg.cache.kv_cache_dtype = "fp8"
+        fp8 = LLM(cfg)
+        prompt = [3, 14, 15, 92, 65, 35]
+        a = base.generate(prompt_token_ids=[prompt],
+                          sampling_params=SamplingParams(max_tokens=8))
+        b = fp8.generate(prompt_token_ids=[prompt],
+                         sampling_params=SamplingParams(max_tokens=8))
+        assert len(b[0].token_ids) == 8
+        # Rounding can flip late tokens; the first few must agree.
+        assert a[0].token_ids[:3] == b[0].token_ids[:3]
