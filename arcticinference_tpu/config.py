@@ -117,11 +117,18 @@ class CacheConfig:
 
 @dataclass
 class SchedulerConfig:
-    """Continuous-batching limits (vLLM-v1-style token budget scheduler)."""
+    """Continuous-batching limits (vLLM-v1-style token budget scheduler).
+
+    ``async_scheduling`` pipelines engine steps: step N+1 is dispatched
+    with device-side token passthrough before step N's results reach the
+    host, hiding the host<->device round trip (it is disabled
+    automatically when speculative decoding needs host-side drafts).
+    """
 
     max_num_seqs: int = 64
     max_num_batched_tokens: int = 2048
     enable_chunked_prefill: bool = True
+    async_scheduling: bool = True
 
     def __post_init__(self) -> None:
         _positive("max_num_seqs", self.max_num_seqs)

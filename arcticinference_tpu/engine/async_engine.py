@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 from typing import AsyncIterator, Optional
 
 from arcticinference_tpu.config import EngineConfig
-from arcticinference_tpu.engine.engine import LLMEngine
+from arcticinference_tpu.engine.engine import LLMEngine, PENDING_TOKEN
 from arcticinference_tpu.engine.request import Request, SamplingParams
 
 
@@ -64,7 +64,14 @@ class AsyncLLMEngine:
                     if req is None:
                         continue
                 sent = self._sent_len.get(req_id, 0)
-                new = req.output_token_ids[sent:]
+                out = req.output_token_ids
+                # Only the host-known prefix is streamable (async
+                # scheduling leaves device-resident placeholders).
+                try:
+                    visible = out.index(PENDING_TOKEN)
+                except ValueError:
+                    visible = len(out)
+                new = out[sent:visible]
                 done = req.status.is_finished
                 if new or done:
                     self._sent_len[req_id] = sent + len(new)

@@ -34,6 +34,23 @@ from arcticinference_tpu.engine.scheduler import Scheduler, SchedulerOutput
 from arcticinference_tpu.models.loader import load_model
 from arcticinference_tpu.stats import SpecDecodingStats
 
+# Host-side placeholder for a token whose value is still device-resident
+# (async scheduling); always patched before user-visible output.
+PENDING_TOKEN = -7
+
+
+class _InflightStep:
+    """A dispatched-but-unsynced device step (async scheduling)."""
+
+    __slots__ = ("sched_out", "step_inputs", "tokens_dev", "commits")
+
+    def __init__(self, sched_out, step_inputs, tokens_dev):
+        self.sched_out = sched_out
+        self.step_inputs = step_inputs
+        self.tokens_dev = tokens_dev
+        # (request, output position, absolute token-row index)
+        self.commits: list = []
+
 
 class LLMEngine:
 
@@ -52,6 +69,14 @@ class LLMEngine:
         self._last_log = time.time()
         self._profiling = False
         self._rng = jax.random.PRNGKey(config.model.seed)
+
+        # Async scheduling (pipelined steps) is incompatible with
+        # host-side draft proposal, which needs token values per step.
+        self._pipeline = (config.scheduler.async_scheduling
+                          and config.speculative is None)
+        self._pipeline_depth = 2
+        self._inflight: list = []
+        self._pending_ref: dict = {}
 
         self.spec_config = config.speculative
         self._suffix_cache = None
@@ -93,14 +118,147 @@ class LLMEngine:
 
     @property
     def has_unfinished(self) -> bool:
-        return self.scheduler.num_unfinished > 0
+        return self.scheduler.num_unfinished > 0 or bool(self._inflight)
 
     # ------------------------------------------------------------------ #
     # Step loop
     # ------------------------------------------------------------------ #
 
     def step(self) -> list[Request]:
-        """Run one engine iteration; returns requests finished this step."""
+        """Run one engine iteration; returns requests finished this step.
+
+        With async scheduling, dispatches the next device step before
+        syncing the oldest in-flight one (host<->device latency hides
+        behind device compute); otherwise fully synchronous.
+        """
+        if self._pipeline:
+            return self._step_pipelined()
+        return self._step_sync()
+
+    # -- pipelined path -------------------------------------------------
+
+    def _step_pipelined(self) -> list[Request]:
+        sched_out = self.scheduler.schedule()
+        if sched_out.preempted:
+            # Preempted requests may hold pending tokens that their
+            # restart path would otherwise re-prefill as garbage.
+            self._flush_inflight()
+        if not sched_out.scheduled:
+            return self._sync_oldest() if self._inflight else []
+        self._maybe_observe(sched_out)
+
+        # Token passthrough: requests whose newest token is still
+        # device-resident read it from the previous step's output vector.
+        passthrough = {}
+        prev = self._inflight[-1] if self._inflight else None
+        for s in sched_out.scheduled:
+            req = s.request
+            if req.output_token_ids and \
+                    req.output_token_ids[-1] == PENDING_TOKEN:
+                ref = self._pending_ref.get(req.req_id)
+                if ref is None:
+                    raise RuntimeError("pending token without ref")
+                step_obj, row_abs = ref
+                if step_obj is not prev:
+                    # Produced two+ steps back and still unsynced: drain
+                    # oldest steps until the value lands on host or the
+                    # producing step becomes the newest in flight.
+                    while (self._inflight
+                           and req.output_token_ids[-1] == PENDING_TOKEN
+                           and self._inflight[-1] is not step_obj):
+                        self._sync_oldest()
+                if req.output_token_ids[-1] == PENDING_TOKEN:
+                    passthrough[req.req_id] = row_abs
+
+        prev = self._inflight[-1] if self._inflight else None
+        step_inputs = self.runner.prepare_inputs(sched_out, passthrough)
+        self._rng, step_rng = jax.random.split(self._rng)
+        tokens_dev, rows = self.runner.dispatch(
+            step_inputs, step_rng,
+            prev_tokens=prev.tokens_dev if prev is not None else None)
+
+        inflight = _InflightStep(sched_out, step_inputs, tokens_dev)
+        # Optimistic commit: placeholders for every produced token.
+        for r, s in enumerate(sched_out.scheduled):
+            req = s.request
+            if req.num_computed_tokens + s.num_new_tokens < \
+                    len(req.prompt_token_ids):
+                self.scheduler.update_after_step(s, [], 0)
+                continue
+            lo = step_inputs.sample_row_start[r]
+            row_abs = lo + (step_inputs.s_pad
+                            if req.sampling.temperature > 0 else 0)
+            inflight.commits.append(
+                (req, len(req.output_token_ids), row_abs))
+            self.scheduler.update_after_step(s, [PENDING_TOKEN], 0)
+            self._pending_ref[req.req_id] = (inflight, row_abs)
+        self._inflight.append(inflight)
+
+        finished: list[Request] = []
+        while len(self._inflight) > self._pipeline_depth:
+            finished.extend(self._sync_oldest())
+        self.engine_stats.num_steps += 1
+        self.engine_stats.num_finished += len(finished)
+        return finished
+
+    def _sync_oldest(self) -> list[Request]:
+        if not self._inflight:
+            return []
+        step = self._inflight.pop(0)
+        tokens = np.asarray(step.tokens_dev)
+        finished: list[Request] = []
+        for req, out_pos, row_abs in step.commits:
+            if req.status.is_finished:
+                continue  # stopped by an earlier commit; discard
+            assert req.output_token_ids[out_pos] == PENDING_TOKEN
+            req.output_token_ids[out_pos] = int(tokens[row_abs])
+            ref = self._pending_ref.get(req.req_id)
+            if ref is not None and ref[0] is step:
+                del self._pending_ref[req.req_id]
+            if req.first_token_time is None:
+                req.first_token_time = time.time()
+            stop = self._check_stop_prefix(req)
+            if stop is not None:
+                req.finish_time = time.time()
+                self.scheduler.finish_request(req, stop)
+                self._pending_ref.pop(req.req_id, None)
+                finished.append(req)
+        return finished
+
+    def _check_stop_prefix(self, req: Request):
+        """Stop conditions over the host-known prefix of the output
+        (tokens before the first still-pending placeholder)."""
+        out = req.output_token_ids
+        try:
+            prefix = out.index(PENDING_TOKEN)
+        except ValueError:
+            prefix = len(out)
+        sp = req.sampling
+        for i in range(prefix):
+            tok = out[i]
+            if (not sp.ignore_eos and self.eos_token_id is not None
+                    and tok == self.eos_token_id) or \
+                    tok in sp.stop_token_ids:
+                del out[i + 1:]
+                return RequestStatus.FINISHED_STOPPED
+        if prefix >= sp.max_tokens:
+            del out[sp.max_tokens:]
+            return RequestStatus.FINISHED_LENGTH
+        if len(req.prompt_token_ids) + prefix >= \
+                self.config.model.max_model_len:
+            del out[prefix:]
+            return RequestStatus.FINISHED_LENGTH
+        return None
+
+    def _flush_inflight(self) -> list[Request]:
+        out: list[Request] = []
+        while self._inflight:
+            out.extend(self._sync_oldest())
+        return out
+
+    # -- synchronous path ----------------------------------------------
+
+    def _step_sync(self) -> list[Request]:
         sched_out = self.scheduler.schedule()
         if not sched_out.scheduled:
             return []
@@ -162,6 +320,7 @@ class LLMEngine:
         self.engine_stats.num_steps += 1
         self.engine_stats.num_finished += len(finished)
         return finished
+
 
     def _maybe_observe(self, sched_out) -> None:
         obs = self.config.observability

@@ -136,13 +136,18 @@ class ModelRunner:
     # Input preparation (host)
     # ------------------------------------------------------------------ #
 
-    def prepare_inputs(self, sched_out: SchedulerOutput) -> StepInputs:
+    def prepare_inputs(self, sched_out: SchedulerOutput,
+                       passthrough: Optional[dict] = None) -> StepInputs:
+        """``passthrough`` maps req_id -> absolute row index into the
+        PREVIOUS step's device token vector for tokens whose value hasn't
+        reached the host yet (async scheduling)."""
         scheduled = sched_out.scheduled
         total = sum(s.num_new_tokens for s in scheduled)
         t_pad = pad_to_bucket(max(total, 1), self.token_buckets)
         b = self.b_max
 
         input_ids = np.zeros(t_pad, np.int32)
+        input_src = np.full(t_pad, -1, np.int32)
         positions = np.zeros(t_pad, np.int32)
         req_idx = np.full(t_pad, -1, np.int32)
         slot_mapping = np.full(t_pad, -1, np.int32)
@@ -162,6 +167,11 @@ class ModelRunner:
             ctx = req.num_computed_tokens
             toks = (req.all_token_ids + s.spec_token_ids)[ctx:ctx + n]
             assert len(toks) == n, (len(toks), n, ctx)
+            if passthrough and req.req_id in passthrough:
+                # The first fed token is the previous step's (still
+                # device-resident) output; its host value is a sentinel.
+                input_src[t] = passthrough[req.req_id]
+                toks = [0] + list(toks[1:])
             input_ids[t:t + n] = toks
             positions[t:t + n] = np.arange(ctx, ctx + n)
             req_idx[t:t + n] = r
@@ -207,7 +217,8 @@ class ModelRunner:
          token_item, token_off) = schedule
 
         arrays = dict(
-            input_ids=input_ids, positions=positions, req_idx=req_idx,
+            input_ids=input_ids, input_src=input_src,
+            positions=positions, req_idx=req_idx,
             slot_mapping=slot_mapping, block_tables=block_tables,
             seq_lens=seq_lens, logits_indices=logits_indices,
             temperature=temperature, top_k=top_k, top_p=top_p,
@@ -240,7 +251,8 @@ class ModelRunner:
     # Order in which the int32 step arrays are packed into ONE host->device
     # transfer (device-to-host round trips dominate step latency on a
     # tunneled TPU, and 17 small uploads cost 17 latencies).
-    _I32_KEYS = ("input_ids", "positions", "req_idx", "slot_mapping",
+    _I32_KEYS = ("input_ids", "input_src", "positions", "req_idx",
+                 "slot_mapping",
                  "block_tables", "seq_lens", "logits_indices", "top_k",
                  "attn_item_req", "attn_item_qstart", "attn_item_qlen",
                  "attn_item_pages", "attn_item_pos_base", "attn_token_item",
@@ -317,9 +329,17 @@ class ModelRunner:
         returns_rows = self.returns_rows
         fwd = self._forward_fn(attn_qb, mode, t_pad)
 
-        def step(params, kv, i32, f32, kv_scale, rng):
+        def step(params, kv, i32, f32, kv_scale, rng, prev_tokens):
             inputs = ModelRunner._unpack(i32, f32, shapes)
             inputs["kv_scale"] = kv_scale
+            src_idx = inputs.pop("input_src")
+            # Device-side token passthrough (async scheduling): fill in
+            # tokens whose values the host hasn't seen yet.
+            inputs["input_ids"] = jnp.where(
+                src_idx >= 0,
+                prev_tokens[jnp.clip(src_idx, 0,
+                                     prev_tokens.shape[0] - 1)],
+                inputs["input_ids"])
             logits_indices = inputs["logits_indices"]
             temperature = inputs.pop("temperature")
             top_k = inputs.pop("top_k")
@@ -340,15 +360,19 @@ class ModelRunner:
         self._step_fns[key] = fn
         return fn
 
-    def execute(self, step_inputs: StepInputs,
-                rng: Optional[jax.Array] = None):
-        """Run one device step; returns (argmax, sampled, rows).
+    def dispatch(self, step_inputs: StepInputs,
+                 rng: Optional[jax.Array] = None,
+                 prev_tokens=None):
+        """Enqueue one device step; returns (tokens_dev [2*S_pad], rows).
 
-        argmax/sampled come back as numpy [S_pad] (one packed D2H
-        transfer); rows stay on device for the speculator.
+        ``prev_tokens`` is the previous step's device token vector for
+        input passthrough (async scheduling); a dummy is used when every
+        input token value is known on host.
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        if prev_tokens is None:
+            prev_tokens = jnp.zeros(2, jnp.int32)
         i32, f32, shapes = self._pack(step_inputs.arrays)
         need_sampling = bool(step_inputs.arrays["temperature"].max() > 0)
         mode = self._choose_mode(step_inputs.total_tokens)
@@ -356,7 +380,14 @@ class ModelRunner:
                                mode, step_inputs.t_pad)
         self.kv, tokens, rows = fn(
             self.params, self.kv, jnp.asarray(i32), jnp.asarray(f32),
-            self.kv_scale, rng)
+            self.kv_scale, rng, prev_tokens)
+        return tokens, rows
+
+    def execute(self, step_inputs: StepInputs,
+                rng: Optional[jax.Array] = None):
+        """Synchronous step; returns (argmax, sampled, rows) with
+        argmax/sampled as numpy [S_pad]."""
+        tokens, rows = self.dispatch(step_inputs, rng)
         tokens = np.asarray(tokens)
         s = step_inputs.s_pad
         return tokens[:s], tokens[s:], rows

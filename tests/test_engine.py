@@ -224,3 +224,34 @@ class TestFp8KVCache:
         assert len(b[0].token_ids) == 8
         # Rounding can flip late tokens; the first few must agree.
         assert a[0].token_ids[:3] == b[0].token_ids[:3]
+
+
+class TestAsyncScheduling:
+
+    def test_async_equals_sync(self):
+        cfg_async = tiny_config()
+        cfg_sync = tiny_config()
+        cfg_sync.scheduler.async_scheduling = False
+        a = LLM(cfg_async)
+        s = LLM(cfg_sync)
+        assert a.engine._pipeline and not s.engine._pipeline
+        rng = np.random.default_rng(3)
+        prompts = [[int(x) for x in rng.integers(1, 97, n)]
+                   for n in (5, 23, 70, 11, 3, 40)]
+        pa = a.generate(prompt_token_ids=prompts,
+                        sampling_params=SamplingParams(max_tokens=12))
+        ps = s.generate(prompt_token_ids=prompts,
+                        sampling_params=SamplingParams(max_tokens=12))
+        for x, y in zip(pa, ps):
+            assert x.token_ids == y.token_ids
+
+    def test_async_stop_token(self):
+        llm = LLM(tiny_config())
+        base = llm.generate(prompt_token_ids=[[5, 6, 7]],
+                            sampling_params=SamplingParams(max_tokens=5))
+        first = base[0].token_ids[0]
+        out = llm.generate(
+            prompt_token_ids=[[5, 6, 7]],
+            sampling_params=SamplingParams(max_tokens=5,
+                                           stop_token_ids=(first,)))
+        assert out[0].token_ids == [first]
