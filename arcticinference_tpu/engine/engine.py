@@ -283,9 +283,10 @@ class LLMEngine:
                 self.scheduler.update_after_step(s, [], 0)
                 continue
 
-            # Greedy-accept verification against the argmax chain; for
-            # temperature>0 requests the (single) row uses the device
-            # sampler instead.
+            # Verification: greedy requests accept against the argmax
+            # chain; temperature>0 requests use sample-and-compare (the
+            # device samples every verify row from the target
+            # distribution; accepting draft==sample is unbiased).
             drafts = s.spec_token_ids
             use_sampler = req.sampling.temperature > 0
             rowvals = (sampled if use_sampler else argmax)[lo:lo + k]
@@ -369,8 +370,7 @@ class LLMEngine:
         if self._suffix_cache is not None:
             for s in sched_out.scheduled:
                 req = s.request
-                if (req.status.is_finished or req.is_prefilling
-                        or req.sampling.temperature > 0):
+                if req.status.is_finished or req.is_prefilling:
                     continue
                 pattern = req.all_token_ids[-sc.suffix_cache_max_depth:]
                 cap = min(sc.num_speculative_tokens,
@@ -395,8 +395,7 @@ class LLMEngine:
         drafter_reqs = []
         for s in sched_out.scheduled:
             req = s.request
-            if req.status.is_finished or req.is_prefilling or \
-                    req.sampling.temperature > 0:
+            if req.status.is_finished or req.is_prefilling:
                 continue
             res = suffix_results.get(req.req_id)
             if res is not None and res.score >= min_score and res.token_ids:

@@ -117,3 +117,27 @@ class TestEngineIntegration:
         # >1 running requests => speculation disabled => no drafts counted.
         assert llm.engine.spec_stats.num_drafts == 0
         assert all(len(o.token_ids) == 10 for o in outs)
+
+
+class TestStochasticSpec:
+
+    def test_temperature_spec_unbiased_smoke(self):
+        """Speculation with temperature>0 must produce plausible-length
+        outputs and count draft activity; distribution equality is
+        covered by the sample-and-compare construction."""
+        from arcticinference_tpu.config import SpeculativeConfig
+
+        cfg = tiny_config(speculative=SpeculativeConfig(method="suffix"))
+        llm = LLM(cfg)
+        prompt = [3, 14, 15, 92, 65]
+        outs = llm.generate(
+            prompt_token_ids=[prompt],
+            sampling_params=SamplingParams(max_tokens=24,
+                                           temperature=0.7))
+        assert len(outs[0].token_ids) == 24
+        # A second identical request drafts from the first response.
+        outs2 = llm.generate(
+            prompt_token_ids=[prompt],
+            sampling_params=SamplingParams(max_tokens=24,
+                                           temperature=0.7))
+        assert llm.engine.spec_stats.num_drafts > 0
