@@ -131,9 +131,16 @@ class LLMEngine:
         syncing the oldest in-flight one (host<->device latency hides
         behind device compute); otherwise fully synchronous.
         """
-        if self._pipeline:
+        if self._pipeline and not self._any_guided():
             return self._step_pipelined()
+        if self._inflight:
+            self._flush_inflight()
         return self._step_sync()
+
+    def _any_guided(self) -> bool:
+        return any(r.sampling.guided is not None
+                   for r in (*self.scheduler.running,
+                             *self.scheduler.waiting))
 
     # -- pipelined path -------------------------------------------------
 
@@ -268,7 +275,15 @@ class LLMEngine:
 
         step_inputs = self.runner.prepare_inputs(sched_out)
         self._rng, step_rng = jax.random.split(self._rng)
-        argmax, sampled, rows = self.runner.execute(step_inputs, step_rng)
+        need_topk = any(s.request.sampling.guided is not None
+                        for s in sched_out.scheduled)
+        out = self.runner.execute(step_inputs, step_rng,
+                                  need_topk=need_topk)
+        if need_topk:
+            argmax, sampled, rows, topk = out
+        else:
+            argmax, sampled, rows = out
+            topk = None
 
         finished: list[Request] = []
         accepted_row: dict[str, int] = {}
@@ -281,6 +296,31 @@ class LLMEngine:
                     len(req.prompt_token_ids):
                 # Mid-prefill chunk: no tokens produced.
                 self.scheduler.update_after_step(s, [], 0)
+                continue
+
+            guided = req.sampling.guided
+            if guided is not None and topk is not None:
+                # Grammar-guided: first ranked candidate that keeps the
+                # output valid; grammar fallback if all K are invalid.
+                tok = guided.pick(topk[lo])
+                if tok is None:
+                    tok = guided.fallback_token()
+                if tok is None:
+                    tok = int(argmax[lo])
+                guided.advance_token(tok)
+                self.scheduler.update_after_step(s, [int(tok)], 0)
+                accepted_row[req.req_id] = lo
+                if req.first_token_time is None:
+                    req.first_token_time = time.time()
+                stop = req.check_stop(self.eos_token_id,
+                                      self.config.model.max_model_len)
+                if stop is None and guided.finished():
+                    stop = RequestStatus.FINISHED_STOPPED
+                if stop is not None:
+                    req.finish_time = time.time()
+                    self.scheduler.finish_request(req, stop)
+                    self._evict_spec_state(req)
+                    finished.append(req)
                 continue
 
             # Verification: greedy requests accept against the argmax
@@ -370,7 +410,8 @@ class LLMEngine:
         if self._suffix_cache is not None:
             for s in sched_out.scheduled:
                 req = s.request
-                if req.status.is_finished or req.is_prefilling:
+                if req.status.is_finished or req.is_prefilling or \
+                        req.sampling.guided is not None:
                     continue
                 pattern = req.all_token_ids[-sc.suffix_cache_max_depth:]
                 cap = min(sc.num_speculative_tokens,
@@ -395,7 +436,8 @@ class LLMEngine:
         drafter_reqs = []
         for s in sched_out.scheduled:
             req = s.request
-            if req.status.is_finished or req.is_prefilling:
+            if req.status.is_finished or req.is_prefilling or \
+                    req.sampling.guided is not None:
                 continue
             res = suffix_results.get(req.req_id)
             if res is not None and res.score >= min_score and res.token_ids:

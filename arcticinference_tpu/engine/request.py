@@ -15,6 +15,9 @@ class SamplingParams:
     top_p: float = 1.0
     stop_token_ids: tuple[int, ...] = ()
     ignore_eos: bool = False
+    # Grammar-guided decoding (e.g. serving.structured.JsonGuidedDecoder);
+    # compared by identity, not value.
+    guided: object = None
 
     def __post_init__(self) -> None:
         if self.max_tokens <= 0:

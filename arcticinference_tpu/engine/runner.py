@@ -319,9 +319,11 @@ class ModelRunner:
             self.module, self.arch, self.mesh, self.config.parallel,
             mode, attn_qb=attn_qb, quantized=quantized)
 
+    GUIDED_TOPK = 16
+
     def _get_step_fn(self, attn_qb: int, need_sampling: bool, shapes,
-                     mode: str, t_pad: int):
-        key = (attn_qb, need_sampling, shapes, mode)
+                     mode: str, t_pad: int, need_topk: bool = False):
+        key = (attn_qb, need_sampling, shapes, mode, need_topk)
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
@@ -351,9 +353,14 @@ class ModelRunner:
             if need_sampling:
                 from arcticinference_tpu.ops.sampling import sample
                 sampled = sample(logits, temperature, top_k, top_p, rng)
-                tokens = jnp.concatenate([argmax, sampled])
+                parts = [argmax, sampled]
             else:
-                tokens = jnp.concatenate([argmax, argmax])
+                parts = [argmax, argmax]
+            if need_topk:
+                # Ranked candidates for grammar-guided host-side choice.
+                _, cand = jax.lax.top_k(logits, ModelRunner.GUIDED_TOPK)
+                parts.append(cand.astype(jnp.int32).reshape(-1))
+            tokens = jnp.concatenate(parts)
             return kv, tokens, rows
 
         fn = jax.jit(step, donate_argnums=(1,))
@@ -362,7 +369,7 @@ class ModelRunner:
 
     def dispatch(self, step_inputs: StepInputs,
                  rng: Optional[jax.Array] = None,
-                 prev_tokens=None):
+                 prev_tokens=None, need_topk: bool = False):
         """Enqueue one device step; returns (tokens_dev [2*S_pad], rows).
 
         ``prev_tokens`` is the previous step's device token vector for
@@ -377,20 +384,24 @@ class ModelRunner:
         need_sampling = bool(step_inputs.arrays["temperature"].max() > 0)
         mode = self._choose_mode(step_inputs.total_tokens)
         fn = self._get_step_fn(step_inputs.attn_qb, need_sampling, shapes,
-                               mode, step_inputs.t_pad)
+                               mode, step_inputs.t_pad, need_topk)
         self.kv, tokens, rows = fn(
             self.params, self.kv, jnp.asarray(i32), jnp.asarray(f32),
             self.kv_scale, rng, prev_tokens)
         return tokens, rows
 
     def execute(self, step_inputs: StepInputs,
-                rng: Optional[jax.Array] = None):
-        """Synchronous step; returns (argmax, sampled, rows) with
-        argmax/sampled as numpy [S_pad]."""
-        tokens, rows = self.dispatch(step_inputs, rng)
+                rng: Optional[jax.Array] = None,
+                need_topk: bool = False):
+        """Synchronous step; returns (argmax, sampled, rows[, topk])."""
+        tokens, rows = self.dispatch(step_inputs, rng,
+                                     need_topk=need_topk)
         tokens = np.asarray(tokens)
         s = step_inputs.s_pad
-        return tokens[:s], tokens[s:], rows
+        if need_topk:
+            topk = tokens[2 * s:].reshape(s, self.GUIDED_TOPK)
+            return tokens[:s], tokens[s:2 * s], rows, topk
+        return tokens[:s], tokens[s:2 * s], rows
 
 
 def _make_attn(module, attn_qb: int):

@@ -57,6 +57,15 @@ class OpenAIServer:
 
     def _sampling_from(self, body: dict[str, Any]) -> SamplingParams:
         eos_ignore = bool(body.get("ignore_eos", False))
+        guided = None
+        fmt = body.get("response_format") or {}
+        if fmt.get("type") in ("json_object", "json_schema"):
+            if self.tokenizer is None:
+                raise web.HTTPBadRequest(
+                    text="json mode requires a tokenizer")
+            from arcticinference_tpu.serving.structured import (
+                JsonGuidedDecoder)
+            guided = JsonGuidedDecoder(self.tokenizer)
         return SamplingParams(
             max_tokens=int(body.get("max_tokens", 128)),
             temperature=float(body.get("temperature", 0.0)),
@@ -64,6 +73,7 @@ class OpenAIServer:
             top_k=int(body.get("top_k", 0)),
             ignore_eos=eos_ignore,
             stop_token_ids=tuple(body.get("stop_token_ids", ())),
+            guided=guided,
         )
 
     def _encode(self, text: str) -> list[int]:

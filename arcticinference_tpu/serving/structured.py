@@ -1,0 +1,305 @@
+"""Structured output (JSON mode): grammar-guided decoding.
+
+The reference gets structured output from vLLM's guided decoding and
+benchmarks it via ``test_json_mode`` (reference
+``tests/benchmarks/test_benchmarks.py:46-76``).  Here the capability is
+engine-native, designed around TPU constraints: shipping a [vocab]-sized
+mask to the device every step through a tunneled runtime is expensive, so
+instead the device returns its top-K candidates per sample row and the
+host picks the first candidate whose text keeps the JSON prefix valid
+(falling back to a grammar-chosen token when all K are invalid).  Output
+validity is *guaranteed*; token choice equals constrained argmax whenever
+the argmax-allowed token is within the top K (K=16, virtually always).
+
+``JsonPrefixValidator`` is an incremental pushdown validator: feed text,
+it tracks whether the prefix can still extend to valid JSON and whether
+it is already complete.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Protocol, Sequence
+
+_WS = " \t\n\r"
+_DIGITS = "0123456789"
+
+
+class GuidedDecoder(Protocol):
+    def allows(self, text: str) -> bool: ...
+    def advance(self, text: str) -> None: ...
+    def finished(self) -> bool: ...
+    def fallback_text(self) -> str: ...
+
+
+class JsonPrefixValidator:
+    """Incremental validity of a JSON-document prefix.
+
+    States are tracked with an explicit container stack plus a small
+    scalar state machine; `copy()` is cheap so candidate tokens can be
+    tested speculatively.
+    """
+
+    def __init__(self) -> None:
+        # stack entries: 'O' object, 'A' array
+        self.stack: list[str] = []
+        # mode: what we expect next
+        #  'value'      start of a value
+        #  'obj_key'    '"' starting a key (or '}' if allow_close)
+        #  'obj_colon'  ':'
+        #  'obj_next'   ',' or '}'
+        #  'arr_next'   ',' or ']'
+        #  'str' / 'str_esc'  inside a string (value or key)
+        #  'num' ...    inside a number
+        #  'lit'        inside true/false/null
+        #  'done'       a complete document
+        self.mode = "value"
+        self.allow_close = False   # '}'/']' legal right now (empty or post)
+        self.str_is_key = False
+        self.lit_target = ""
+        self.lit_pos = 0
+        self.num_state = ""        # progress marker inside a number
+        self.dead = False
+
+    def copy(self) -> "JsonPrefixValidator":
+        c = JsonPrefixValidator.__new__(JsonPrefixValidator)
+        c.stack = self.stack[:]
+        c.mode = self.mode
+        c.allow_close = self.allow_close
+        c.str_is_key = self.str_is_key
+        c.lit_target = self.lit_target
+        c.lit_pos = self.lit_pos
+        c.num_state = self.num_state
+        c.dead = self.dead
+        return c
+
+    # -- public ----------------------------------------------------------
+
+    def feed(self, text: str) -> bool:
+        """Consume text; returns False (and goes dead) on invalid prefix."""
+        for ch in text:
+            if not self._feed_char(ch):
+                self.dead = True
+                return False
+        return True
+
+    def accepts(self, text: str) -> bool:
+        return self.copy().feed(text)
+
+    @property
+    def complete(self) -> bool:
+        return self.mode == "done" and not self.dead
+
+    # -- internals -------------------------------------------------------
+
+    def _close_value(self) -> None:
+        """A value just finished; figure out what comes next."""
+        if not self.stack:
+            self.mode = "done"
+        elif self.stack[-1] == "O":
+            self.mode = "obj_next"
+        else:
+            self.mode = "arr_next"
+
+    def _feed_char(self, ch: str) -> bool:  # noqa: C901 (FSM)
+        if self.dead:
+            return False
+        m = self.mode
+
+        if m == "str" :
+            if ch == "\\":
+                self.mode = "str_esc"
+            elif ch == '"':
+                if self.str_is_key:
+                    self.mode = "obj_colon"
+                else:
+                    self._close_value()
+            elif ch in "\n\r":
+                return False
+            return True
+        if m == "str_esc":
+            if ch in '"\\/bfnrtu':
+                self.mode = "str"   # (u-escape hex digits pass the b-check)
+                return True
+            return False
+
+        if m == "num":
+            if ch in _DIGITS:
+                if self.num_state == "frac_start":
+                    self.num_state = "frac"
+                elif self.num_state == "exp_start":
+                    self.num_state = "exp"
+                return True
+            if ch == "." and self.num_state == "int":
+                self.num_state = "frac_start"
+                return True
+            if ch in "eE" and self.num_state in ("int", "frac"):
+                self.num_state = "exp_start"
+                return True
+            if ch in "+-" and self.num_state == "exp_start":
+                self.num_state = "exp"
+                return True
+            if self.num_state in ("frac_start", "exp_start") \
+                    and ch not in _DIGITS:
+                return False
+            # Number ended; re-dispatch ch in the post-value mode.
+            self._close_value()
+            return self._feed_char(ch)
+
+        if m == "lit":
+            want = self.lit_target[self.lit_pos]
+            if ch != want:
+                return False
+            self.lit_pos += 1
+            if self.lit_pos == len(self.lit_target):
+                self._close_value()
+            return True
+
+        if ch in _WS:
+            return m != "num"  # ws is fine between tokens
+
+        if m == "value":
+            if ch == "{":
+                self.stack.append("O")
+                self.mode = "obj_key"
+                self.allow_close = True
+                return True
+            if ch == "[":
+                self.stack.append("A")
+                self.mode = "value"
+                self.allow_close = True
+                return True
+            if ch == "]" and self.allow_close and self.stack and \
+                    self.stack[-1] == "A":
+                self.stack.pop()
+                self.allow_close = False
+                self._close_value()
+                return True
+            if ch == '"':
+                self.mode = "str"
+                self.str_is_key = False
+                self.allow_close = False
+                return True
+            if ch == "-" or ch in _DIGITS:
+                self.mode = "num"
+                self.num_state = "int"
+                self.allow_close = False
+                return True
+            for lit in ("true", "false", "null"):
+                if ch == lit[0]:
+                    self.mode = "lit"
+                    self.lit_target = lit
+                    self.lit_pos = 1
+                    self.allow_close = False
+                    return True
+            return False
+
+        if m == "obj_key":
+            if ch == '"':
+                self.mode = "str"
+                self.str_is_key = True
+                return True
+            if ch == "}" and self.allow_close:
+                self.stack.pop()
+                self.allow_close = False
+                self._close_value()
+                return True
+            return False
+
+        if m == "obj_colon":
+            if ch == ":":
+                self.mode = "value"
+                self.allow_close = False
+                return True
+            return False
+
+        if m == "obj_next":
+            if ch == ",":
+                self.mode = "obj_key"
+                self.allow_close = False
+                return True
+            if ch == "}":
+                self.stack.pop()
+                self._close_value()
+                return True
+            return False
+
+        if m == "arr_next":
+            if ch == ",":
+                self.mode = "value"
+                self.allow_close = False
+                return True
+            if ch == "]":
+                self.stack.pop()
+                self._close_value()
+                return True
+            return False
+
+        if m == "done":
+            return False
+        return False
+
+    def suggest_char(self) -> str:
+        """A character that legally extends the current prefix."""
+        m = self.mode
+        if m == "str":
+            return '"'
+        if m == "str_esc":
+            return "n"
+        if m == "num":
+            return "0" if self.num_state.endswith("_start") else \
+                ("}" if self.stack and self.stack[-1] == "O" else
+                 "]" if self.stack else "0")
+        if m == "lit":
+            return self.lit_target[self.lit_pos]
+        if m == "value":
+            return "{"
+        if m == "obj_key":
+            return '"'
+        if m == "obj_colon":
+            return ":"
+        if m == "obj_next":
+            return "}"
+        if m == "arr_next":
+            return "]"
+        return ""
+
+
+class JsonGuidedDecoder:
+    """GuidedDecoder enforcing syntactically valid JSON output."""
+
+    def __init__(self, tokenizer) -> None:
+        self.tokenizer = tokenizer
+        self.validator = JsonPrefixValidator()
+        self._cache: dict[int, str] = {}
+
+    def _text(self, token_id: int) -> str:
+        t = self._cache.get(token_id)
+        if t is None:
+            t = self.tokenizer.decode([token_id])
+            self._cache[token_id] = t
+        return t
+
+    def allows_token(self, token_id: int) -> bool:
+        if self.validator.complete:
+            return False
+        return self.validator.accepts(self._text(token_id))
+
+    def advance_token(self, token_id: int) -> None:
+        self.validator.feed(self._text(token_id))
+
+    def finished(self) -> bool:
+        return self.validator.complete
+
+    def fallback_token(self) -> Optional[int]:
+        ch = self.validator.suggest_char()
+        if not ch:
+            return None
+        ids = self.tokenizer.encode(ch, add_special_tokens=False)
+        return ids[0] if ids else None
+
+    def pick(self, candidates: Sequence[int]) -> Optional[int]:
+        """First candidate that keeps the prefix valid; None if none do."""
+        for tok in candidates:
+            if self.allows_token(int(tok)):
+                return int(tok)
+        return None
