@@ -78,10 +78,15 @@ class ModelRunner:
         self.num_blocks = num_blocks
         kv_dtype = (jnp.float8_e4m3fn
                     if cache_cfg.kv_cache_dtype == "fp8" else jnp.bfloat16)
+        # GQA + replication: when kv heads < sp*tp the cache stores each
+        # head sp*tp/Hkv times (one copy per fused-axis shard).
+        eff_kv_heads = arch.num_kv_heads
+        if self.mesh is not None:
+            eff_kv_heads = max(arch.num_kv_heads, pcfg.sp_tp_size)
         self.kv_spec = KVCacheSpec(
             num_layers=arch.num_layers,
             num_blocks=num_blocks,
-            num_kv_heads=arch.num_kv_heads,
+            num_kv_heads=eff_kv_heads,
             block_size=self.block_size,
             head_dim=arch.head_dim,
             dtype=kv_dtype)

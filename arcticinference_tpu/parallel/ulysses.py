@@ -46,14 +46,28 @@ def _local_slice(w, axis: int, idx, n: int):
 
 
 class ParallelContext:
-    """Per-device hooks injected into the model forward under shard_map."""
+    """Per-device hooks injected into the model forward under shard_map.
 
-    def __init__(self, cfg: ParallelConfig, mode: str):
+    GQA with ``num_kv_heads < sp*tp``: kv heads are replicated
+    ``r = sp*tp / num_kv_heads``-fold (the reference's SP_AA/SP_AG
+    decomposition, ``ulysses.py:249-295``, reduces to the same wire
+    traffic).  In SP mode each tp shard repeats its kv heads so the sp
+    all-to-all hands every device exactly the head its q-chunk needs; in
+    shift mode the wk/wv shards are sliced at head granularity.
+    """
+
+    def __init__(self, cfg: ParallelConfig, mode: str,
+                 num_kv_heads: int = 0, head_dim: int = 0):
         assert mode in ("sp", "shift")
         self.cfg = cfg
         self.mode = mode
         self.sp = cfg.ulysses_sequence_parallel_size
         self.tp = cfg.tensor_parallel_size
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        # kv replication factor (1 when heads divide evenly)
+        self.kv_rep = (max(self.sp * self.tp // num_kv_heads, 1)
+                       if num_kv_heads else 1)
 
     # -- weights ---------------------------------------------------------
 
@@ -68,6 +82,23 @@ class ParallelContext:
         for key, axis in (("wq", 1), ("wk", 1), ("wv", 1), ("w_gate", 1),
                           ("w_up", 1), ("wo", 0), ("w_down", 0)):
             w = lp[key]
+            if key in ("wk", "wv") and self.kv_rep > 1:
+                # Head-granular slice: device (t, s) needs local kv head
+                # floor(s * g / sp) of its tp shard (g heads per shard).
+                g = self.num_kv_heads // self.tp
+                head = (s * g) // self.sp
+                d = self.head_dim
+
+                def slice_head(x):
+                    return jax.lax.dynamic_slice_in_dim(
+                        x, head * d, d, axis)
+
+                if isinstance(w, QuantizedLinear):
+                    out[key] = QuantizedLinear(slice_head(w.weight),
+                                               w.scale)
+                else:
+                    out[key] = slice_head(w)
+                continue
             if isinstance(w, QuantizedLinear):
                 out[key] = QuantizedLinear(
                     _local_slice(w.weight, axis, s, self.sp), w.scale)
@@ -84,12 +115,20 @@ class ParallelContext:
             num_heads=arch.num_heads // div,
             num_kv_heads=max(arch.num_kv_heads // div, 1))
 
+    def _rep_kv(self, k):
+        """[T, g, D] -> [T, sp, D]: repeat so the sp all-to-all delivers
+        each device the kv head its q-chunk uses (consecutive r-fold)."""
+        return jnp.repeat(k, self.kv_rep, axis=1)
+
     # -- collectives -----------------------------------------------------
 
     def dispatch(self, q, k, v):
         """SP all-to-all: [T/sp, H/tp, D] -> [T, H/(sp*tp), D]."""
         if self.mode != "sp" or self.sp == 1:
             return q, k, v
+        if self.kv_rep > 1:
+            k = self._rep_kv(k)
+            v = self._rep_kv(v)
         a2a = functools.partial(
             jax.lax.all_to_all, axis_name="sp", split_axis=1,
             concat_axis=0, tiled=True)
@@ -131,12 +170,20 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
     Returns fn(params, kv, inputs) -> (kv, hidden[T, D_model]) operating on
     GLOBAL arrays (hidden gathered over sp).
     """
-    pctx = ParallelContext(cfg, mode)
+    pctx = ParallelContext(cfg, mode, num_kv_heads=arch.num_kv_heads,
+                           head_dim=arch.head_dim)
     heads_div = cfg.sp_tp_size
     if arch.num_kv_heads % heads_div != 0:
-        raise NotImplementedError(
-            f"num_kv_heads={arch.num_kv_heads} must be divisible by "
-            f"sp*tp={heads_div} (KV-head replication lands later)")
+        # KV replication case: requires whole heads per tp shard and an
+        # integer replication factor.
+        tp, sp = cfg.tensor_parallel_size, cfg.ulysses_sequence_parallel_size
+        if arch.num_kv_heads % tp != 0:
+            raise NotImplementedError(
+                f"num_kv_heads={arch.num_kv_heads} must divide by tp={tp}")
+        g = arch.num_kv_heads // tp
+        if sp % g != 0:
+            raise NotImplementedError(
+                f"sp={sp} must be a multiple of kv-heads-per-shard {g}")
 
     attn_impl = None
     make_attn = getattr(module, "make_attn_impl", None)

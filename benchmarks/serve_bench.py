@@ -143,17 +143,34 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     on_tpu = jax.default_backend() == "tpu"
-    results = []
-    for name in args.configs:
-        print(f"== running {name} ==", flush=True)
-        results.append(run_one(name, args.num_prompts, args.input_len,
-                               args.output_len, on_tpu))
-        print(json.dumps(results[-1], indent=2), flush=True)
-    print("\n=== summary ===")
-    for r in results:
-        print(f"{r['config']:10s} {r['output_tokens_per_s']:10.1f} tok/s  "
-              f"ttft p50 {r['ttft_p50_ms']:8.1f} ms  "
-              f"tpot {r['tpot_mean_ms']:6.2f} ms")
+    if len(args.configs) > 1:
+        # One engine per process: HBM is only reliably released at
+        # process exit.
+        import subprocess
+        results = []
+        for name in args.configs:
+            print(f"== running {name} ==", flush=True)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--configs", name,
+                 "--num-prompts", str(args.num_prompts),
+                 "--input-len", str(args.input_len),
+                 "--output-len", str(args.output_len)],
+                capture_output=True, text=True)
+            sys.stderr.write(proc.stderr[-2000:])
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    results.append(json.loads(line))
+                    print(line, flush=True)
+        print("\n=== summary ===")
+        for r in results:
+            print(f"{r['config']:10s} {r['output_tokens_per_s']:10.1f} "
+                  f"tok/s  ttft p50 {r['ttft_p50_ms']:8.1f} ms  "
+                  f"tpot {r['tpot_mean_ms']:6.2f} ms")
+        return
+    name = args.configs[0]
+    r = run_one(name, args.num_prompts, args.input_len,
+                args.output_len, on_tpu)
+    print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

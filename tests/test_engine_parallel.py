@@ -69,3 +69,40 @@ def test_engine_parallel_suffix_decoding(single_outputs):
                         sampling_params=SamplingParams(max_tokens=10))
     for o, ref in zip(outs, single_outputs):
         assert o.token_ids == ref.token_ids
+
+
+@pytest.mark.parametrize("tp,sp,hkv", [(2, 2, 2), (1, 4, 2), (2, 4, 2)])
+def test_engine_gqa_kv_replication(single_outputs_gqa, tp, sp, hkv):
+    """num_kv_heads < sp*tp: kv heads replicate across the fused axis."""
+    cfg = tiny_config(hf=dict(num_attention_heads=8,
+                              num_key_value_heads=hkv, head_dim=8))
+    cfg = cfg.replace(parallel=ParallelConfig(
+        tensor_parallel_size=tp, ulysses_sequence_parallel_size=sp))
+    llm = LLM(cfg)
+    outs = llm.generate(prompt_token_ids=PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=10))
+    for o, ref in zip(outs, single_outputs_gqa):
+        assert o.token_ids == ref.token_ids
+
+
+@pytest.fixture(scope="module")
+def single_outputs_gqa():
+    llm = LLM(tiny_config(hf=dict(num_attention_heads=8,
+                                  num_key_value_heads=2, head_dim=8)))
+    return llm.generate(prompt_token_ids=PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=10))
+
+
+def test_engine_gqa_replication_with_shift(single_outputs_gqa):
+    cfg = tiny_config(hf=dict(num_attention_heads=8,
+                              num_key_value_heads=2, head_dim=8))
+    cfg = cfg.replace(parallel=ParallelConfig(
+        tensor_parallel_size=2, ulysses_sequence_parallel_size=2,
+        enable_shift_parallel=True, shift_parallel_threshold=4))
+    llm = LLM(cfg)
+    outs = llm.generate(prompt_token_ids=PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=10))
+    for o, ref in zip(outs, single_outputs_gqa):
+        assert o.token_ids == ref.token_ids
+    modes = {k[3] for k in llm.engine.runner._step_fns}
+    assert {"sp", "shift"} <= modes
