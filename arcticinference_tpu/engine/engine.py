@@ -184,6 +184,12 @@ class LLMEngine:
             step_inputs, step_rng,
             prev_tokens=prev.tokens_dev if prev is not None else None)
 
+        # Start the host copy immediately; by sync time (1-2 steps later)
+        # the bytes are already on host and np.asarray is ~free.
+        try:
+            tokens_dev.copy_to_host_async()
+        except AttributeError:
+            pass
         inflight = _InflightStep(sched_out, step_inputs, tokens_dev)
         # Optimistic commit: placeholders for every produced token.
         for r, s in enumerate(sched_out.scheduled):
