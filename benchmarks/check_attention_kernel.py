@@ -68,6 +68,26 @@ CASES = [
 ]
 
 
+def check_fp8_kv():
+    """fp8 KV cache path vs a dequantized-cache oracle."""
+    import jax.numpy as jnp
+
+    inputs, req_np = make_case([40, 1, 20, 1], [0, 37, 30, 5])
+    q, kv, positions, req_idx, bt, sl = inputs
+    scale = 0.06
+    kv_fp8 = (kv.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    kv_deq = (kv_fp8.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    ref = ragged_paged_attention_reference(q, kv_deq, positions, req_idx,
+                                           bt, sl)
+    out = ragged_paged_attention_kernel(
+        q, kv_fp8, positions, req_idx, bt, sl, qb=8,
+        kv_scale=jnp.full((1,), scale, jnp.float32))
+    valid = req_np >= 0
+    diff = float(jnp.max(jnp.abs((out - ref)[valid].astype(jnp.float32))))
+    print(f"fp8-KV vs dequant oracle: max|diff|={diff:.5f}")
+    assert diff < 0.03, diff
+
+
 def main():
     for name, qlens, ctx in CASES:
         inputs, req_np = make_case(qlens, ctx)
@@ -86,6 +106,8 @@ def main():
             print(f"{name:14s} qb={qb:3d}: {time.time()-t0:5.1f}s "
                   f"max|diff|={diff:.5f}", flush=True)
             assert diff < 0.03, (name, qb, diff)
+    if not args.interpret:
+        check_fp8_kv()
     print("ALL OK")
 
     if args.bench and not args.interpret:
