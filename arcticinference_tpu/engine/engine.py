@@ -195,7 +195,7 @@ class LLMEngine:
         for r, s in enumerate(sched_out.scheduled):
             req = s.request
             if req.num_computed_tokens + s.num_new_tokens < \
-                    len(req.prompt_token_ids):
+                    req.num_tokens:
                 self.scheduler.update_after_step(s, [], 0)
                 continue
             lo = step_inputs.sample_row_start[r]
@@ -299,8 +299,8 @@ class LLMEngine:
             k = step_inputs.sample_row_count[r]
 
             if req.num_computed_tokens + s.num_new_tokens < \
-                    len(req.prompt_token_ids):
-                # Mid-prefill chunk: no tokens produced.
+                    req.num_tokens:
+                # Mid-prefill / recompute catch-up: no token produced.
                 self.scheduler.update_after_step(s, [], 0)
                 continue
 
@@ -416,7 +416,8 @@ class LLMEngine:
         if self._suffix_cache is not None:
             for s in sched_out.scheduled:
                 req = s.request
-                if req.status.is_finished or req.is_prefilling or \
+                if req.status.is_finished or \
+                        req.num_computed_tokens < req.num_tokens - 1 or \
                         req.sampling.guided is not None:
                     continue
                 pattern = req.all_token_ids[-sc.suffix_cache_max_depth:]
@@ -442,7 +443,8 @@ class LLMEngine:
         drafter_reqs = []
         for s in sched_out.scheduled:
             req = s.request
-            if req.status.is_finished or req.is_prefilling or \
+            if req.status.is_finished or \
+                    req.num_computed_tokens < req.num_tokens - 1 or \
                     req.sampling.guided is not None:
                 continue
             res = suffix_results.get(req.req_id)

@@ -89,15 +89,16 @@ class Scheduler:
                 break
             if req.status is not RequestStatus.RUNNING:
                 continue  # preempted by an earlier request this step
-            if req.is_prefilling:
-                chunk = min(budget,
-                            len(req.prompt_token_ids)
-                            - req.num_computed_tokens)
+            known_remaining = req.num_tokens - req.num_computed_tokens
+            if known_remaining > 1:
+                # Prefill, or catch-up after recompute-preemption: feed
+                # the known tokens (sampling happens only on the step
+                # that reaches the sequence frontier).
+                chunk = min(budget, known_remaining)
                 if not self.config.enable_chunked_prefill:
-                    chunk = (len(req.prompt_token_ids)
-                             - req.num_computed_tokens)
-                    if chunk > budget:
+                    if known_remaining > budget:
                         continue
+                    chunk = known_remaining
                 n = chunk
                 drafts: list[int] = []
             else:
@@ -110,7 +111,7 @@ class Scheduler:
                 self.block_manager.grow_to(
                     req.block_ids, req.num_computed_tokens + n)
             except NoFreeBlocksError:
-                victim = self._preempt(skip=req)
+                victim = self._preempt(skip=req, out=out)
                 if victim is None:
                     continue
                 out.preempted.append(victim)
@@ -122,11 +123,11 @@ class Scheduler:
             out.scheduled.append(ScheduledRequest(req, n, drafts))
             budget -= n
 
-        # --- admit waiting requests (new prefills) -------------------------
+        # --- admit waiting requests (new or preempted prefills) -----------
         while (self.waiting and budget > 0
                and len(self.running) < self.config.max_num_seqs):
             req = self.waiting[0]
-            remaining = len(req.prompt_token_ids) - req.num_computed_tokens
+            remaining = req.num_tokens - req.num_computed_tokens
             chunk = min(budget, remaining)
             if not self.config.enable_chunked_prefill and chunk < remaining:
                 break
@@ -144,8 +145,14 @@ class Scheduler:
 
         return out
 
-    def _preempt(self, skip: Request) -> Optional[Request]:
-        """Recompute-preempt the lowest-priority running request."""
+    def _preempt(self, skip: Request,
+                 out: Optional[SchedulerOutput] = None
+                 ) -> Optional[Request]:
+        """Recompute-preempt the lowest-priority running request.
+
+        If the victim was already scheduled earlier in this pass, its
+        (now invalid) entry is dropped from the step.
+        """
         for req in reversed(self.running):
             if req is skip:
                 continue
@@ -155,6 +162,9 @@ class Scheduler:
             req.num_computed_tokens = 0
             req.spec_token_ids = []
             self.waiting.appendleft(req)
+            if out is not None:
+                out.scheduled = [s for s in out.scheduled
+                                 if s.request is not req]
             return req
         return None
 

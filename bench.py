@@ -48,7 +48,7 @@ def main():
                          num_key_value_heads=8, head_dim=32,
                          vocab_size=1024)
 
-    batch = 32 if on_tpu else 4
+    batch = 64 if on_tpu else 4
     prompt_len = 128 if on_tpu else 16
     gen_len = 64 if on_tpu else 8
 
@@ -57,7 +57,7 @@ def main():
                           quantization="fp8" if on_tpu else None,
                           max_model_len=4096 if on_tpu else 256),
         cache=CacheConfig(block_size=32,
-                          num_blocks=800 if on_tpu else 64),
+                          num_blocks=900 if on_tpu else 64),
         scheduler=SchedulerConfig(max_num_seqs=batch,
                                   max_num_batched_tokens=2048
                                   if on_tpu else 64),

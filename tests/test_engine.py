@@ -255,3 +255,42 @@ class TestAsyncScheduling:
             sampling_params=SamplingParams(max_tokens=5,
                                            stop_token_ids=(first,)))
         assert out[0].token_ids == [first]
+
+
+class TestPreemption:
+
+    def test_block_exhaustion_preempts_and_recovers(self):
+        # Tiny block pool: 4 requests cannot all hold max-length KV.
+        cfg = tiny_config()
+        cfg.cache.num_blocks = 24  # 23 usable * 8 tokens = 184 token slots
+        llm = LLM(cfg)
+        rng = np.random.default_rng(5)
+        prompts = [[int(x) for x in rng.integers(1, 97, 30)]
+                   for _ in range(4)]
+        outs = llm.generate(prompt_token_ids=prompts,
+                            sampling_params=SamplingParams(max_tokens=30))
+        # All requests complete despite preemption/recompute.
+        assert all(len(o.token_ids) == 30 for o in outs)
+        # And recompute preserved greedy determinism.
+        base = LLM(tiny_config())
+        wants = base.generate(prompt_token_ids=prompts,
+                              sampling_params=SamplingParams(max_tokens=30))
+        for o, w in zip(outs, wants):
+            assert o.token_ids == w.token_ids
+
+    def test_abort_mid_generation(self):
+        llm = LLM(tiny_config())
+        eng = llm.engine
+        eng.add_request("keep", [5, 6, 7],
+                        SamplingParams(max_tokens=12))
+        eng.add_request("drop", [8, 9, 10],
+                        SamplingParams(max_tokens=12))
+        for _ in range(3):
+            eng.step()
+        eng.abort_request("drop")
+        while eng.has_unfinished:
+            eng.step()
+        ids = {r.req_id for r in eng.scheduler.running}
+        assert not ids
+        # The kept request ran to completion.
+        assert not eng.has_unfinished
