@@ -141,3 +141,38 @@ class TestStochasticSpec:
             sampling_params=SamplingParams(max_tokens=24,
                                            temperature=0.7))
         assert llm.engine.spec_stats.num_drafts > 0
+
+
+class TestSpecMaxLenBoundaries:
+    """Mirror of reference tests/unit_tests/test_arctic_spec_max_len.py:
+    speculation at max_model_len boundaries must not overrun (the clamp
+    logic at engine._propose_drafts / scheduler draft truncation)."""
+
+    @pytest.mark.parametrize("offset", [0, 1, 2, 3])
+    def test_suffix_spec_near_max_len(self, offset):
+        cfg = tiny_config(speculative=SpeculativeConfig(
+            method="suffix", suffix_cache_max_depth=16))
+        cfg.model.max_model_len = 64
+        llm = LLM(cfg)
+        # Repetitive prompt => aggressive drafts near the boundary.
+        prompt = ([7, 8, 9, 10] * 12)[:64 - 16 - offset]
+        out = llm.generate(
+            prompt_token_ids=[prompt],
+            sampling_params=SamplingParams(max_tokens=100,
+                                           ignore_eos=True))
+        total = len(prompt) + len(out[0].token_ids)
+        assert total <= 64
+        assert out[0].finish_reason == "finished_length"
+
+    @pytest.mark.parametrize("offset", [0, 1, 2])
+    def test_arctic_spec_near_max_len(self, offset):
+        cfg = tiny_config(speculative=SpeculativeConfig(
+            method="arctic", num_speculative_tokens=3))
+        cfg.model.max_model_len = 48
+        llm = LLM(cfg)
+        prompt = [5, 6, 7, 8, 9, 10, 11][:7 - offset]
+        out = llm.generate(
+            prompt_token_ids=[prompt],
+            sampling_params=SamplingParams(max_tokens=100,
+                                           ignore_eos=True))
+        assert len(prompt) + len(out[0].token_ids) <= 48

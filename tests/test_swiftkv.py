@@ -182,3 +182,36 @@ def test_hf_state_loading():
     assert params["layers_b"]["wq"].shape == (2, 32, 32)
     assert params["wkv_swift"].shape == (2, 32, 32)
     assert "wk" not in params["layers_b"]
+
+
+def test_swiftkv_plus_suffix_combined():
+    """The reference's 'all-combined' config: SwiftKV model + suffix
+    decoding must stay deterministic and accept drafts."""
+    from arcticinference_tpu.config import SpeculativeConfig
+
+    def mk(spec):
+        return EngineConfig(
+            model=ModelConfig(
+                model="llama_swiftkv",
+                hf_overrides=dict(
+                    vocab_size=97, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=4, num_attention_heads=4,
+                    num_key_value_heads=2, head_dim=16,
+                    num_key_value_layers=2),
+                max_model_len=256, dtype="float32"),
+            cache=CacheConfig(block_size=8, num_blocks=64),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=64),
+            speculative=spec,
+        )
+
+    base = LLM(mk(None))
+    spec = LLM(mk(SpeculativeConfig(method="suffix",
+                                    suffix_cache_max_depth=16)))
+    prompt = [3, 14, 15, 92, 65, 35]
+    want = base.generate(prompt_token_ids=[prompt],
+                         sampling_params=SamplingParams(max_tokens=24))
+    got = spec.generate(prompt_token_ids=[prompt],
+                        sampling_params=SamplingParams(max_tokens=24))
+    assert want[0].token_ids == got[0].token_ids
+    assert got[0].num_accepted_draft_tokens > 0
