@@ -18,7 +18,6 @@ The TPU analogue of the reference's GPUModelRunner (reference
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Optional
 

@@ -23,7 +23,6 @@ checkpoints (reference ``vllm/spec_dec/fp8.py``).
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -35,7 +34,7 @@ from arcticinference_tpu.ops.attention import (
     ragged_paged_attention_reference)
 from arcticinference_tpu.ops.fp8 import QuantizedLinear, fp8_quantize, matmul
 from arcticinference_tpu.ops.layers import (apply_rope, compute_rope_freqs,
-                                            rms_norm, silu_mlp)
+                                            rms_norm)
 
 
 @dataclass(frozen=True)

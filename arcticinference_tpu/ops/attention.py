@@ -22,8 +22,6 @@ Metadata contract (all device arrays, static shapes):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
