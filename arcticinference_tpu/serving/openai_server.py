@@ -248,6 +248,27 @@ def build_config(args: argparse.Namespace) -> EngineConfig:
         cfg.model.tokenizer = args.model
     if args.quantization:
         cfg.model.quantization = args.quantization
+    if args.max_model_len:
+        cfg.model.max_model_len = args.max_model_len
+    if args.max_num_seqs:
+        cfg.scheduler.max_num_seqs = args.max_num_seqs
+    if args.max_num_batched_tokens:
+        cfg.scheduler.max_num_batched_tokens = args.max_num_batched_tokens
+    if args.kv_cache_dtype:
+        cfg.cache.kv_cache_dtype = args.kv_cache_dtype
+    if args.block_size:
+        cfg.cache.block_size = args.block_size
+    # Parallelism flags mirror the reference CLI (reference args.py:80-96).
+    if (args.tensor_parallel_size or args.ulysses_sequence_parallel_size
+            or args.enable_shift_parallel):
+        from arcticinference_tpu.config import ParallelConfig
+
+        cfg.parallel = ParallelConfig(
+            tensor_parallel_size=args.tensor_parallel_size or 1,
+            ulysses_sequence_parallel_size=(
+                args.ulysses_sequence_parallel_size or 1),
+            enable_shift_parallel=args.enable_shift_parallel,
+            shift_parallel_threshold=args.shift_parallel_threshold)
     if args.speculative_config:
         cfg.speculative = SpeculativeConfig.from_json(
             args.speculative_config)
@@ -264,6 +285,18 @@ def main() -> None:
                         help='JSON, e.g. {"method": "suffix"}')
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max-model-len", type=int, default=None)
+    parser.add_argument("--max-num-seqs", type=int, default=None)
+    parser.add_argument("--max-num-batched-tokens", type=int, default=None)
+    parser.add_argument("--kv-cache-dtype", default=None,
+                        choices=[None, "auto", "bfloat16", "fp8"])
+    parser.add_argument("--block-size", type=int, default=None)
+    parser.add_argument("--tensor-parallel-size", type=int, default=None)
+    parser.add_argument("--ulysses-sequence-parallel-size", type=int,
+                        default=None)
+    parser.add_argument("--enable-shift-parallel", action="store_true")
+    parser.add_argument("--shift-parallel-threshold", type=int,
+                        default=512)
     args = parser.parse_args()
     server = OpenAIServer(build_config(args))
     web.run_app(server.app, host=args.host, port=args.port)
