@@ -36,12 +36,14 @@ TINY = dict(
     head_dim=32)
 
 
-def build_config(name: str, on_tpu: bool):
+def build_config(name: str, on_tpu: bool, vocab_size=None):
     from arcticinference_tpu.config import (CacheConfig, EngineConfig,
                                             ModelConfig, SchedulerConfig,
                                             SpeculativeConfig)
 
     overrides = dict(LLAMA_8B if on_tpu else TINY)
+    if vocab_size:
+        overrides["vocab_size"] = vocab_size
     model = "llama"
     spec = None
     if name == "suffix":
@@ -68,13 +70,13 @@ def build_config(name: str, on_tpu: bool):
 
 
 def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
-            on_tpu: bool) -> dict:
+            on_tpu: bool, vocab_size=None) -> dict:
     import jax
 
     from arcticinference_tpu.engine.llm import LLM
     from arcticinference_tpu.engine.request import SamplingParams
 
-    cfg = build_config(name, on_tpu)
+    cfg = build_config(name, on_tpu, vocab_size)
     llm = LLM(cfg)
     rng = np.random.default_rng(0)
     vocab = cfg.model.hf_overrides["vocab_size"]
@@ -134,6 +136,10 @@ def main() -> None:
     parser.add_argument("--num-prompts", type=int, default=32)
     parser.add_argument("--input-len", type=int, default=128)
     parser.add_argument("--output-len", type=int, default=64)
+    parser.add_argument("--vocab-size", type=int, default=None,
+                        help="override vocab (small vocab => looping "
+                             "outputs => demonstrates spec acceptance "
+                             "with random weights)")
     args = parser.parse_args()
 
     import os
@@ -150,12 +156,13 @@ def main() -> None:
         results = []
         for name in args.configs:
             print(f"== running {name} ==", flush=True)
-            proc = subprocess.run(
-                [sys.executable, __file__, "--configs", name,
-                 "--num-prompts", str(args.num_prompts),
-                 "--input-len", str(args.input_len),
-                 "--output-len", str(args.output_len)],
-                capture_output=True, text=True)
+            cmd = [sys.executable, __file__, "--configs", name,
+                   "--num-prompts", str(args.num_prompts),
+                   "--input-len", str(args.input_len),
+                   "--output-len", str(args.output_len)]
+            if args.vocab_size:
+                cmd += ["--vocab-size", str(args.vocab_size)]
+            proc = subprocess.run(cmd, capture_output=True, text=True)
             sys.stderr.write(proc.stderr[-2000:])
             for line in proc.stdout.splitlines():
                 if line.startswith("{"):
@@ -169,7 +176,7 @@ def main() -> None:
         return
     name = args.configs[0]
     r = run_one(name, args.num_prompts, args.input_len,
-                args.output_len, on_tpu)
+                args.output_len, on_tpu, args.vocab_size)
     print(json.dumps(r), flush=True)
 
 
