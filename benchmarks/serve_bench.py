@@ -84,28 +84,30 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
                for _ in range(num_prompts)]
     sp = SamplingParams(max_tokens=output_len, ignore_eos=True)
 
-    # Warmup compiles at the run's shape buckets.
-    llm.generate(prompt_token_ids=prompts,
-                 sampling_params=SamplingParams(max_tokens=2,
-                                                ignore_eos=True))
-
     eng = llm.engine
-    for i, p in enumerate(prompts):
-        eng.add_request(f"bench-{name}-{i}", p, sp)
-    t0 = time.perf_counter()
-    first_token_t: dict[str, float] = {}
-    finished = []
-    while eng.has_unfinished:
-        done = eng.step()
-        now = time.perf_counter()
-        for r in eng.scheduler.running:
-            if r.output_token_ids and r.req_id not in first_token_t:
-                first_token_t[r.req_id] = now
-        for r in done:
-            if r.req_id not in first_token_t:
-                first_token_t[r.req_id] = now
-            finished.append(r)
-    dt = time.perf_counter() - t0
+
+    def one_pass(tag):
+        for i, p in enumerate(prompts):
+            eng.add_request(f"bench-{name}-{tag}-{i}", p, sp)
+        t0 = time.perf_counter()
+        first_token_t: dict[str, float] = {}
+        finished = []
+        while eng.has_unfinished:
+            done = eng.step()
+            now = time.perf_counter()
+            for r in eng.scheduler.running:
+                if r.output_token_ids and r.req_id not in first_token_t:
+                    first_token_t[r.req_id] = now
+            for r in done:
+                if r.req_id not in first_token_t:
+                    first_token_t[r.req_id] = now
+                finished.append(r)
+        return time.perf_counter() - t0, first_token_t, finished
+
+    # Pass 1 compiles every bucket the workload touches; pass 2 is the
+    # steady-state measurement.
+    one_pass("warm")
+    dt, first_token_t, finished = one_pass("run")
 
     gen_tokens = sum(len(r.output_token_ids) for r in finished)
     ttfts = [first_token_t[r.req_id] - t0 for r in finished]
