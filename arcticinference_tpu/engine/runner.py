@@ -67,6 +67,10 @@ class ModelRunner:
                     "sharded SwiftKV lands in a later round")
             self.mesh = mesh_lib.build_mesh(pcfg)
             params = mesh_lib.shard_params(params, self.mesh)
+        else:
+            # Single device: materialise once (the loader may hand back
+            # host arrays to avoid double-buffering big checkpoints).
+            params = jax.device_put(params)
         self.params = params
 
         cache_cfg = config.cache

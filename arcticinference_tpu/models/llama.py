@@ -129,7 +129,8 @@ def init_params(arch: LlamaArch, rng: jax.Array,
         "final_norm": jnp.ones((d,), dtype),
     }
     if not arch.tie_word_embeddings:
-        params["lm_head"] = w(next(keys), (d, arch.vocab_size))
+        head = w(next(keys), (d, arch.vocab_size))
+        params["lm_head"] = fp8_quantize(head) if quant else head
     return params
 
 
@@ -139,14 +140,18 @@ _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 def quantize_params(params: dict) -> dict:
     """Convert the large matmul weights to weight-only FP8 (per-tensor scale).
 
-    Norms, embeddings and the LM head stay in bf16 (matching the reference
-    FP8-dynamic checkpoints, which quantize only the linear layers).
+    Norms and embeddings stay bf16; the LM head quantizes too (the
+    reference quantizes speculator LM heads the same way,
+    ``vllm/spec_dec/fp8.py:310-337`` — at 128k vocab the head is ~1 GB
+    of per-step bandwidth).
     """
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
         layers[k] = fp8_quantize(layers[k])
     out["layers"] = layers
+    if "lm_head" in out and not isinstance(out["lm_head"], QuantizedLinear):
+        out["lm_head"] = fp8_quantize(out["lm_head"])
     return out
 
 
