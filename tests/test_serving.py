@@ -127,3 +127,28 @@ def test_chat_completion_fallback_template(server, loop):
             assert r.status == 400
 
     loop.run_until_complete(run())
+
+
+def test_json_mode_endpoint(server, loop):
+    """response_format json_object produces valid JSON (server level)."""
+    from tests.test_structured import CharTokenizer
+
+    async def run():
+        server.tokenizer = CharTokenizer()
+        try:
+            client = await _client(server)
+            async with client:
+                r = await client.post("/v1/completions", json={
+                    "prompt_token_ids": [65, 66, 67],
+                    "max_tokens": 30,
+                    "response_format": {"type": "json_object"},
+                })
+                assert r.status == 200
+                data = await r.json()
+                text = "".join(chr(t)
+                               for t in data["choices"][0]["token_ids"])
+                json.loads(text)
+        finally:
+            server.tokenizer = None
+
+    loop.run_until_complete(run())
