@@ -24,6 +24,7 @@ class StreamChunk:
     new_token_ids: list[int]
     finished: bool
     finish_reason: Optional[str] = None
+    logprobs: Optional[list] = None
 
 
 class AsyncLLMEngine:
@@ -79,7 +80,10 @@ class AsyncLLMEngine:
                         req_id=req_id, new_token_ids=list(new),
                         finished=done,
                         finish_reason=(req.status.name.lower()
-                                       if done else None))
+                                       if done else None),
+                        logprobs=(list(req.output_logprobs)
+                                  if done and req.output_logprobs
+                                  else None))
                     self._push(q, chunk)
                 if done:
                     with self._lock:

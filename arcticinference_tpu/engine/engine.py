@@ -138,7 +138,7 @@ class LLMEngine:
         return self._step_sync()
 
     def _any_guided(self) -> bool:
-        return any(r.sampling.guided is not None
+        return any(r.sampling.guided is not None or r.sampling.logprobs
                    for r in (*self.scheduler.running,
                              *self.scheduler.waiting))
 
@@ -282,14 +282,15 @@ class LLMEngine:
         step_inputs = self.runner.prepare_inputs(sched_out)
         self._rng, step_rng = jax.random.split(self._rng)
         need_topk = any(s.request.sampling.guided is not None
+                        or s.request.sampling.logprobs
                         for s in sched_out.scheduled)
         out = self.runner.execute(step_inputs, step_rng,
                                   need_topk=need_topk)
         if need_topk:
-            argmax, sampled, rows, topk = out
+            argmax, sampled, rows, topk, topk_logp = out
         else:
             argmax, sampled, rows = out
-            topk = None
+            topk = topk_logp = None
 
         finished: list[Request] = []
         accepted_row: dict[str, int] = {}
@@ -314,6 +315,11 @@ class LLMEngine:
                 if tok is None:
                     tok = int(argmax[lo])
                 guided.advance_token(tok)
+                if req.sampling.logprobs and topk_logp is not None:
+                    n = req.sampling.logprobs
+                    req.output_logprobs.append({
+                        int(t): float(p) for t, p in
+                        zip(topk[lo][:n], topk_logp[lo][:n])})
                 self.scheduler.update_after_step(s, [int(tok)], 0)
                 accepted_row[req.req_id] = lo
                 if req.first_token_time is None:
@@ -352,6 +358,13 @@ class LLMEngine:
 
             if req.first_token_time is None:
                 req.first_token_time = time.time()
+            if req.sampling.logprobs and topk is not None:
+                n = req.sampling.logprobs
+                for i in range(len(new_tokens)):
+                    row = lo + i
+                    req.output_logprobs.append({
+                        int(t): float(p) for t, p in
+                        zip(topk[row][:n], topk_logp[row][:n])})
             self.scheduler.update_after_step(s, new_tokens, n_acc)
             self._update_suffix_cache(req, new_tokens)
 

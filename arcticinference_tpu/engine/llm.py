@@ -28,6 +28,7 @@ class RequestOutput:
     finish_reason: str = "stop"
     num_accepted_draft_tokens: int = 0
     num_draft_tokens: int = 0
+    logprobs: Optional[list[dict]] = None
 
 
 class LLM:
@@ -93,6 +94,8 @@ class LLM:
                 finish_reason=fin.status.name.lower(),
                 num_accepted_draft_tokens=fin.num_accepted_draft_tokens,
                 num_draft_tokens=fin.num_draft_tokens,
+                logprobs=(fin.output_logprobs[:len(fin.output_token_ids)]
+                          if fin.output_logprobs else None),
             ))
         return outputs
 

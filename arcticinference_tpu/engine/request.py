@@ -18,12 +18,16 @@ class SamplingParams:
     # Grammar-guided decoding (e.g. serving.structured.JsonGuidedDecoder);
     # compared by identity, not value.
     guided: object = None
+    # Top-N logprobs per generated token (None = disabled, max 16).
+    logprobs: Optional[int] = None
 
     def __post_init__(self) -> None:
         if self.max_tokens <= 0:
             raise ValueError("max_tokens must be positive")
         if self.temperature < 0:
             raise ValueError("temperature must be >= 0")
+        if self.logprobs is not None and not 0 < self.logprobs <= 16:
+            raise ValueError("logprobs must be in 1..16")
 
 
 class RequestStatus(enum.Enum):
@@ -55,6 +59,9 @@ class Request:
     # Draft tokens proposed for the NEXT step (speculative decoding).
     spec_token_ids: list[int] = field(default_factory=list)
     block_ids: list[int] = field(default_factory=list)
+    # Per generated token: list of {token_id: logprob} dicts (when
+    # sampling.logprobs is set).
+    output_logprobs: list = field(default_factory=list)
     # Telemetry
     first_token_time: Optional[float] = None
     finish_time: Optional[float] = None

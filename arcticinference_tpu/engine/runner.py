@@ -365,9 +365,18 @@ class ModelRunner:
             else:
                 parts = [argmax, argmax]
             if need_topk:
-                # Ranked candidates for grammar-guided host-side choice.
-                _, cand = jax.lax.top_k(logits, ModelRunner.GUIDED_TOPK)
+                # Ranked candidates: used by grammar-guided choice and by
+                # logprobs reporting (values are log-softmax normalised
+                # and bitcast into the packed i32 transfer).
+                vals, cand = jax.lax.top_k(logits,
+                                           ModelRunner.GUIDED_TOPK)
+                lse = jax.scipy.special.logsumexp(logits, axis=-1,
+                                                  keepdims=True)
+                logp = (vals - lse).astype(jnp.float32)
                 parts.append(cand.astype(jnp.int32).reshape(-1))
+                parts.append(
+                    jax.lax.bitcast_convert_type(logp, jnp.int32)
+                    .reshape(-1))
             tokens = jnp.concatenate(parts)
             return kv, tokens, rows
 
@@ -407,8 +416,10 @@ class ModelRunner:
         tokens = np.asarray(tokens)
         s = step_inputs.s_pad
         if need_topk:
-            topk = tokens[2 * s:].reshape(s, self.GUIDED_TOPK)
-            return tokens[:s], tokens[s:2 * s], rows, topk
+            k = self.GUIDED_TOPK
+            topk = tokens[2 * s:2 * s + s * k].reshape(s, k)
+            logp = tokens[2 * s + s * k:].reshape(s, k).view(np.float32)
+            return tokens[:s], tokens[s:2 * s], rows, topk, logp
         return tokens[:s], tokens[s:2 * s], rows
 
 

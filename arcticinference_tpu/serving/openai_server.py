@@ -66,6 +66,7 @@ class OpenAIServer:
             from arcticinference_tpu.serving.structured import (
                 JsonGuidedDecoder)
             guided = JsonGuidedDecoder(self.tokenizer)
+        logprobs = body.get("logprobs")
         return SamplingParams(
             max_tokens=int(body.get("max_tokens", 128)),
             temperature=float(body.get("temperature", 0.0)),
@@ -74,6 +75,7 @@ class OpenAIServer:
             ignore_eos=eos_ignore,
             stop_token_ids=tuple(body.get("stop_token_ids", ())),
             guided=guided,
+            logprobs=int(logprobs) if logprobs else None,
         )
 
     def _encode(self, text: str) -> list[int]:
@@ -124,16 +126,27 @@ class OpenAIServer:
         if body.get("stream"):
             return await self._stream_completion(
                 request, rid, prompt_ids, sampling, chat=False)
-        token_ids, finish = await self._collect(prompt_ids, sampling, rid)
+        token_ids, finish, logprobs = await self._collect(
+            prompt_ids, sampling, rid)
+        choice = {
+            "index": 0,
+            "text": self._decode(token_ids),
+            "token_ids": token_ids,
+            "finish_reason": _reason(finish),
+        }
+        if logprobs is not None:
+            choice["logprobs"] = {
+                "tokens": [self._decode([t]) for t in token_ids],
+                "token_logprobs": [lp.get(t) for t, lp in
+                                   zip(token_ids, logprobs)],
+                "top_logprobs": [
+                    {self._decode([t]): v for t, v in lp.items()}
+                    for lp in logprobs],
+            }
         return web.json_response({
             "id": rid, "object": "text_completion",
             "created": int(time.time()), "model": self.model_name,
-            "choices": [{
-                "index": 0,
-                "text": self._decode(token_ids),
-                "token_ids": token_ids,
-                "finish_reason": _reason(finish),
-            }],
+            "choices": [choice],
             "usage": _usage(prompt_ids, token_ids),
         })
 
@@ -148,7 +161,8 @@ class OpenAIServer:
         if body.get("stream"):
             return await self._stream_completion(
                 request, rid, prompt_ids, sampling, chat=True)
-        token_ids, finish = await self._collect(prompt_ids, sampling, rid)
+        token_ids, finish, _ = await self._collect(
+            prompt_ids, sampling, rid)
         return web.json_response({
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": self.model_name,
@@ -173,11 +187,14 @@ class OpenAIServer:
     async def _collect(self, prompt_ids, sampling, rid):
         token_ids: list[int] = []
         finish = None
+        logprobs = None
         async for chunk in self.engine.generate(prompt_ids, sampling, rid):
             token_ids.extend(chunk.new_token_ids)
             if chunk.finished:
                 finish = chunk.finish_reason
-        return token_ids, finish
+                if chunk.logprobs is not None:
+                    logprobs = chunk.logprobs
+        return token_ids, finish, logprobs
 
     async def _stream_completion(self, request, rid, prompt_ids, sampling,
                                  chat: bool):

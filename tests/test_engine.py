@@ -294,3 +294,24 @@ class TestPreemption:
         assert not ids
         # The kept request ran to completion.
         assert not eng.has_unfinished
+
+
+class TestLogprobs:
+
+    def test_greedy_logprobs(self):
+        llm = LLM(tiny_config())
+        out = llm.generate(
+            prompt_token_ids=[[3, 14, 15]],
+            sampling_params=SamplingParams(max_tokens=5, logprobs=4))[0]
+        assert out.logprobs is not None
+        assert len(out.logprobs) == 5
+        for tok, lp in zip(out.token_ids, out.logprobs):
+            assert len(lp) == 4
+            # The chosen (greedy) token is the top candidate.
+            top = max(lp, key=lp.get)
+            assert top == tok
+            assert all(v <= 0.0 for v in lp.values())
+
+    def test_logprobs_validation(self):
+        with pytest.raises(ValueError):
+            SamplingParams(logprobs=40)

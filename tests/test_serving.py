@@ -152,3 +152,22 @@ def test_json_mode_endpoint(server, loop):
             server.tokenizer = None
 
     loop.run_until_complete(run())
+
+
+def test_completions_logprobs(server, loop):
+    async def run():
+        client = await _client(server)
+        async with client:
+            r = await client.post("/v1/completions", json={
+                "prompt_token_ids": [3, 14, 15],
+                "max_tokens": 4,
+                "logprobs": 3,
+            })
+            data = await r.json()
+            lp = data["choices"][0]["logprobs"]
+            assert len(lp["token_logprobs"]) == 4
+            assert all(v is not None and v <= 0
+                       for v in lp["token_logprobs"])
+            assert all(len(d) == 3 for d in lp["top_logprobs"])
+
+    loop.run_until_complete(run())
