@@ -30,6 +30,7 @@ class StreamChunk:
 class AsyncLLMEngine:
 
     def __init__(self, config: EngineConfig):
+        self.dead = False
         self.engine = LLMEngine(config)
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._queues: dict[str, asyncio.Queue] = {}
@@ -54,8 +55,21 @@ class AsyncLLMEngine:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            with self._engine_lock:
-                finished = {r.req_id: r for r in self.engine.step()}
+            try:
+                with self._engine_lock:
+                    finished = {r.req_id: r for r in self.engine.step()}
+            except Exception:  # noqa: BLE001 — engine died; fail streams
+                import logging, traceback
+
+                logging.getLogger("arcticinference_tpu").error(
+                    "engine step failed:\n%s", traceback.format_exc())
+                self.dead = True
+                with self._lock:
+                    for req_id, q in self._queues.items():
+                        self._push(q, StreamChunk(req_id, [], True,
+                                                  "engine_error"))
+                    self._queues.clear()
+                return
             with self._lock:
                 items = list(self._queues.items())
             for req_id, q in items:
@@ -113,6 +127,8 @@ class AsyncLLMEngine:
         req_id: Optional[str] = None,
     ) -> AsyncIterator[StreamChunk]:
         """Submit a request; yields StreamChunks until finished."""
+        if self.dead:
+            raise RuntimeError("engine is dead (see server logs)")
         self._loop = asyncio.get_running_loop()
         req_id = req_id or f"req-{uuid.uuid4().hex[:12]}"
         q: asyncio.Queue = asyncio.Queue()

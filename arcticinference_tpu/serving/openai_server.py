@@ -94,6 +94,9 @@ class OpenAIServer:
     # -- endpoints -------------------------------------------------------
 
     async def health(self, request: web.Request) -> web.Response:
+        if getattr(self.engine, "dead", False):
+            return web.json_response({"status": "engine_error"},
+                                     status=503)
         return web.json_response({"status": "ok"})
 
     async def models(self, request: web.Request) -> web.Response:
