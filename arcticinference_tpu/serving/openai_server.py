@@ -295,7 +295,20 @@ def build_config(args: argparse.Namespace) -> EngineConfig:
     return cfg
 
 
+
+
+def _maybe_force_cpu() -> None:
+    """ARCTIC_TPU_FORCE_CPU=1 pins JAX to host CPU (the axon TPU plugin
+    overrides JAX_PLATFORMS, so tests/subprocesses need this hook)."""
+    import os
+
+    if os.environ.get("ARCTIC_TPU_FORCE_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
 def main() -> None:
+    _maybe_force_cpu()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default=None)
     parser.add_argument("--config", default=None,
