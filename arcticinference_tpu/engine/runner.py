@@ -62,11 +62,10 @@ class ModelRunner:
             if pcfg.data_parallel_size != 1:
                 raise NotImplementedError(
                     "dp>1 runs as engine replicas; use replica_manager")
-            if getattr(module, "NEEDS_SWIFT_SCHEDULE", False):
-                raise NotImplementedError(
-                    "sharded SwiftKV lands in a later round")
             self.mesh = mesh_lib.build_mesh(pcfg)
-            params = mesh_lib.shard_params(params, self.mesh)
+            hook = getattr(module, "param_specs", None)
+            specs = hook() if hook is not None else None
+            params = mesh_lib.shard_params(params, self.mesh, specs)
         else:
             # Single device: materialise once (the loader may hand back
             # host arrays to avoid double-buffering big checkpoints).

@@ -46,6 +46,28 @@ RETURNS_SAMPLE_ROWS = True
 NEEDS_SWIFT_SCHEDULE = True
 
 compute_logits = _compute_logits
+_QUANT_KEYS = llama_mod._QUANT_KEYS
+
+
+def param_specs():
+    """PartitionSpecs for the SwiftKV pytree (shard_map in_specs)."""
+    from jax.sharding import PartitionSpec as P
+
+    from arcticinference_tpu.parallel import mesh as mesh_lib
+
+    base = mesh_lib.param_specs()
+    layers_b = {k: v for k, v in base["layers"].items()
+                if k not in ("wk", "wv")}
+    return {
+        "embed": base["embed"],
+        "final_norm": base["final_norm"],
+        "lm_head": base["lm_head"],
+        "layers_a": base["layers"],
+        "layers_b": layers_b,
+        "wk_swift": P(None, None, "tp"),
+        "wv_swift": P(None, None, "tp"),
+        "norm_swiftkv": P(None),
+    }
 
 
 @dataclass(frozen=True)
@@ -96,12 +118,40 @@ def init_params(arch: LlamaSwiftKVArch, rng: jax.Array,
         layers_b.pop("wk")
         layers_b.pop("wv")
         params["layers_b"] = layers_b
-        wkv = (jax.random.normal(rng_kv, (kb, d, 2 * hkv * dh),
-                                 jnp.float32) * 0.02).astype(dtype)
-        params["wkv_swift"] = (fp8_quantize(wkv)
-                               if quantization == "fp8" else wkv)
+        rk, rv = jax.random.split(rng_kv)
+        wk = (jax.random.normal(rk, (kb, d, hkv * dh),
+                                jnp.float32) * 0.02).astype(dtype)
+        wv = (jax.random.normal(rv, (kb, d, hkv * dh),
+                                jnp.float32) * 0.02).astype(dtype)
+        if quantization == "fp8":
+            wk, wv = fp8_quantize(wk), fp8_quantize(wv)
+        params["wk_swift"] = wk
+        params["wv_swift"] = wv
         params["norm_swiftkv"] = jnp.ones((d,), dtype)
     return params
+
+
+def _stacked_proj(x, w):
+    """x [T, D] @ stacked w [L2, D, E] -> [L2, T, E] (fp8-aware)."""
+    if isinstance(w, QuantizedLinear):
+        from arcticinference_tpu.ops.fp8 import fp8_dequantize
+        w = fp8_dequantize(w, x.dtype)
+    return jnp.einsum("td,lde->lte", x, w,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _slice_swift_kv_proj(w, b_ctx):
+    """Take this device's (tp, sp)-fused output slice of a stacked
+    [L2, D, Hkv*Dh] projection (tp shard stored; sp sub-slice here)."""
+    if b_ctx.sp == 1:
+        return w
+    s = jax.lax.axis_index("sp")
+    if isinstance(w, QuantizedLinear):
+        from arcticinference_tpu.parallel.ulysses import _local_slice
+        return QuantizedLinear(
+            _local_slice(w.weight, 2, s, b_ctx.sp), w.scale)
+    from arcticinference_tpu.parallel.ulysses import _local_slice
+    return _local_slice(w, 2, s, b_ctx.sp)
 
 
 def _bulk_write_swift_kv(kv, k, v, slot_mapping, first_layer: int):
@@ -131,12 +181,21 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
 
     Requires inputs["logits_indices"] (the surviving rows) and the
     ``swift_*`` attention schedule over those rows.
+
+    Sharded execution mirrors the reference's layout choices
+    (``llama_swiftkv.py:247-257, 295-320``): the first K layers run in
+    the incoming mode (Ulysses SP or shift); the hidden states are then
+    all-gathered over ``sp`` and the KV projection + remaining layers
+    run in the fused full-TP (shift) layout — which is what keeps the
+    projected pages bit-identical with the SP-mode cache.
     """
-    assert pctx is None, "sharded SwiftKV lands in a later round"
     if attn_impl is None:
         attn_impl = llama_mod._default_attn
     ka = arch.num_key_value_layers
     kb = arch.num_swift_layers
+    arch_q = pctx.arch_view(arch) if pctx is not None else arch
+    psum = pctx.psum if pctx is not None else (lambda x: x)
+    rope_positions = inputs.get("positions_local", inputs["positions"])
     h = params["embed"][inputs["input_ids"]]
     inv_freq = compute_rope_freqs(arch.head_dim, arch.rope_theta,
                                   arch.rope_scaling)
@@ -145,18 +204,24 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
     def layer_step(carry, xs):
         h, kv = carry
         lp, layer = xs
+        if pctx is not None:
+            lp = pctx.layer_params(lp)
         res = h
         x = rms_norm(h, lp["input_norm"], arch.rms_norm_eps)
-        q, k, v = _qkv(x, lp, arch)
-        q = apply_rope(q, inputs["positions"], inv_freq)
-        k = apply_rope(k, inputs["positions"], inv_freq)
+        q, k, v = _qkv(x, lp, arch_q)
+        q = apply_rope(q, rope_positions, inv_freq)
+        k = apply_rope(k, rope_positions, inv_freq)
+        if pctx is not None:
+            q, k, v = pctx.dispatch(q, k, v)
         kv = _write_kv_layer(kv, layer, k, v, inputs["slot_mapping"])
         o = llama_mod._attend(q, kv, layer, inputs, arch, attn_impl)
+        if pctx is not None:
+            o = pctx.combine(o)
         t = o.shape[0]
-        h = res + matmul(o.reshape(t, -1), lp["wo"])
+        h = res + psum(matmul(o.reshape(t, -1), lp["wo"]))
         res = h
         x = rms_norm(h, lp["post_norm"], arch.rms_norm_eps)
-        h = res + _mlp(x, lp)
+        h = res + psum(_mlp(x, lp))
         return (h, kv), None
 
     if unroll:
@@ -168,22 +233,38 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
             layer_step, (h, kv),
             (params["layers_a"], jnp.arange(ka)))
 
+    # ---- switch to the full-TP (shift) layout for the second half ----
+    b_ctx = None
+    if pctx is not None:
+        if pctx.mode == "sp" and pctx.sp > 1:
+            # All-gather the sp-sharded hidden states (reference
+            # llama_swiftkv.py:247-252).
+            h = jax.lax.all_gather(h, "sp", axis=0, tiled=True)
+        from arcticinference_tpu.parallel.ulysses import ParallelContext
+
+        b_ctx = (pctx if pctx.mode == "shift"
+                 else ParallelContext(pctx.cfg, "shift",
+                                      num_kv_heads=pctx.num_kv_heads,
+                                      head_dim=pctx.head_dim))
+        if b_ctx.kv_rep > 1:
+            raise NotImplementedError(
+                "SwiftKV + kv-head replication lands later")
+
     if kb == 0:
         h = rms_norm(h, params["final_norm"], arch.rms_norm_eps)
         return kv, h[inputs["logits_indices"]]
 
     # ---- one-shot KV projection for the remaining layers -------------
     t = h.shape[0]
-    hkv, dh = arch.num_kv_heads, arch.head_dim
+    arch_b = b_ctx.arch_view(arch) if b_ctx is not None else arch
+    hkv, dh = arch_b.num_kv_heads, arch.head_dim
     x = rms_norm(h, params["norm_swiftkv"], arch.rms_norm_eps)
-    wkv = params["wkv_swift"]
-    if isinstance(wkv, QuantizedLinear):
-        from arcticinference_tpu.ops.fp8 import fp8_dequantize
-        wkv = fp8_dequantize(wkv, x.dtype)
-    kv_all = jnp.einsum("td,lde->lte", x, wkv,
-                        preferred_element_type=jnp.float32).astype(h.dtype)
-    k_all = kv_all[:, :, :hkv * dh].reshape(kb, t, hkv, dh)
-    v_all = kv_all[:, :, hkv * dh:]
+    wk_s, wv_s = params["wk_swift"], params["wv_swift"]
+    if b_ctx is not None:
+        wk_s, wv_s = (_slice_swift_kv_proj(w, b_ctx)
+                      for w in (wk_s, wv_s))
+    k_all = _stacked_proj(x, wk_s).reshape(kb, t, hkv, dh)
+    v_all = _stacked_proj(x, wv_s)
     k_all = jax.vmap(
         lambda kl: apply_rope(kl, inputs["positions"], inv_freq))(k_all)
     kv = _bulk_write_swift_kv(kv, k_all.reshape(kb, t, hkv * dh), v_all,
@@ -202,19 +283,24 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
         if sk in inputs:
             swift_inputs[f"attn_{key}"] = inputs[sk]
 
+    b_psum = b_ctx.psum if b_ctx is not None else (lambda x: x)
+
     def swift_layer_step(carry, xs):
         h, kv = carry
         lp, layer = xs
+        if b_ctx is not None:
+            lp = b_ctx.layer_params(lp)
         res = h
         x = rms_norm(h, lp["input_norm"], arch.rms_norm_eps)
         s = x.shape[0]
-        q = matmul(x, lp["wq"]).reshape(s, arch.num_heads, arch.head_dim)
+        q = matmul(x, lp["wq"]).reshape(s, arch_b.num_heads,
+                                        arch.head_dim)
         q = apply_rope(q, swift_inputs["positions"], inv_freq)
         o = llama_mod._attend(q, kv, layer, swift_inputs, arch, attn_impl)
-        h = res + matmul(o.reshape(s, -1), lp["wo"])
+        h = res + b_psum(matmul(o.reshape(s, -1), lp["wo"]))
         res = h
         x = rms_norm(h, lp["post_norm"], arch.rms_norm_eps)
-        h = res + _mlp(x, lp)
+        h = res + b_psum(_mlp(x, lp))
         return (h, kv), None
 
     if unroll:
@@ -239,9 +325,9 @@ def quantize_params(params: dict) -> dict:
             if k in layers and not isinstance(layers[k], QuantizedLinear):
                 layers[k] = fp8_quantize(layers[k])
         out[key] = layers
-    if "wkv_swift" in out and not isinstance(out["wkv_swift"],
-                                             QuantizedLinear):
-        out["wkv_swift"] = fp8_quantize(out["wkv_swift"])
+    for key in ("wk_swift", "wv_swift"):
+        if key in out and not isinstance(out[key], QuantizedLinear):
+            out[key] = fp8_quantize(out[key])
     return out
 
 
@@ -284,7 +370,11 @@ def load_hf_state(arch: LlamaSwiftKVArch, tensors: dict[str, np.ndarray],
             if l >= ka:
                 i = l - ka
                 if leaf == "self_attn.kv_proj_swiftkv.weight":
-                    wkv_stack[i] = np.asarray(arr).T  # [D, 2*Hkv*Dh]
+                    # Fused [2*Hkv*Dh, D] checkpoint tensor -> split halves
+                    # (K rows first, then V, matching the reference's
+                    # QKV-parallel packing with 0 q heads).
+                    a = np.asarray(arr)
+                    wkv_stack[i] = (a[:hkv * dh].T, a[hkv * dh:].T)
                     continue
                 if leaf in name_map_b:
                     key, transpose = name_map_b[leaf]
@@ -316,8 +406,10 @@ def load_hf_state(arch: LlamaSwiftKVArch, tensors: dict[str, np.ndarray],
             layers_b[key] = jnp.stack(
                 [jnp.asarray(s, dtype) for s in stack])
         params["layers_b"] = layers_b
-        params["wkv_swift"] = jnp.stack(
-            [jnp.asarray(s, dtype) for s in wkv_stack])
+        params["wk_swift"] = jnp.stack(
+            [jnp.asarray(s[0], dtype) for s in wkv_stack])
+        params["wv_swift"] = jnp.stack(
+            [jnp.asarray(s[1], dtype) for s in wkv_stack])
         params["norm_swiftkv"] = passthrough["norm_swiftkv"]
     if quantization == "fp8":
         params = quantize_params(params)

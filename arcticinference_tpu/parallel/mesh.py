@@ -78,6 +78,12 @@ def shard_params(params, mesh: Mesh, specs: Optional[dict] = None):
 
     if specs is None:
         specs = param_specs()
+    if isinstance(specs, dict) and isinstance(params, dict):
+        # Tolerate optional keys (e.g. tied lm_head absent).
+        specs = {k: specs[k] for k in params if k in specs}
+        missing = set(params) - set(specs)
+        if missing:
+            raise ValueError(f"no PartitionSpec for params {missing}")
 
     def put(x, spec):
         try:

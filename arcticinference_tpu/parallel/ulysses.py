@@ -81,6 +81,8 @@ class ParallelContext:
         # Axes are for per-layer [in, out] weights (scan strips the L dim).
         for key, axis in (("wq", 1), ("wk", 1), ("wv", 1), ("w_gate", 1),
                           ("w_up", 1), ("wo", 0), ("w_down", 0)):
+            if key not in lp:  # e.g. SwiftKV later layers have no wk/wv
+                continue
             w = lp[key]
             if key in ("wk", "wv") and self.kv_rep > 1:
                 # Head-granular slice: device (t, s) needs local kv head
@@ -191,12 +193,11 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
         attn_impl = make_attn(attn_qb)
 
     tok_spec = token_in_specs(mode)
-    # Per-token arrays fed to qkv/embedding; attention metadata stays full.
-    token_keys = ("input_ids",)
-    pos_key_spec = tok_spec
-
     param_spec_tree = _param_spec_tree(module, quantized)
     kv_spec = mesh_lib.kv_cache_spec()
+    # Modules that gather + return only the sample rows (SwiftKV) emit a
+    # replicated hidden block rather than a token-sharded one.
+    rows_out = bool(getattr(module, "RETURNS_SAMPLE_ROWS", False))
 
     def body(params, kv, tok_inputs, full_inputs):
         inputs = dict(full_inputs)
@@ -211,7 +212,7 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
         {k: tok_spec for k in ("input_ids", "positions_local")},
         P(),  # full_inputs replicated
     )
-    out_specs = (kv_spec, tok_spec)
+    out_specs = (kv_spec, P() if rows_out else tok_spec)
 
     smapped = shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -232,21 +233,36 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
     return fn
 
 
-_FWD_KEYS = ("embed", "layers", "final_norm")
+_FWD_KEYS = ("embed", "layers", "final_norm", "layers_a", "layers_b",
+             "wk_swift", "wv_swift", "norm_swiftkv")
 
 
 def _param_spec_tree(module, quantized: bool):
     """Build the exact-structure spec pytree for shard_map in_specs
     (decoder params only — the LM head stays outside shard_map)."""
-    specs = {k: v for k, v in mesh_lib.param_specs().items()
-             if k in _FWD_KEYS}
+    hook = getattr(module, "param_specs", None)
+    specs = hook() if hook is not None else mesh_lib.param_specs()
+    specs = {k: v for k, v in specs.items() if k in _FWD_KEYS}
 
     if not quantized:
         return specs
-    q_keys = getattr(module, "_QUANT_KEYS", ())
-    layers = dict(specs["layers"])
-    for k in q_keys:
-        layers[k] = QuantizedLinear(layers[k], P(None))
+    q_keys = getattr(module, "_QUANT_KEYS",
+                     getattr(__import__(
+                         "arcticinference_tpu.models.llama",
+                         fromlist=["_QUANT_KEYS"]), "_QUANT_KEYS", ()))
+
+    def quantize_layer_specs(layers):
+        layers = dict(layers)
+        for k in q_keys:
+            if k in layers:
+                layers[k] = QuantizedLinear(layers[k], P(None))
+        return layers
+
     out = dict(specs)
-    out["layers"] = layers
+    for key in ("layers", "layers_a", "layers_b"):
+        if key in out:
+            out[key] = quantize_layer_specs(out[key])
+    for key in ("wk_swift", "wv_swift"):
+        if key in out:
+            out[key] = QuantizedLinear(out[key], P(None))
     return out

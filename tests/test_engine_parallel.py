@@ -106,3 +106,36 @@ def test_engine_gqa_replication_with_shift(single_outputs_gqa):
         assert o.token_ids == ref.token_ids
     modes = {k[3] for k in llm.engine.runner._step_fns}
     assert {"sp", "shift"} <= modes
+
+
+class TestShardedSwiftKV:
+
+    SWIFT_HF = dict(num_attention_heads=8, num_key_value_heads=8,
+                    head_dim=8, num_key_value_layers=1,
+                    num_hidden_layers=2)
+
+    def _cfg(self, parallel=None):
+        cfg = tiny_config(hf=dict(self.SWIFT_HF))
+        cfg.model.model = "llama_swiftkv"
+        if parallel:
+            cfg = cfg.replace(parallel=parallel)
+        return cfg
+
+    @pytest.fixture(scope="class")
+    def single(self):
+        llm = LLM(self._cfg())
+        return llm.generate(prompt_token_ids=PROMPTS,
+                            sampling_params=SamplingParams(max_tokens=10))
+
+    @pytest.mark.parametrize("tp,sp,shift", [
+        (2, 1, False), (2, 2, False), (1, 4, False), (2, 2, True)])
+    def test_sharded_matches_single(self, single, tp, sp, shift):
+        cfg = self._cfg(ParallelConfig(
+            tensor_parallel_size=tp, ulysses_sequence_parallel_size=sp,
+            enable_shift_parallel=shift,
+            shift_parallel_threshold=4 if shift else 512))
+        llm = LLM(cfg)
+        outs = llm.generate(prompt_token_ids=PROMPTS,
+                            sampling_params=SamplingParams(max_tokens=10))
+        for o, ref in zip(outs, single):
+            assert o.token_ids == ref.token_ids
