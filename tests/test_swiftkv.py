@@ -180,7 +180,8 @@ def test_hf_state_loading():
     params = sw.load_hf_state(arch, state, jnp.float32)
     assert params["layers_a"]["wq"].shape == (2, 32, 32)
     assert params["layers_b"]["wq"].shape == (2, 32, 32)
-    assert params["wkv_swift"].shape == (2, 32, 32)
+    assert params["wk_swift"].shape == (2, 32, 16)
+    assert params["wv_swift"].shape == (2, 32, 16)
     assert "wk" not in params["layers_b"]
 
 
