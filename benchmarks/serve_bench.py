@@ -102,15 +102,16 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
                 if r.req_id not in first_token_t:
                     first_token_t[r.req_id] = now
                 finished.append(r)
-        return time.perf_counter() - t0, first_token_t, finished
+        dt = time.perf_counter() - t0
+        ttfts = [first_token_t[r.req_id] - t0 for r in finished]
+        return dt, ttfts, finished
 
     # Pass 1 compiles every bucket the workload touches; pass 2 is the
     # steady-state measurement.
     one_pass("warm")
-    dt, first_token_t, finished = one_pass("run")
+    dt, ttfts, finished = one_pass("run")
 
     gen_tokens = sum(len(r.output_token_ids) for r in finished)
-    ttfts = [first_token_t[r.req_id] - t0 for r in finished]
     tpots = [(dt - ttft) / max(len(r.output_token_ids) - 1, 1)
              for r, ttft in zip(finished, ttfts)]
     out = {
