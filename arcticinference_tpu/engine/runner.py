@@ -106,8 +106,10 @@ class ModelRunner:
         self.b_max = config.scheduler.max_num_seqs
         self.token_buckets = default_token_buckets(
             config.scheduler.max_num_batched_tokens)
+        # Verify rows can reach the full token budget when speculative
+        # drafts are long (suffix drafts go up to tree depth).
         self.sample_buckets = default_token_buckets(
-            max(16, 2 * self.b_max))
+            max(16, config.scheduler.max_num_batched_tokens))
         self._step_fns: dict[Any, Any] = {}
         self.swift = bool(getattr(module, "NEEDS_SWIFT_SCHEDULE", False))
         self.returns_rows = bool(

@@ -176,3 +176,17 @@ class TestSpecMaxLenBoundaries:
             sampling_params=SamplingParams(max_tokens=100,
                                            ignore_eos=True))
         assert len(prompt) + len(out[0].token_ids) <= 48
+
+
+def test_long_suffix_drafts_fit_sample_buckets():
+    """Many long drafts must not overflow the sample-row buckets
+    (regression: rows can approach max_num_batched_tokens)."""
+    cfg = tiny_config(speculative=SpeculativeConfig(
+        method="suffix", suffix_cache_max_depth=32))
+    llm = LLM(cfg)
+    # Highly repetitive prompts across 4 requests -> long drafts at once.
+    prompt = [4, 5, 6, 7] * 10
+    outs = llm.generate(
+        prompt_token_ids=[prompt, prompt, prompt, prompt],
+        sampling_params=SamplingParams(max_tokens=40, ignore_eos=True))
+    assert all(len(o.token_ids) == 40 for o in outs)
