@@ -46,6 +46,7 @@ def build_config(name: str, on_tpu: bool, vocab_size=None):
         overrides["vocab_size"] = vocab_size
     model = "llama"
     spec = None
+    swift_blocks = False
     if name == "suffix":
         spec = SpeculativeConfig(method="suffix", suffix_cache_max_depth=64)
     elif name == "spec":
@@ -54,6 +55,9 @@ def build_config(name: str, on_tpu: bool, vocab_size=None):
         model = "llama_swiftkv"
         overrides["num_key_value_layers"] = \
             overrides["num_hidden_layers"] // 2
+        # The projection intermediates need headroom at big prefill
+        # buckets; trade a little KV capacity.
+        swift_blocks = True
     elif name != "baseline":
         raise ValueError(f"unknown config {name}")
     return EngineConfig(
@@ -61,7 +65,8 @@ def build_config(name: str, on_tpu: bool, vocab_size=None):
                           quantization="fp8" if on_tpu else None,
                           max_model_len=4096 if on_tpu else 512),
         cache=CacheConfig(block_size=32,
-                          num_blocks=800 if on_tpu else 128),
+                          num_blocks=(650 if swift_blocks else 800)
+                          if on_tpu else 128),
         scheduler=SchedulerConfig(
             max_num_seqs=32 if on_tpu else 8,
             max_num_batched_tokens=2048 if on_tpu else 256),
