@@ -129,10 +129,12 @@ class SchedulerConfig:
     max_num_batched_tokens: int = 2048
     enable_chunked_prefill: bool = True
     async_scheduling: bool = True
+    pipeline_depth: int = 2  # in-flight steps before forcing a sync
 
     def __post_init__(self) -> None:
         _positive("max_num_seqs", self.max_num_seqs)
         _positive("max_num_batched_tokens", self.max_num_batched_tokens)
+        _positive("pipeline_depth", self.pipeline_depth)
 
 
 @dataclass

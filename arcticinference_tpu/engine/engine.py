@@ -74,7 +74,7 @@ class LLMEngine:
         # host-side draft proposal, which needs token values per step.
         self._pipeline = (config.scheduler.async_scheduling
                           and config.speculative is None)
-        self._pipeline_depth = 2
+        self._pipeline_depth = config.scheduler.pipeline_depth
         self._inflight: list = []
         self._pending_ref: dict = {}
 
