@@ -154,25 +154,6 @@ def _slice_swift_kv_proj(w, b_ctx):
     return _local_slice(w, 2, s, b_ctx.sp)
 
 
-def _bulk_write_swift_kv(kv, k, v, slot_mapping, first_layer: int):
-    """Write all swift layers' K/V in one batched scatter.
-
-    k/v: [L2, T, Hkv*D]; the TPU equivalent of the reference's
-    reshape_and_cache_flash_bulk CUDA kernel (kernels.cu:15-69).
-    """
-    l2, t, hd = k.shape
-    bs = kv.shape[3]
-    slots = jnp.where(slot_mapping < 0, 0, slot_mapping)
-    blk = slots // bs           # [T]
-    off = slots % bs
-    layer_ids = first_layer + jnp.arange(l2)
-    kv = kv.at[layer_ids[:, None], blk[None, :], 0, off[None, :], :].set(
-        k.astype(kv.dtype))
-    kv = kv.at[layer_ids[:, None], blk[None, :], 1, off[None, :], :].set(
-        v.astype(kv.dtype))
-    return kv
-
-
 def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
             inputs: dict[str, jax.Array],
             attn_impl=None, pctx=None,
@@ -267,8 +248,11 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
     v_all = _stacked_proj(x, wv_s)
     k_all = jax.vmap(
         lambda kl: apply_rope(kl, inputs["positions"], inv_freq))(k_all)
-    kv = _bulk_write_swift_kv(kv, k_all.reshape(kb, t, hkv * dh), v_all,
-                              inputs["slot_mapping"], ka)
+    k_all = k_all.reshape(kb, t, hkv * dh)
+    # Each swift layer's projected K/V is scattered inside its own layer
+    # step (before its attention): identical semantics to a single bulk
+    # write but in place on the carried cache — a standalone all-layer
+    # scatter transiently doubles the cache buffer and OOMs at 8B.
 
     # ---- token drop: only sample rows continue -----------------------
     rows = inputs["logits_indices"]
@@ -287,7 +271,9 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
 
     def swift_layer_step(carry, xs):
         h, kv = carry
-        lp, layer = xs
+        lp, layer, k_l, v_l = xs
+        kv = _write_kv_layer(kv, layer, k_l, v_l,
+                             inputs["slot_mapping"])
         if b_ctx is not None:
             lp = b_ctx.layer_params(lp)
         res = h
@@ -306,11 +292,12 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
     if unroll:
         for l in range(kb):
             lp = jax.tree.map(lambda a: a[l], params["layers_b"])
-            (hs, kv), _ = swift_layer_step((hs, kv), (lp, ka + l))
+            (hs, kv), _ = swift_layer_step(
+                (hs, kv), (lp, ka + l, k_all[l], v_all[l]))
     else:
         (hs, kv), _ = jax.lax.scan(
             swift_layer_step, (hs, kv),
-            (params["layers_b"], ka + jnp.arange(kb)))
+            (params["layers_b"], ka + jnp.arange(kb), k_all, v_all))
     hs = rms_norm(hs, params["final_norm"], arch.rms_norm_eps)
     return kv, hs
 
