@@ -156,6 +156,11 @@ class SpeculativeConfig:
     model: Optional[str] = None              # draft model path / name
     num_speculative_tokens: int = 3
     disable_by_batch_size: Optional[int] = 64  # reference config.py:93-96
+    # Device-resident fused decode loop (engine/fused_decode.py): runs
+    # verification + drafting inside the jitted step so speculative
+    # decoding pipelines like greedy decoding.  Falls back automatically
+    # for prefill/guided/logprobs steps.
+    enable_fused_decode: bool = True
     # Suffix decoding knobs (reference config.py:56-62):
     enable_suffix_decoding: bool = False
     suffix_cache_max_depth: int = 64

@@ -81,6 +81,7 @@ class LLMEngine:
         self.spec_config = config.speculative
         self._suffix_cache = None
         self._drafter = None
+        self._fused = None
         if self.spec_config is not None:
             if self.spec_config.enable_suffix_decoding:
                 from arcticinference_tpu.spec.suffix_cache import SuffixCache
@@ -90,6 +91,10 @@ class LLMEngine:
                                            "lstm_speculator"):
                 from arcticinference_tpu.spec.proposer import ArcticProposer
                 self._drafter = ArcticProposer(self.spec_config, arch)
+            if self.spec_config.enable_fused_decode:
+                from arcticinference_tpu.engine.fused_decode import (
+                    FusedDecodeLoop)
+                self._fused = FusedDecodeLoop(self)
 
     # ------------------------------------------------------------------ #
     # Request management
@@ -111,6 +116,11 @@ class LLMEngine:
         return req
 
     def abort_request(self, req_id: str):
+        # The fused decode loop owns device-side request state (and its
+        # in-flight steps write into the request's blocks): settle it
+        # before the scheduler releases anything.
+        if self._fused is not None and self._fused.active:
+            self._fused.exit()
         req = self.scheduler.abort_request(req_id)
         if req is not None:
             self._evict_spec_state(req)
@@ -135,6 +145,21 @@ class LLMEngine:
             return self._step_pipelined()
         if self._inflight:
             self._flush_inflight()
+        # Device-resident fused decode: when every running request sits at
+        # its decode frontier and a draft model is configured, the whole
+        # verify/commit/re-draft cycle pipelines on device (see
+        # engine/fused_decode.py); prefill and admission fall through to
+        # the synchronous path.
+        if self._fused is not None:
+            if not self._fused.active and self._fused.can_enter():
+                self._fused.enter()
+            if self._fused.active:
+                finished = self._fused.step()
+                if self._fused.active or finished:
+                    return finished
+                # Exited without anything to report (e.g. block
+                # pre-extension failed before the first dispatch): fall
+                # through so the sync path makes progress this iteration.
         return self._step_sync()
 
     def _any_guided(self) -> bool:

@@ -1,0 +1,431 @@
+"""Device-resident fused decode loop (speculative decoding x pipelining).
+
+The reference pays one host<->device sync per step because vLLM's
+rejection sampler, draft proposer and input builder all live on the host
+(reference ``model_runner.py:383-505``).  Our async pipeline hides that
+sync for greedy decoding, but host-side drafts forced speculative steps
+back onto the synchronous path — the exact problem described in
+``docs/design-device-resident-decode.md``.
+
+This module implements that design: for decode-phase requests every
+per-step host computation is a pure function of per-request scalars the
+device already has, so the whole verify -> commit -> re-draft cycle runs
+inside ONE jitted program whose state is donated from step to step:
+
+  state:  n_computed, last_token, drafts, draft_len, alive, limit,
+          sampling params, stop ids, rng          (all [B]-shaped, device)
+  step:   build positions/slots/attention schedule in-jit
+          -> model forward on [B*(K+1)] token rows (drafts included)
+          -> verify on device (greedy prefix match / sample-and-compare)
+          -> update state, detect stops (eos / stop ids / length)
+          -> run the Arctic MLP/LSTM drafter chain on the accepted hidden
+             rows to emit the NEXT drafts
+  out:    a tiny int32 telemetry block [B, K+2] the host drains with lag
+
+Zero host round trips in steady state: the host dispatches step N+1
+before step N's telemetry lands, exactly like the greedy pipeline, and
+commits tokens/stops one or two steps behind the device.  Block tables
+are pre-extended on the host (worst case K+1 tokens per in-flight step)
+so the device never waits for an allocation.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("arcticinference_tpu")
+
+NO_TOKEN = -1
+MAX_STOP_IDS = 4
+
+
+# --------------------------------------------------------------------- #
+# The fused device step
+# --------------------------------------------------------------------- #
+
+def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
+                     eos_token_id: Optional[int]):
+    """Compile one fused decode step for batch-width ``B`` (read from the
+    state at call time), draft length ``num_spec`` and fixed sampling mode.
+
+    Returns a jitted ``fn(params, spec_params, kv, state, block_tables,
+    kv_scale) -> (kv, state, telemetry)`` with kv and state donated.
+    """
+    module, arch = runner.module, runner.arch
+    bs = runner.block_size
+    maxblk = runner.max_blocks_per_req
+    k = num_spec
+    r = k + 1
+    qb = 8 if r <= 8 else 32
+    eos = -1 if eos_token_id is None else int(eos_token_id)
+
+    if drafter is not None:
+        from arcticinference_tpu.models import speculators as spec_mod
+        gen = (spec_mod.lstm_generate_proposals if drafter.kind == "lstm"
+               else spec_mod.mlp_generate_proposals)
+        spec_arch = drafter.arch
+    else:
+        gen = spec_arch = None
+
+    def step(params, spec_params, kv, state, block_tables, kv_scale):
+        b = state["n_computed"].shape[0]
+        n_comp = state["n_computed"]                       # [B]
+        alive = state["alive"]                             # [B] 0/1
+        dlen = state["draft_len"]                          # [B]
+        limit = state["limit"]                             # [B] max total
+        drafts = state["drafts"]                           # [B, max(K,1)]
+
+        j = jnp.arange(r, dtype=jnp.int32)[None, :]        # [1, R]
+        tokens = jnp.concatenate(
+            [state["last_token"][:, None], drafts[:, :k]], axis=1)  # [B,R]
+        pos = n_comp[:, None] + j                          # [B, R]
+        row_valid = ((alive[:, None] > 0) & (j <= dlen[:, None])
+                     & (pos < limit[:, None]))
+
+        blk = block_tables[jnp.arange(b)[:, None],
+                           jnp.clip(pos // bs, 0, maxblk - 1)]
+        slot = jnp.where(row_valid, blk * bs + pos % bs, -1)
+
+        flat_req = jnp.where(row_valid,
+                             jnp.arange(b, dtype=jnp.int32)[:, None],
+                             -1).reshape(-1)
+        inputs = {
+            "input_ids": tokens.reshape(-1),
+            "positions": pos.reshape(-1),
+            "req_idx": flat_req,
+            "slot_mapping": slot.reshape(-1),
+            "block_tables": block_tables,
+            "seq_lens": n_comp + r,
+            "kv_scale": kv_scale,
+        }
+        if jax.default_backend() == "tpu":
+            # In-jit attention schedule: one work item per request, rows
+            # packed densely at stride R, qstart aligned down to the
+            # sublane tile exactly like the host builder
+            # (ops/pallas/ragged_attention.py:build_work_items).
+            qpos = jnp.arange(b, dtype=jnp.int32) * r
+            aligned = jnp.bitwise_and(qpos, ~7)
+            rows = jnp.arange(b * r, dtype=jnp.int32)
+            inputs.update(
+                attn_item_req=jnp.arange(b, dtype=jnp.int32),
+                attn_item_qstart=aligned,
+                attn_item_qlen=r * alive,
+                attn_item_pages=jnp.minimum((n_comp + r - 1) // bs + 1,
+                                            maxblk),
+                attn_item_pos_base=n_comp - (qpos - aligned),
+                attn_token_item=rows // r,
+                attn_token_off=rows - aligned[rows // r],
+            )
+
+        from arcticinference_tpu.engine.runner import _make_attn
+        unroll = jax.default_backend() == "tpu" and b * r <= 512
+        kv, h = module.forward(params, arch, kv, inputs,
+                               attn_impl=_make_attn(module, qb),
+                               unroll=unroll)
+        logits = module.compute_logits(params, h)          # [B*R, V]
+
+        rng, sub = jax.random.split(state["rng"])
+        if need_sampling:
+            from arcticinference_tpu.ops.sampling import sample
+            rep = lambda x: jnp.repeat(x, r, total_repeat_length=b * r)
+            rowvals = sample(logits, rep(state["temperature"]),
+                             rep(state["top_k"]), rep(state["top_p"]), sub)
+        else:
+            rowvals = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        rowvals = rowvals.reshape(b, r)
+
+        # Greedy prefix-match verification (sample-and-compare when
+        # temperature > 0: both draft and target row come from the same
+        # sampled chain, so accept-on-equality stays unbiased).
+        if k > 0:
+            match = ((rowvals[:, :k] == drafts[:, :k])
+                     & (jnp.arange(k, dtype=jnp.int32)[None, :]
+                        < dlen[:, None]))
+            n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                            axis=1)
+        else:
+            n_acc = jnp.zeros((b,), jnp.int32)
+        # Never emit past the per-request length limit.
+        n_acc = jnp.minimum(n_acc, jnp.maximum(limit - n_comp - 2, 0))
+
+        # Accepted drafts equal their target rows, so the emitted block is
+        # just the target chain up to and including the bonus position.
+        emitted = jnp.where((j <= n_acc[:, None]) & (alive[:, None] > 0),
+                            rowvals, NO_TOKEN)              # [B, R]
+        bonus = jnp.take_along_axis(rowvals, n_acc[:, None],
+                                    axis=1)[:, 0]
+        n_emit = (1 + n_acc) * alive
+        n_comp2 = n_comp + n_emit
+        last2 = jnp.where(alive > 0, bonus, state["last_token"])
+
+        # Device-side stop detection mirrors Request.check_stop for the
+        # conditions fused mode admits (eos, <=4 stop ids, length).
+        em_real = emitted >= 0
+        hit = jnp.zeros((b, r), bool)
+        if eos >= 0:
+            hit |= (emitted == eos) & em_real & \
+                (state["eos_mask"][:, None] > 0)
+        hit |= ((emitted[:, :, None] == state["stop_ids"][:, None, :])
+                & em_real[:, :, None]).any(-1)
+        stopped = hit.any(axis=1)
+        length_done = n_comp2 + 1 >= limit
+        alive2 = alive * (1 - stopped.astype(jnp.int32)) * \
+            (1 - length_done.astype(jnp.int32))
+
+        # Next drafts: the drafter chain runs on the hidden row of the
+        # last accepted token (the row that produced the bonus), exactly
+        # the rows the host proposer used (spec/proposer.py:propose).
+        if gen is not None and k > 0:
+            hrow = h[jnp.arange(b, dtype=jnp.int32) * r + n_acc]
+            drafts2 = gen(spec_params, spec_arch, last_tokens=bonus,
+                          hidden=hrow, num_predict=k)
+            dlen2 = jnp.clip(limit - n_comp2 - 2, 0, k) * alive2
+        else:
+            drafts2 = drafts
+            dlen2 = jnp.zeros((b,), jnp.int32)
+
+        state2 = dict(state)
+        state2.update(n_computed=n_comp2, last_token=last2,
+                      drafts=drafts2.astype(jnp.int32), draft_len=dlen2,
+                      alive=alive2, rng=rng)
+        telemetry = jnp.concatenate(
+            [emitted, (dlen * alive)[:, None]], axis=1)     # [B, R+1]
+        return kv, state2, telemetry
+
+    return jax.jit(step, donate_argnums=(2, 3))
+
+
+# --------------------------------------------------------------------- #
+# Host controller
+# --------------------------------------------------------------------- #
+
+class _InflightFused:
+    __slots__ = ("telemetry",)
+
+    def __init__(self, telemetry):
+        self.telemetry = telemetry
+
+
+class FusedDecodeLoop:
+    """Engine-side controller: entry/exit, block pre-extension, telemetry
+    commits.  One instance per LLMEngine; active between ``enter`` and
+    ``exit`` while every running request sits at its decode frontier."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.runner = engine.runner
+        self.active = False
+        self._fns: dict = {}
+        self._inflight: list[_InflightFused] = []
+        self._slots: list = []              # slot -> Request
+        self._host_alive: list[bool] = []
+        self._known_comp: list[int] = []    # drained n_computed per slot
+        self._state = None                  # device pytree
+        self._bt_np = None                  # host block-table mirror
+        self._bt_dev = None
+        self._k = 0
+        self._need_sampling = False
+        self.depth = max(1, engine.config.scheduler.pipeline_depth)
+
+    # -- entry ----------------------------------------------------------
+
+    def can_enter(self) -> bool:
+        eng = self.engine
+        if eng._drafter is None or self.runner.swift or \
+                self.runner.mesh is not None:
+            return False
+        if eng.scheduler.waiting or not eng.scheduler.running:
+            return False
+        if eng._spec_disabled_now():
+            return False
+        from arcticinference_tpu import envs
+        if getattr(envs, "ARCTIC_TPU_DISABLE_FUSED", False):
+            return False
+        for req in eng.scheduler.running:
+            sp = req.sampling
+            if (req.num_computed_tokens != req.num_tokens - 1
+                    or sp.guided is not None or sp.logprobs
+                    or len(sp.stop_token_ids) > MAX_STOP_IDS):
+                return False
+        return True
+
+    def enter(self) -> None:
+        eng = self.engine
+        running = list(eng.scheduler.running)
+        b = _bucket(len(running), eng.config.scheduler.max_num_seqs)
+        k = self._k = eng._drafter.n_predict
+        self._need_sampling = any(r.sampling.temperature > 0
+                                  for r in running)
+        self._slots = running
+        self._host_alive = [True] * len(running)
+        self._known_comp = [r.num_computed_tokens for r in running]
+        maxblk = self.runner.max_blocks_per_req
+        mml = eng.config.model.max_model_len
+
+        n_comp = np.zeros(b, np.int32)
+        last = np.zeros(b, np.int32)
+        drafts = np.zeros((b, max(k, 1)), np.int32)
+        dlen = np.zeros(b, np.int32)
+        alive = np.zeros(b, np.int32)
+        limit = np.ones(b, np.int32)  # dead slots: tiny limit
+        temp = np.zeros(b, np.float32)
+        top_k = np.zeros(b, np.int32)
+        top_p = np.ones(b, np.float32)
+        eos_mask = np.zeros(b, np.int32)
+        stop_ids = np.full((b, MAX_STOP_IDS), -1, np.int32)
+        self._bt_np = np.zeros((b, maxblk), np.int32)
+
+        for i, req in enumerate(running):
+            n_comp[i] = req.num_computed_tokens
+            last[i] = req.all_token_ids[-1]
+            d = [int(t) for t in req.spec_token_ids[:k]]
+            drafts[i, :len(d)] = d
+            dlen[i] = len(d)
+            req.spec_token_ids = []
+            alive[i] = 1
+            limit[i] = min(len(req.prompt_token_ids)
+                           + req.sampling.max_tokens, mml)
+            sp = req.sampling
+            temp[i] = sp.temperature
+            top_k[i] = sp.top_k
+            top_p[i] = sp.top_p
+            eos_mask[i] = 0 if sp.ignore_eos else 1
+            for s_i, sid in enumerate(sp.stop_token_ids[:MAX_STOP_IDS]):
+                stop_ids[i, s_i] = sid
+            self._bt_np[i, :len(req.block_ids)] = req.block_ids
+
+        eng._rng, sub = jax.random.split(eng._rng)
+        self._state = jax.device_put(dict(
+            n_computed=n_comp, last_token=last, drafts=drafts,
+            draft_len=dlen, alive=alive, limit=limit, temperature=temp,
+            top_k=top_k, top_p=top_p, eos_mask=eos_mask,
+            stop_ids=stop_ids, rng=sub))
+        self._bt_dev = jax.device_put(self._bt_np)
+        self._inflight = []
+        self.active = True
+        logger.debug("fused decode: entered with %d requests (B=%d, K=%d)",
+                     len(running), b, k)
+
+    # -- stepping -------------------------------------------------------
+
+    def step(self) -> list:
+        """One fused iteration: maybe exit, else dispatch + lagged drain."""
+        eng = self.engine
+        if eng.scheduler.waiting or not any(self._host_alive):
+            return self.exit()
+        if not self._pre_extend_blocks():
+            return self.exit()
+
+        key = (self._state["n_computed"].shape[0], self._k,
+               self._need_sampling)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = build_fused_step(self.runner, eng._drafter, self._k,
+                                  self._need_sampling, eng.eos_token_id)
+            self._fns[key] = fn
+        spec_params = eng._drafter.params if eng._drafter else None
+        self.runner.kv, self._state, telem = fn(
+            self.runner.params, spec_params, self.runner.kv, self._state,
+            self._bt_dev, self.runner.kv_scale)
+        try:
+            telem.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._inflight.append(_InflightFused(telem))
+        eng.engine_stats.num_steps += 1
+
+        finished: list = []
+        while len(self._inflight) > self.depth:
+            finished.extend(self._drain_one())
+        return finished
+
+    def _pre_extend_blocks(self) -> bool:
+        """Grow block tables to cover the worst-case frontier of every
+        in-flight plus the next step; upload the table if it changed."""
+        eng = self.engine
+        horizon = (len(self._inflight) + 1) * (self._k + 1) + 1
+        changed = False
+        for i, req in enumerate(self._slots):
+            if not self._host_alive[i]:
+                continue
+            limit = min(len(req.prompt_token_ids) + req.sampling.max_tokens,
+                        eng.config.model.max_model_len)
+            ub = min(self._known_comp[i] + horizon, limit)
+            before = len(req.block_ids)
+            try:
+                eng.scheduler.block_manager.grow_to(req.block_ids, ub)
+            except Exception:
+                return False
+            if len(req.block_ids) != before:
+                self._bt_np[i, before:len(req.block_ids)] = \
+                    req.block_ids[before:]
+                changed = True
+        if changed:
+            self._bt_dev = jax.device_put(self._bt_np)
+        return True
+
+    def _drain_one(self) -> list:
+        import time as _time
+        eng = self.engine
+        step = self._inflight.pop(0)
+        telem = np.asarray(step.telemetry)
+        r = self._k + 1
+        finished: list = []
+        for i, req in enumerate(self._slots):
+            if not self._host_alive[i]:
+                continue
+            row = telem[i]
+            toks = [int(t) for t in row[:r] if t >= 0]
+            dlen_used = int(row[r])
+            if not toks:
+                continue
+            self._known_comp[i] += len(toks)
+            req.num_computed_tokens += len(toks)
+            req.output_token_ids.extend(toks)
+            if dlen_used > 0:
+                n_acc = len(toks) - 1
+                eng.spec_stats.observe(dlen_used, min(n_acc, dlen_used))
+                req.num_draft_tokens += dlen_used
+                req.num_accepted_draft_tokens += min(n_acc, dlen_used)
+            eng.engine_stats.num_generated_tokens += len(toks)
+            if req.first_token_time is None:
+                req.first_token_time = _time.time()
+            eng._update_suffix_cache(req, toks)
+            stop = req.check_stop(eng.eos_token_id,
+                                  eng.config.model.max_model_len)
+            if stop is not None:
+                # The device cleared this slot's alive flag in the same
+                # step (its stop logic mirrors check_stop), so no later
+                # in-flight step writes these blocks: safe to free now.
+                req.finish_time = _time.time()
+                req.num_computed_tokens = req.num_tokens - 1
+                eng.scheduler.finish_request(req, stop)
+                eng._evict_spec_state(req)
+                self._host_alive[i] = False
+                finished.append(req)
+                eng.engine_stats.num_finished += 1
+        return finished
+
+    # -- exit -----------------------------------------------------------
+
+    def exit(self) -> list:
+        finished: list = []
+        while self._inflight:
+            finished.extend(self._drain_one())
+        self.active = False
+        self._state = None
+        self._bt_dev = None
+        logger.debug("fused decode: exited")
+        return finished
+
+
+def _bucket(n: int, cap: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return min(b, max(cap, n))

@@ -23,6 +23,10 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # Force the pure-Python suffix tree (no C++ build).
     "ARCTIC_TPU_PURE_PYTHON_SUFFIX":
         lambda: os.environ.get("ARCTIC_TPU_PURE_PYTHON_SUFFIX", "0") == "1",
+    # Disable the device-resident fused decode loop (engine/fused_decode.py)
+    # regardless of SpeculativeConfig.enable_fused_decode.
+    "ARCTIC_TPU_DISABLE_FUSED":
+        lambda: os.environ.get("ARCTIC_TPU_DISABLE_FUSED", "0") == "1",
 }
 
 

@@ -1,0 +1,180 @@
+"""Device-resident fused decode loop (engine/fused_decode.py).
+
+Greedy speculative output is invariant to drafts (verification always
+reproduces the target argmax chain), so the fused path must match both
+the synchronous spec path and the no-spec engine token for token.
+"""
+
+import numpy as np
+import pytest
+
+from arcticinference_tpu.config import SpeculativeConfig
+from arcticinference_tpu.engine.llm import LLM
+from arcticinference_tpu.engine.request import SamplingParams
+
+from tests.test_engine import tiny_config
+
+
+def _spec(fused: bool, **kw) -> SpeculativeConfig:
+    return SpeculativeConfig(method="arctic", num_speculative_tokens=3,
+                             enable_fused_decode=fused, **kw)
+
+
+def _prompts(n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return [[int(x) for x in rng.integers(1, 97, rng.integers(3, 30))]
+            for _ in range(n)]
+
+
+class TestFusedMatchesSync:
+
+    def test_single_request(self):
+        prompts = _prompts(1)
+        base = LLM(tiny_config())
+        want = base.generate(prompt_token_ids=prompts,
+                             sampling_params=SamplingParams(max_tokens=12))
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        got = fused.generate(prompt_token_ids=prompts,
+                             sampling_params=SamplingParams(max_tokens=12))
+        assert got[0].token_ids == want[0].token_ids
+        # The fused loop must actually have run (drafts were verified).
+        assert fused.engine.spec_stats.num_drafts > 0
+
+    def test_batch_matches_sync_spec_path(self):
+        prompts = _prompts(4, seed=1)
+        sync = LLM(tiny_config(speculative=_spec(False)))
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        sp = SamplingParams(max_tokens=10)
+        want = sync.generate(prompt_token_ids=prompts, sampling_params=sp)
+        got = fused.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+
+    def test_staggered_lengths(self):
+        """Different max_tokens => slots die at different times while the
+        fused loop keeps running for the others."""
+        prompts = _prompts(3, seed=2)
+        base = LLM(tiny_config())
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        lens = [4, 16, 9]
+        wants = [base.generate(prompt_token_ids=[p],
+                               sampling_params=SamplingParams(max_tokens=n))
+                 [0].token_ids for p, n in zip(prompts, lens)]
+        for i, (p, n) in enumerate(zip(prompts, lens)):
+            fused.engine.add_request(f"r{i}", p,
+                                     SamplingParams(max_tokens=n))
+        done = {}
+        while fused.engine.has_unfinished:
+            for r in fused.engine.step():
+                done[r.req_id] = r.output_token_ids
+        for i, want in enumerate(wants):
+            assert done[f"r{i}"] == want, i
+
+    def test_stop_token_exact(self):
+        prompts = _prompts(1, seed=3)
+        base = LLM(tiny_config())
+        want = base.generate(prompt_token_ids=prompts,
+                             sampling_params=SamplingParams(max_tokens=12))
+        stop = want[0].token_ids[5]
+        want_sp = SamplingParams(max_tokens=12, stop_token_ids=(stop,))
+        want2 = base.generate(prompt_token_ids=prompts,
+                              sampling_params=want_sp)
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        got = fused.generate(prompt_token_ids=prompts,
+                             sampling_params=want_sp)
+        assert got[0].token_ids == want2[0].token_ids
+        assert got[0].token_ids[-1] == stop
+
+    def test_late_admission_exits_and_reenters(self):
+        """A request arriving mid-decode forces a fused-mode exit (for the
+        prefill) and a later re-entry; outputs must be unaffected."""
+        prompts = _prompts(2, seed=4)
+        base = LLM(tiny_config())
+        wants = [base.generate(
+            prompt_token_ids=[p],
+            sampling_params=SamplingParams(max_tokens=14))[0].token_ids
+            for p in prompts]
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        eng = fused.engine
+        eng.add_request("a", prompts[0], SamplingParams(max_tokens=14))
+        done = {}
+        steps = 0
+        while eng.has_unfinished or steps == 0:
+            steps += 1
+            if steps == 6:
+                eng.add_request("b", prompts[1],
+                                SamplingParams(max_tokens=14))
+            for r in eng.step():
+                done[r.req_id] = r.output_token_ids
+        assert done["a"] == wants[0]
+        assert done["b"] == wants[1]
+
+    def test_abort_mid_fused(self):
+        prompts = _prompts(2, seed=5)
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        eng = fused.engine
+        eng.add_request("a", prompts[0], SamplingParams(max_tokens=40))
+        eng.add_request("b", prompts[1], SamplingParams(max_tokens=40))
+        for _ in range(8):
+            eng.step()
+        eng.abort_request("a")
+        assert not (eng._fused is not None and eng._fused.active)
+        done = {}
+        while eng.has_unfinished:
+            for r in eng.step():
+                done[r.req_id] = r
+        assert "b" in done
+        assert len(done["b"].output_token_ids) == 40
+
+    def test_temperature_sampling_runs(self):
+        prompts = _prompts(2, seed=6)
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        outs = fused.generate(
+            prompt_token_ids=prompts,
+            sampling_params=SamplingParams(max_tokens=12, temperature=0.8,
+                                           top_k=20))
+        for o in outs:
+            assert len(o.token_ids) == 12
+            assert all(0 <= t < 97 for t in o.token_ids)
+        assert fused.engine.spec_stats.num_drafts > 0
+
+    def test_suffix_plus_arctic_fused(self):
+        """Suffix decoding stays host-side; the fused loop must still
+        produce correct greedy output and keep the suffix cache fed."""
+        prompts = _prompts(2, seed=7)
+        base = LLM(tiny_config())
+        wants = [base.generate(
+            prompt_token_ids=[p],
+            sampling_params=SamplingParams(max_tokens=10))[0].token_ids
+            for p in prompts]
+        fused = LLM(tiny_config(speculative=_spec(
+            True, enable_suffix_decoding=True)))
+        outs = fused.generate(prompt_token_ids=prompts,
+                              sampling_params=SamplingParams(max_tokens=10))
+        for o, w in zip(outs, wants):
+            assert o.token_ids == w
+
+    def test_env_kill_switch(self, monkeypatch):
+        monkeypatch.setenv("ARCTIC_TPU_DISABLE_FUSED", "1")
+        prompts = _prompts(1, seed=8)
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        eng = fused.engine
+        eng.add_request("a", prompts[0], SamplingParams(max_tokens=4))
+        while eng.has_unfinished:
+            eng.step()
+        assert eng._fused is not None and not eng._fused.active
+
+
+class TestFusedBlockHandling:
+
+    def test_block_exhaustion_falls_back(self):
+        """When pre-extension cannot allocate, the loop exits and the sync
+        path's preemption keeps making progress."""
+        cfg = tiny_config(speculative=_spec(True))
+        cfg.cache.num_blocks = 20  # tight: forces growth failures
+        llm = LLM(cfg)
+        prompts = _prompts(3, seed=9)
+        outs = llm.generate(prompt_token_ids=prompts,
+                            sampling_params=SamplingParams(max_tokens=30))
+        for o in outs:
+            assert len(o.token_ids) == 30
