@@ -161,6 +161,9 @@ class SpeculativeConfig:
     # decoding pipelines like greedy decoding.  Falls back automatically
     # for prefill/guided/logprobs steps.
     enable_fused_decode: bool = True
+    # Per-step cap on suffix-path draft consumption inside the fused loop
+    # (the uploaded path itself may be longer and spans multiple steps).
+    fused_suffix_spec_len: int = 8
     # Suffix decoding knobs (reference config.py:56-62):
     enable_suffix_decoding: bool = False
     suffix_cache_max_depth: int = 64

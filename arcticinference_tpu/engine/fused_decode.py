@@ -27,6 +27,18 @@ before step N's telemetry lands, exactly like the greedy pipeline, and
 commits tokens/stops one or two steps behind the device.  Block tables
 are pre-extended on the host (worst case K+1 tokens per in-flight step)
 so the device never waits for an allocation.
+
+Suffix decoding (host C++ tree, reference ``csrc/suffix_cache``) also
+rides this loop: the host speculates a PATH from its lag-synced prefix
+each step and uploads it anchored at an absolute token index; the device
+keeps a ring buffer of recently emitted tokens, verifies the tokens the
+host hadn't seen yet against the path head ("position-shifted pattern"),
+and walks the surviving tail as drafts — consuming one path over several
+steps with no host round trip.  A mismatch kills the path; the next
+host upload replaces it.  When a model drafter is also configured the
+device prefers the path while it is alive (the host only uploads paths
+whose suffix-tree score beats the drafter, reference
+``model_runner.py:546-575``).
 """
 
 from __future__ import annotations
@@ -49,12 +61,16 @@ MAX_STOP_IDS = 4
 # --------------------------------------------------------------------- #
 
 def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
-                     eos_token_id: Optional[int]):
+                     eos_token_id: Optional[int], use_suffix: bool = False,
+                     path_len_max: int = 32, ring_w: int = 64):
     """Compile one fused decode step for batch-width ``B`` (read from the
     state at call time), draft length ``num_spec`` and fixed sampling mode.
 
     Returns a jitted ``fn(params, spec_params, kv, state, block_tables,
-    kv_scale) -> (kv, state, telemetry)`` with kv and state donated.
+    kv_scale[, h_path, h_start, h_len]) -> (kv, state, telemetry)`` with
+    kv and state donated.  The ``h_*`` inputs (suffix mode only) carry the
+    host's freshest suffix-tree path per slot: tokens [B, PLEN], absolute
+    anchor index [B], and usable length [B] (0 = nothing good to offer).
     """
     module, arch = runner.module, runner.arch
     bs = runner.block_size
@@ -63,6 +79,8 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
     r = k + 1
     qb = 8 if r <= 8 else 32
     eos = -1 if eos_token_id is None else int(eos_token_id)
+    plen = path_len_max
+    w = ring_w
 
     if drafter is not None:
         from arcticinference_tpu.models import speculators as spec_mod
@@ -72,7 +90,8 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
     else:
         gen = spec_arch = None
 
-    def step(params, spec_params, kv, state, block_tables, kv_scale):
+    def step(params, spec_params, kv, state, block_tables, kv_scale,
+             h_path=None, h_start=None, h_len=None):
         b = state["n_computed"].shape[0]
         n_comp = state["n_computed"]                       # [B]
         alive = state["alive"]                             # [B] 0/1
@@ -180,16 +199,67 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
         # Next drafts: the drafter chain runs on the hidden row of the
         # last accepted token (the row that produced the bonus), exactly
         # the rows the host proposer used (spec/proposer.py:propose).
+        headroom = jnp.clip(limit - n_comp2 - 2, 0, k)
         if gen is not None and k > 0:
             hrow = h[jnp.arange(b, dtype=jnp.int32) * r + n_acc]
             drafts2 = gen(spec_params, spec_arch, last_tokens=bonus,
                           hidden=hrow, num_predict=k)
-            dlen2 = jnp.clip(limit - n_comp2 - 2, 0, k) * alive2
+            drafts2 = drafts2.astype(jnp.int32)
+            dlen2 = headroom * alive2
         else:
             drafts2 = drafts
             dlen2 = jnp.zeros((b,), jnp.int32)
 
         state2 = dict(state)
+        if use_suffix:
+            bidx = jnp.arange(b, dtype=jnp.int32)
+            # 1. Ring buffer of emitted tokens, keyed by absolute token
+            #    index mod W (token index i = i-th entry of all_token_ids;
+            #    emitted[:, j] has index n_comp + 1 + j).
+            em_idx = n_comp[:, None] + 1 + j                   # [B, R]
+            ring_at = jnp.where(em_real, em_idx % w, w)        # drop slot
+            ring = state["ring"].at[bidx[:, None], ring_at].set(
+                emitted, mode="drop")
+
+            # 2. Advance the device's current path past the emitted block,
+            #    checking each emitted token against the path prediction.
+            path = state["path"]                               # [B, PLEN]
+            p_off = state["path_off"]
+            p_len = state["path_len"]
+            pred_at = jnp.clip(p_off[:, None] + j, 0, plen - 1)
+            pred = jnp.take_along_axis(path, pred_at, axis=1)  # [B, R]
+            in_path = (p_off[:, None] + j) < p_len[:, None]
+            mism = (em_real & in_path & (pred != emitted)).any(axis=1)
+            p_off = p_off + n_emit
+            p_len = jnp.where(mism, 0, p_len)
+
+            # 3. Merge the host upload: usable if its anchor gap (tokens
+            #    the host hadn't seen) verifies against the ring.
+            gap = (n_comp2 + 1) - h_start                      # [B]
+            t = jnp.arange(plen, dtype=jnp.int32)[None, :]
+            ring_tok = jnp.take_along_axis(
+                ring, (h_start[:, None] + t) % w, axis=1)
+            gap_ok = jnp.where(t < gap[:, None],
+                               ring_tok == h_path, True).all(axis=1)
+            usable = ((h_len > 0) & (gap >= 0) & (gap < h_len)
+                      & (gap <= w) & gap_ok)
+            path = jnp.where(usable[:, None], h_path, path)
+            p_off = jnp.where(usable, gap, p_off)
+            p_len = jnp.where(usable, h_len, p_len)
+
+            # 4. Prefer walking the path over the model drafter while it
+            #    is alive (host uploads are already score-gated).
+            rem = jnp.maximum(p_len - p_off, 0)
+            use_path = (rem > 0) & (alive2 > 0)
+            jd = jnp.arange(max(k, 1), dtype=jnp.int32)[None, :]
+            path_at = jnp.clip(p_off[:, None] + jd, 0, plen - 1)
+            path_drafts = jnp.take_along_axis(path, path_at, axis=1)
+            drafts2 = jnp.where(use_path[:, None], path_drafts[:, :k]
+                                if k > 0 else drafts2, drafts2)
+            dlen2 = jnp.where(use_path,
+                              jnp.minimum(rem, headroom) * alive2, dlen2)
+            state2.update(ring=ring, path=path, path_off=p_off,
+                          path_len=p_len)
         state2.update(n_computed=n_comp2, last_token=last2,
                       drafts=drafts2.astype(jnp.int32), draft_len=dlen2,
                       alive=alive2, rng=rng)
@@ -231,13 +301,17 @@ class FusedDecodeLoop:
         self._k = 0
         self._need_sampling = False
         self.depth = max(1, engine.config.scheduler.pipeline_depth)
+        # Suffix path lane (None when suffix decoding is off).
+        self._suffix = engine._suffix_cache
+        self._plen = 32
+        self._ring_w = 64
 
     # -- entry ----------------------------------------------------------
 
     def can_enter(self) -> bool:
         eng = self.engine
-        if eng._drafter is None or self.runner.swift or \
-                self.runner.mesh is not None:
+        if (eng._drafter is None and self._suffix is None) or \
+                self.runner.swift or self.runner.mesh is not None:
             return False
         if eng.scheduler.waiting or not eng.scheduler.running:
             return False
@@ -258,9 +332,16 @@ class FusedDecodeLoop:
         eng = self.engine
         running = list(eng.scheduler.running)
         b = _bucket(len(running), eng.config.scheduler.max_num_seqs)
-        k = self._k = eng._drafter.n_predict
-        self._need_sampling = any(r.sampling.temperature > 0
-                                  for r in running)
+        sc = eng.config.speculative
+        if eng._drafter is not None:
+            k = eng._drafter.n_predict
+        else:  # suffix-only: per-step cap on path consumption
+            k = min(sc.num_speculative_tokens, sc.fused_suffix_spec_len)
+        self._k = k
+        r = k + 1
+        self._ring_w = max(64, _bucket((self.depth + 2) * r, 1 << 16))
+        self._need_sampling = any(r_.sampling.temperature > 0
+                                  for r_ in running)
         self._slots = running
         self._host_alive = [True] * len(running)
         self._known_comp = [r.num_computed_tokens for r in running]
@@ -300,11 +381,18 @@ class FusedDecodeLoop:
             self._bt_np[i, :len(req.block_ids)] = req.block_ids
 
         eng._rng, sub = jax.random.split(eng._rng)
-        self._state = jax.device_put(dict(
+        state = dict(
             n_computed=n_comp, last_token=last, drafts=drafts,
             draft_len=dlen, alive=alive, limit=limit, temperature=temp,
             top_k=top_k, top_p=top_p, eos_mask=eos_mask,
-            stop_ids=stop_ids, rng=sub))
+            stop_ids=stop_ids, rng=sub)
+        if self._suffix is not None:
+            state.update(
+                ring=np.full((b, self._ring_w), -1, np.int32),
+                path=np.zeros((b, self._plen), np.int32),
+                path_off=np.zeros(b, np.int32),
+                path_len=np.zeros(b, np.int32))
+        self._state = jax.device_put(state)
         self._bt_dev = jax.device_put(self._bt_np)
         self._inflight = []
         self.active = True
@@ -326,12 +414,18 @@ class FusedDecodeLoop:
         fn = self._fns.get(key)
         if fn is None:
             fn = build_fused_step(self.runner, eng._drafter, self._k,
-                                  self._need_sampling, eng.eos_token_id)
+                                  self._need_sampling, eng.eos_token_id,
+                                  use_suffix=self._suffix is not None,
+                                  path_len_max=self._plen,
+                                  ring_w=self._ring_w)
             self._fns[key] = fn
         spec_params = eng._drafter.params if eng._drafter else None
+        args = ()
+        if self._suffix is not None:
+            args = self._host_paths()
         self.runner.kv, self._state, telem = fn(
             self.runner.params, spec_params, self.runner.kv, self._state,
-            self._bt_dev, self.runner.kv_scale)
+            self._bt_dev, self.runner.kv_scale, *args)
         try:
             telem.copy_to_host_async()
         except AttributeError:
@@ -343,6 +437,51 @@ class FusedDecodeLoop:
         while len(self._inflight) > self.depth:
             finished.extend(self._drain_one())
         return finished
+
+    def _host_paths(self):
+        """Speculate a suffix path per alive slot from the host's
+        lag-synced prefix (reference SuffixCache.speculate semantics,
+        ``common/suffix_cache/suffix_cache.py:200-222``); the device
+        verifies the unseen gap and walks the tail."""
+        eng = self.engine
+        sc = eng.config.speculative
+        b = self._state["n_computed"].shape[0]
+        h_path = np.zeros((b, self._plen), np.int32)
+        h_start = np.zeros(b, np.int32)
+        h_len = np.zeros(b, np.int32)
+        # Suffix wins over the model drafter only when its score clears
+        # the drafter's draft length (reference model_runner.py:546-575).
+        min_score = (0 if eng._drafter is None
+                     else sc.num_speculative_tokens)
+        # The host's prefix lags the device by the in-flight steps; the
+        # first ``lag`` path tokens are verified for free against the
+        # ring (they were already emitted), so they must not count
+        # against the confidence cap ``match_len*factor + offset`` —
+        # otherwise most uploads die with gap >= len before the tail is
+        # ever walked.  Extend the offset by the worst-case lag.
+        est_lag = (len(self._inflight) + 1) * (self._k + 1)
+        if not eng._spec_disabled_now():
+            for i, req in enumerate(self._slots):
+                if not self._host_alive[i]:
+                    continue
+                pattern = req.all_token_ids[-sc.suffix_cache_max_depth:]
+                if not pattern:
+                    continue
+                res = self._suffix.speculate(
+                    req.req_id, pattern,
+                    max_spec_tokens=self._plen,
+                    max_spec_factor=sc.suffix_max_spec_factor,
+                    max_spec_offset=sc.suffix_max_spec_offset + est_lag,
+                    min_token_prob=sc.suffix_min_token_prob,
+                    use_cached_prompt=self._suffix.has_cached_prompt(
+                        req.req_id))
+                if res.token_ids and res.score >= min_score:
+                    n = min(len(res.token_ids), self._plen)
+                    h_path[i, :n] = res.token_ids[:n]
+                    h_start[i] = len(req.all_token_ids)
+                    h_len[i] = n
+        return (jax.device_put(h_path), jax.device_put(h_start),
+                jax.device_put(h_len))
 
     def _pre_extend_blocks(self) -> bool:
         """Grow block tables to cover the worst-case frontier of every

@@ -178,3 +178,82 @@ class TestFusedBlockHandling:
                             sampling_params=SamplingParams(max_tokens=30))
         for o in outs:
             assert len(o.token_ids) == 30
+
+
+class TestFusedSuffixOnly:
+    """Suffix decoding riding the fused loop (host-lagged path uploads,
+    device-side gap verification + position-shifted draft extraction)."""
+
+    def _suffix_spec(self, fused: bool, **kw) -> SpeculativeConfig:
+        return SpeculativeConfig(method="suffix",
+                                 enable_fused_decode=fused, **kw)
+
+    def _repetitive_prompts(self, n=2, seed=10):
+        # Repetition makes the suffix tree actually accept drafts.
+        rng = np.random.default_rng(seed)
+        base = [int(x) for x in rng.integers(1, 97, 6)]
+        return [(base * 4)[:20] for _ in range(n)]
+
+    def test_matches_no_spec_greedy(self):
+        prompts = self._repetitive_prompts()
+        base = LLM(tiny_config())
+        want = base.generate(prompt_token_ids=prompts,
+                             sampling_params=SamplingParams(max_tokens=24))
+        fused = LLM(tiny_config(speculative=self._suffix_spec(True)))
+        got = fused.generate(prompt_token_ids=prompts,
+                             sampling_params=SamplingParams(max_tokens=24))
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+        # The fused loop must have engaged (suffix-only => no drafter).
+        assert fused.engine._drafter is None
+        assert fused.engine.engine_stats.num_steps > 0
+        assert fused.engine.spec_stats.num_drafts > 0
+
+    def test_matches_sync_suffix_path(self):
+        prompts = self._repetitive_prompts(3, seed=11)
+        sync = LLM(tiny_config(speculative=self._suffix_spec(False)))
+        fused = LLM(tiny_config(speculative=self._suffix_spec(True)))
+        sp = SamplingParams(max_tokens=20)
+        want = sync.generate(prompt_token_ids=prompts, sampling_params=sp)
+        got = fused.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+
+    def test_path_acceptance_happens(self):
+        """On a looping model+prompt the path lane must actually accept
+        drafts (acceptance > 0), not just run."""
+        prompts = self._repetitive_prompts(1, seed=12)
+        fused = LLM(tiny_config(speculative=self._suffix_spec(True)))
+        fused.generate(prompt_token_ids=prompts,
+                       sampling_params=SamplingParams(max_tokens=40))
+        st = fused.engine.spec_stats
+        assert st.num_drafts > 0
+        assert st.num_accepted_tokens > 0
+
+    def test_staggered_finish(self):
+        prompts = self._repetitive_prompts(3, seed=13)
+        base = LLM(tiny_config())
+        lens = [5, 25, 12]
+        wants = [base.generate(prompt_token_ids=[p],
+                               sampling_params=SamplingParams(max_tokens=n))
+                 [0].token_ids for p, n in zip(prompts, lens)]
+        fused = LLM(tiny_config(speculative=self._suffix_spec(True)))
+        eng = fused.engine
+        for i, (p, n) in enumerate(zip(prompts, lens)):
+            eng.add_request(f"r{i}", p, SamplingParams(max_tokens=n))
+        done = {}
+        while eng.has_unfinished:
+            for r in eng.step():
+                done[r.req_id] = r.output_token_ids
+        for i, want in enumerate(wants):
+            assert done[f"r{i}"] == want, i
+
+    def test_temperature_suffix_fused(self):
+        prompts = self._repetitive_prompts(2, seed=14)
+        fused = LLM(tiny_config(speculative=self._suffix_spec(True)))
+        outs = fused.generate(
+            prompt_token_ids=prompts,
+            sampling_params=SamplingParams(max_tokens=15, temperature=0.7))
+        for o in outs:
+            assert len(o.token_ids) == 15
+            assert all(0 <= t < 97 for t in o.token_ids)
