@@ -163,7 +163,10 @@ class SpeculativeConfig:
     enable_fused_decode: bool = True
     # Per-step cap on suffix-path draft consumption inside the fused loop
     # (the uploaded path itself may be longer and spans multiple steps).
-    fused_suffix_spec_len: int = 8
+    # 7 keeps r = k+1 = 8 inside the small decode row bucket (qb=8); 8+
+    # would bucket every fused step at 32 rows/seq — 4x the activation
+    # memory and measurably slower on a 16 GB chip.
+    fused_suffix_spec_len: int = 7
     # Suffix decoding knobs (reference config.py:56-62):
     enable_suffix_decoding: bool = False
     suffix_cache_max_depth: int = 64

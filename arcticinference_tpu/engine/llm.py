@@ -35,9 +35,17 @@ class LLM:
 
     def __init__(self, config: EngineConfig):
         self.config = config
-        self.engine = LLMEngine(config)
+        self.engine = None
+        self.encoder = None
+        if _is_encoder_arch(config):
+            from arcticinference_tpu.engine.encoder import EncoderRunner
+
+            self.encoder = EncoderRunner(config)
+        else:
+            self.engine = LLMEngine(config)
         self.tokenizer = self._load_tokenizer()
-        if self.engine.eos_token_id is None and self.tokenizer is not None:
+        if self.engine is not None and self.engine.eos_token_id is None \
+                and self.tokenizer is not None:
             self.engine.eos_token_id = self.tokenizer.eos_token_id
         self._next_id = 0
 
@@ -57,6 +65,9 @@ class LLM:
                                None] = None,
         prompt_token_ids: Optional[Sequence[Sequence[int]]] = None,
     ) -> list[RequestOutput]:
+        if self.engine is None:
+            raise ValueError(
+                "encoder-only model: use .encode(), not .generate()")
         if prompts is None and prompt_token_ids is None:
             raise ValueError("provide prompts or prompt_token_ids")
         if prompt_token_ids is None:
@@ -100,16 +111,35 @@ class LLM:
         return outputs
 
 
+def _is_encoder_arch(config: EngineConfig) -> bool:
+    """True when the configured architecture is a bidirectional encoder
+    (module attribute ``IS_ENCODER``), resolved exactly like the loader."""
+    from arcticinference_tpu.models import get_model_module
+    from arcticinference_tpu.models.loader import read_hf_config
+
+    hf_cfg = read_hf_config(config.model.model)
+    if hf_cfg is not None:
+        arch_name = (hf_cfg.get("architectures") or ["LlamaForCausalLM"])[0]
+    else:
+        arch_name = config.model.model
+    try:
+        module = get_model_module(arch_name)
+    except ValueError:
+        return False
+    return bool(getattr(module, "IS_ENCODER", False))
+
+
 class EmbeddingMixin:
     """Pooled-embedding path: one-shot batched prefill, no decode.
 
     Mirror of the capability the reference gets from vLLM's encode mode
-    (reference ``embedding/replica.py:213-224``); here it is a dedicated
-    jitted forward + segment-mean pooling over each request's tokens.
+    (reference ``embedding/replica.py:213-224``).  Encoder architectures
+    (BERT family) run the dedicated dense ``EncoderRunner``; causal LMs
+    get a jitted forward + segment pooling over each request's tokens.
     """
 
     def encode(self, prompts=None, prompt_token_ids=None,
-               pooling: str = "mean"):
+               pooling: str = "mean", normalize=None):
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -118,6 +148,13 @@ class EmbeddingMixin:
             if self.tokenizer is None:
                 raise ValueError("no tokenizer; pass prompt_token_ids")
             prompt_token_ids = [self.tokenizer.encode(p) for p in prompts]
+        if self.encoder is not None:
+            return self.encoder.encode(
+                prompt_token_ids, pooling=pooling,
+                normalize=True if normalize is None else normalize)
+        if normalize:
+            raise NotImplementedError(
+                "normalize is only supported for encoder architectures")
         runner = self.engine.runner
         bm = self.engine.scheduler.block_manager
         budget = self.config.scheduler.max_num_batched_tokens

@@ -18,6 +18,10 @@ _REGISTRY = {
     "LlamaForCausalLM": "arcticinference_tpu.models.llama",
     "llama_swiftkv": "arcticinference_tpu.models.llama_swiftkv",
     "LlamaSwiftKVForCausalLM": "arcticinference_tpu.models.llama_swiftkv",
+    "bert": "arcticinference_tpu.models.bert",
+    "BertModel": "arcticinference_tpu.models.bert",
+    "BertForMaskedLM": "arcticinference_tpu.models.bert",
+    "BertForSequenceClassification": "arcticinference_tpu.models.bert",
     "mlp_speculator": "arcticinference_tpu.models.speculators",
     "ArcticMLPSpeculatorPreTrainedModel":
         "arcticinference_tpu.models.speculators",

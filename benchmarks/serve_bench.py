@@ -36,7 +36,8 @@ TINY = dict(
     head_dim=32)
 
 
-def build_config(name: str, on_tpu: bool, vocab_size=None):
+def build_config(name: str, on_tpu: bool, vocab_size=None,
+                 no_fused=False):
     from arcticinference_tpu.config import (CacheConfig, EngineConfig,
                                             ModelConfig, SchedulerConfig,
                                             SpeculativeConfig)
@@ -48,9 +49,15 @@ def build_config(name: str, on_tpu: bool, vocab_size=None):
     spec = None
     swift_blocks = False
     if name == "suffix":
-        spec = SpeculativeConfig(method="suffix", suffix_cache_max_depth=64)
+        spec = SpeculativeConfig(method="suffix", suffix_cache_max_depth=64,
+                                 enable_fused_decode=not no_fused)
+        # Fused-loop programs live alongside the sync spec buckets;
+        # trade KV capacity for compiled-program + activation headroom.
+        swift_blocks = True
     elif name == "spec":
-        spec = SpeculativeConfig(method="arctic", num_speculative_tokens=3)
+        spec = SpeculativeConfig(method="arctic", num_speculative_tokens=3,
+                                 enable_fused_decode=not no_fused)
+        swift_blocks = True
     elif name == "swiftkv":
         model = "llama_swiftkv"
         overrides["num_key_value_layers"] = \
@@ -75,13 +82,13 @@ def build_config(name: str, on_tpu: bool, vocab_size=None):
 
 
 def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
-            on_tpu: bool, vocab_size=None) -> dict:
+            on_tpu: bool, vocab_size=None, no_fused=False) -> dict:
     import jax
 
     from arcticinference_tpu.engine.llm import LLM
     from arcticinference_tpu.engine.request import SamplingParams
 
-    cfg = build_config(name, on_tpu, vocab_size)
+    cfg = build_config(name, on_tpu, vocab_size, no_fused)
     llm = LLM(cfg)
     rng = np.random.default_rng(0)
     vocab = cfg.model.hf_overrides["vocab_size"]
@@ -144,6 +151,8 @@ def main() -> None:
     parser.add_argument("--num-prompts", type=int, default=32)
     parser.add_argument("--input-len", type=int, default=128)
     parser.add_argument("--output-len", type=int, default=64)
+    parser.add_argument("--no-fused-decode", action="store_true",
+                        help="force the synchronous spec path")
     parser.add_argument("--vocab-size", type=int, default=None,
                         help="override vocab (small vocab => looping "
                              "outputs => demonstrates spec acceptance "
@@ -170,6 +179,8 @@ def main() -> None:
                    "--output-len", str(args.output_len)]
             if args.vocab_size:
                 cmd += ["--vocab-size", str(args.vocab_size)]
+            if args.no_fused_decode:
+                cmd += ["--no-fused-decode"]
             proc = subprocess.run(cmd, capture_output=True, text=True)
             sys.stderr.write(proc.stderr[-2000:])
             for line in proc.stdout.splitlines():
@@ -184,7 +195,8 @@ def main() -> None:
         return
     name = args.configs[0]
     r = run_one(name, args.num_prompts, args.input_len,
-                args.output_len, on_tpu, args.vocab_size)
+                args.output_len, on_tpu, args.vocab_size,
+                no_fused=args.no_fused_decode)
     print(json.dumps(r), flush=True)
 
 
