@@ -94,7 +94,11 @@ class LLMEngine:
             if self.spec_config.enable_fused_decode:
                 from arcticinference_tpu.engine.fused_decode import (
                     FusedDecodeLoop)
-                self._fused = FusedDecodeLoop(self)
+                fused = FusedDecodeLoop(self)
+                # Only install the loop where it can actually engage;
+                # otherwise the sync path keeps full drafting duties.
+                if fused.eligible():
+                    self._fused = fused
 
     # ------------------------------------------------------------------ #
     # Request management
@@ -447,6 +451,14 @@ class LLMEngine:
     def _propose_drafts(self, sched_out: SchedulerOutput, step_inputs,
                         rows, accepted_row: dict[str, int]) -> None:
         if self._spec_disabled_now():
+            return
+        if self._fused is not None:
+            # The fused loop owns drafting: every decode-phase step runs
+            # device-resident.  The sync path only covers prefill /
+            # admission transitions, where drafts buy ~nothing but every
+            # distinct draft length compiles a fresh verify-row bucket
+            # ([rows, vocab] f32 logits — multi-second compiles and GBs
+            # of transients at 8B/128k-vocab scale).
             return
         sc = self.spec_config
 

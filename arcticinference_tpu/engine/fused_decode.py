@@ -308,11 +308,17 @@ class FusedDecodeLoop:
 
     # -- entry ----------------------------------------------------------
 
+    def eligible(self) -> bool:
+        """Static eligibility: is there anything to speculate with, on a
+        runner whose decode step the fused program can own?  When this is
+        False the engine keeps the loop uninstalled so the sync path
+        retains full drafting duties."""
+        eng = self.engine
+        return not ((eng._drafter is None and self._suffix is None)
+                    or self.runner.swift or self.runner.mesh is not None)
+
     def can_enter(self) -> bool:
         eng = self.engine
-        if (eng._drafter is None and self._suffix is None) or \
-                self.runner.swift or self.runner.mesh is not None:
-            return False
         if eng.scheduler.waiting or not eng.scheduler.running:
             return False
         if eng._spec_disabled_now():

@@ -63,8 +63,29 @@ class ModelRunner:
                 raise NotImplementedError(
                     "dp>1 runs as engine replicas; use replica_manager")
             self.mesh = mesh_lib.build_mesh(pcfg)
+            pp = pcfg.pipeline_parallel_size
+            if pp > 1:
+                if pcfg.ulysses_sequence_parallel_size > 1 or \
+                        pcfg.enable_shift_parallel:
+                    raise NotImplementedError(
+                        "pipeline parallelism does not compose with "
+                        "sp/shift yet")
+                if getattr(module, "scan_layers", None) is None:
+                    raise NotImplementedError(
+                        f"{module.__name__} does not support pp")
+                if arch.num_layers % pp != 0:
+                    raise ValueError(
+                        f"num_layers={arch.num_layers} must divide by "
+                        f"pipeline_parallel_size={pp}")
+                for b in default_token_buckets(
+                        config.scheduler.max_num_batched_tokens):
+                    if b % pp:
+                        raise ValueError(
+                            f"token bucket {b} not divisible by pp={pp}; "
+                            "use a power-of-two max_num_batched_tokens")
             hook = getattr(module, "param_specs", None)
-            specs = hook() if hook is not None else None
+            specs = (hook() if hook is not None
+                     else mesh_lib.param_specs(pp=pp > 1))
             params = mesh_lib.shard_params(params, self.mesh, specs)
         else:
             # Single device: materialise once (the loader may hand back
@@ -99,8 +120,8 @@ class ModelRunner:
             from arcticinference_tpu.parallel import mesh as mesh_lib
 
             self.kv = jax.device_put(
-                self.kv, NamedSharding(self.mesh,
-                                       mesh_lib.kv_cache_spec()))
+                self.kv, NamedSharding(self.mesh, mesh_lib.kv_cache_spec(
+                    pp=config.parallel.pipeline_parallel_size > 1)))
         self.kv_scale = jnp.ones((1,), jnp.float32)
 
         self.b_max = config.scheduler.max_num_seqs
@@ -296,6 +317,8 @@ class ModelRunner:
         if self.mesh is None:
             return "single"
         pcfg = self.config.parallel
+        if pcfg.pipeline_parallel_size > 1:
+            return "pp"
         if pcfg.ulysses_sequence_parallel_size <= 1:
             return "sp"  # pure TP: the sp program with sp=1 IS plain TP
         if pcfg.enable_shift_parallel and \
@@ -324,9 +347,18 @@ class ModelRunner:
             for x in jax.tree.leaves(
                 self.params,
                 is_leaf=lambda x: isinstance(x, QuantizedLinear)))
+        embed_q = isinstance(self.params.get("embed"), QuantizedLinear)
+        if mode == "pp":
+            from arcticinference_tpu.parallel.pp import make_pp_forward
+
+            return make_pp_forward(
+                self.module, self.arch, self.mesh, self.config.parallel,
+                attn_qb=attn_qb, quantized=quantized,
+                embed_quantized=embed_q)
         return make_sharded_forward(
             self.module, self.arch, self.mesh, self.config.parallel,
-            mode, attn_qb=attn_qb, quantized=quantized)
+            mode, attn_qb=attn_qb, quantized=quantized,
+            embed_quantized=embed_q)
 
     GUIDED_TOPK = 16
 

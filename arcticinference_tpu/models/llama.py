@@ -114,7 +114,9 @@ def init_params(arch: LlamaArch, rng: jax.Array,
         return qw_jit(key, shape) if quant else w(key, shape)
 
     params = {
-        "embed": w(next(keys), (arch.vocab_size, d)),
+        "embed": (qw(next(keys), (arch.vocab_size, d))
+                  if not arch.tie_word_embeddings
+                  else w(next(keys), (arch.vocab_size, d))),
         "layers": {
             "input_norm": jnp.ones((lL, d), dtype),
             "post_norm": jnp.ones((lL, d), dtype),
@@ -140,10 +142,12 @@ _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 def quantize_params(params: dict) -> dict:
     """Convert the large matmul weights to weight-only FP8 (per-tensor scale).
 
-    Norms and embeddings stay bf16; the LM head quantizes too (the
-    reference quantizes speculator LM heads the same way,
-    ``vllm/spec_dec/fp8.py:310-337`` — at 128k vocab the head is ~1 GB
-    of per-step bandwidth).
+    Norms stay bf16; the LM head AND the input embedding quantize too
+    (the reference's ``Fp8ConfigWithEmbedding`` quantizes
+    VocabParallelEmbedding/ParallelLMHead the same way,
+    ``vllm/spec_dec/fp8.py:310-337`` — at 128k vocab each table is
+    ~0.5 GB of HBM in fp8 vs ~1 GB in bf16).  Tied-embedding models keep
+    the table in bf16 (the tied logits matmul reads it transposed).
     """
     out = dict(params)
     layers = dict(params["layers"])
@@ -152,7 +156,19 @@ def quantize_params(params: dict) -> dict:
     out["layers"] = layers
     if "lm_head" in out and not isinstance(out["lm_head"], QuantizedLinear):
         out["lm_head"] = fp8_quantize(out["lm_head"])
+    if "lm_head" in out and not isinstance(out["embed"], QuantizedLinear):
+        out["embed"] = fp8_quantize(out["embed"])
     return out
+
+
+def embed_lookup(params: dict, ids: jax.Array) -> jax.Array:
+    """Input-embedding gather; dequantizes fp8 tables row-wise (XLA fuses
+    the convert+scale into the gather consumer)."""
+    e = params["embed"]
+    if isinstance(e, QuantizedLinear):
+        rows = e.weight[ids].astype(jnp.float32) * e.scale
+        return rows.astype(params["final_norm"].dtype)
+    return e[ids]
 
 
 def _qkv(h, lp, arch):
@@ -214,11 +230,30 @@ def forward(params: dict, arch: LlamaArch, kv: jax.Array,
     """
     if attn_impl is None:
         attn_impl = _default_attn
+    h = embed_lookup(params, inputs["input_ids"])
+    kv, h = scan_layers(params["layers"], arch, kv, h, inputs,
+                        attn_impl=attn_impl, pctx=pctx, unroll=unroll)
+    h = rms_norm(h, params["final_norm"], arch.rms_norm_eps)
+    return kv, h
+
+
+def scan_layers(layers: dict, arch: LlamaArch, kv: jax.Array,
+                h: jax.Array, inputs: dict, attn_impl=None, pctx=None,
+                unroll: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Run a (sub)stack of decoder layers over hidden states ``h``.
+
+    ``layers`` is stacked params whose leading axis is the number of
+    layers to run; ``kv``'s leading axis must match (under pipeline
+    parallelism each stage passes its LOCAL layer shard and kv shard —
+    layer indices are local).
+    """
+    if attn_impl is None:
+        attn_impl = _default_attn
+    num_layers = jax.tree.leaves(layers)[0].shape[0]
     arch_q = pctx.arch_view(arch) if pctx is not None else arch
     psum = pctx.psum if pctx is not None else (lambda x: x)
     # Positions of the locally-held tokens (sp-sharded under Ulysses).
     rope_positions = inputs.get("positions_local", inputs["positions"])
-    h = params["embed"][inputs["input_ids"]]
     inv_freq = compute_rope_freqs(arch.head_dim, arch.rope_theta,
                                   arch.rope_scaling)
 
@@ -246,15 +281,21 @@ def forward(params: dict, arch: LlamaArch, kv: jax.Array,
         return (h, kv), None
 
     if unroll:
-        for l in range(arch.num_layers):
-            lp = jax.tree.map(lambda a: a[l], params["layers"])
+        for l in range(num_layers):
+            lp = jax.tree.map(lambda a: a[l], layers)
             (h, kv), _ = layer_step((h, kv), (lp, l))
     else:
         (h, kv), _ = jax.lax.scan(
             layer_step, (h, kv),
-            (params["layers"], jnp.arange(arch.num_layers)))
-    h = rms_norm(h, params["final_norm"], arch.rms_norm_eps)
+            (layers, jnp.arange(num_layers)))
     return kv, h
+
+
+def finalize_hidden(params: dict, arch: LlamaArch,
+                    h: jax.Array) -> jax.Array:
+    """Final norm applied after the last decoder layer (split out so the
+    pipeline-parallel program can run it on the last stage only)."""
+    return rms_norm(h, params["final_norm"], arch.rms_norm_eps)
 
 
 def _mlp(x, lp):
@@ -381,6 +422,11 @@ def load_hf_state(arch: LlamaArch, tensors: dict[str, np.ndarray],
     if quantization == "fp8" and not isinstance(
             params["layers"]["wq"], QuantizedLinear):
         params = quantize_params(params)
+    if quantization == "fp8" and "lm_head" in params and \
+            not isinstance(params["embed"], QuantizedLinear):
+        # Pre-quantized checkpoints ship bf16 embeddings; quantize ours
+        # like the reference's Fp8ConfigWithEmbedding (fp8.py:310-337).
+        params["embed"] = fp8_quantize(params["embed"])
     return params
 
 

@@ -177,7 +177,7 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
     arch_q = pctx.arch_view(arch) if pctx is not None else arch
     psum = pctx.psum if pctx is not None else (lambda x: x)
     rope_positions = inputs.get("positions_local", inputs["positions"])
-    h = params["embed"][inputs["input_ids"]]
+    h = llama_mod.embed_lookup(params, inputs["input_ids"])
     inv_freq = compute_rope_freqs(arch.head_dim, arch.rope_theta,
                                   arch.rope_scaling)
 

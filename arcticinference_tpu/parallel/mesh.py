@@ -40,23 +40,27 @@ def build_mesh(cfg: ParallelConfig,
             f"parallel config needs {need} devices, have {len(devices)}")
     devs = np.asarray(devices[:need]).reshape(
         cfg.data_parallel_size,
+        cfg.pipeline_parallel_size,
         cfg.ulysses_sequence_parallel_size,
         cfg.tensor_parallel_size)
-    return Mesh(devs, ("dp", "sp", "tp"))
+    return Mesh(devs, ("dp", "pp", "sp", "tp"))
 
 
-def param_specs(quantized: bool = False) -> dict:
+def param_specs(quantized: bool = False, pp: bool = False) -> dict:
     """PartitionSpecs for the Llama parameter pytree (weights stored
-    tp-sharded, replicated over sp — the SP-mode layout)."""
-    col = P(None, None, "tp")      # [L, in, out] -> shard out
-    row = P(None, "tp", None)      # [L, in, out] -> shard in
+    tp-sharded, replicated over sp — the SP-mode layout).  With ``pp``
+    the stacked layer axis shards over the pipeline axis (each stage
+    holds its own layers; embed/final_norm/lm_head replicated)."""
+    l_ax = "pp" if pp else None
+    col = P(l_ax, None, "tp")      # [L, in, out] -> shard out
+    row = P(l_ax, "tp", None)      # [L, in, out] -> shard in
     specs = {
         "embed": P(None, None),
         "final_norm": P(None),
         "lm_head": P(None, "tp"),
         "layers": {
-            "input_norm": P(None, None),
-            "post_norm": P(None, None),
+            "input_norm": P(l_ax, None),
+            "post_norm": P(l_ax, None),
             "wq": col, "wk": col, "wv": col,
             "wo": row,
             "w_gate": col, "w_up": col,
@@ -68,8 +72,11 @@ def param_specs(quantized: bool = False) -> dict:
 
 def quantized_leaf_spec(spec: P) -> tuple:
     """A QuantizedLinear leaf flattens to (weight, scale): weight follows
-    the weight spec, the per-layer scale vector is replicated."""
-    return (spec, P(None))
+    the weight spec; the per-layer scale vector is replicated, except the
+    layer axis follows the weight's layer sharding (pp)."""
+    if len(spec) and spec[0] == "pp":
+        return (spec, P("pp"))
+    return (spec, P())  # P() replicates any rank (incl. scalar scales)
 
 
 def shard_params(params, mesh: Mesh, specs: Optional[dict] = None):
@@ -106,10 +113,12 @@ def shard_params(params, mesh: Mesh, specs: Optional[dict] = None):
         is_leaf=lambda x: isinstance(x, QuantizedLinear))
 
 
-def kv_cache_spec() -> P:
+def kv_cache_spec(pp: bool = False) -> P:
     """KV cache [L, N, 2, Bs, Hkv*D]: head-feature axis sharded over the
-    fused sp_tp axis — identical in SP and shift modes."""
-    return P(None, None, None, None, SP_TP)
+    fused sp_tp axis — identical in SP and shift modes.  Under pipeline
+    parallelism the layer axis shards over "pp" (each stage holds only
+    its own layers' pages)."""
+    return P("pp" if pp else None, None, None, None, SP_TP)
 
 
 def replicated_spec(ndim: int) -> P:

@@ -1,0 +1,135 @@
+"""Pipeline parallelism as one SPMD GPipe program.
+
+The reference implements PP with rank groups plus point-to-point
+send/recv of IntermediateTensors between worker processes (reference
+``ulysses.py:176-186``, ``model_runner.py:352-375``).  The TPU-native
+equivalent avoids host-driven p2p entirely:
+
+- the stacked layer parameters AND the paged KV cache shard their
+  leading layer axis over mesh axis ``"pp"`` (each stage holds only its
+  own layers' weights and pages);
+- one jitted ``shard_map`` program splits the flat token batch into
+  ``M = pp`` microbatches and rotates activations stage-to-stage with
+  ``lax.ppermute`` inside a static tick loop of ``M + pp - 1`` ticks.
+
+SPMD uniformity: every stage computes every tick (bubble ticks process
+garbage rows); correctness is preserved by routing bubble-tick KV writes
+to the reserved sink block (slot ``-1``) and by only committing the last
+stage's valid outputs (all other contributions are zeroed and summed
+away by a final ``psum`` over ``"pp"``).
+
+Causality across microbatches: tokens are host-ordered by (request,
+position), so a contiguous row split keeps every token's intra-request
+predecessors in the same or an earlier microbatch — their KV is already
+written when a later microbatch reaches any given stage.
+
+Composes with TP (``psum`` over ``"tp"`` inside each stage).  SP and
+shift parallelism are not composed with PP yet.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from arcticinference_tpu.config import ParallelConfig
+from arcticinference_tpu.parallel import mesh as mesh_lib
+from arcticinference_tpu.parallel.ulysses import (ParallelContext,
+                                                  _param_spec_tree)
+
+# Row-indexed arrays sliced per microbatch; everything else is shared.
+_ROW_KEYS = ("input_ids", "positions", "req_idx", "slot_mapping")
+_FWD_KEYS = ("embed", "layers", "final_norm")
+
+
+def make_pp_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
+                    attn_qb: Optional[int] = None,
+                    quantized: bool = False,
+                    embed_quantized: bool = False):
+    """Build the pipelined forward: fn(params, kv, inputs) ->
+    (kv, hidden[T, D]) on global arrays, layers/kv pp-sharded."""
+    pp = cfg.pipeline_parallel_size
+    assert pp > 1
+    if cfg.ulysses_sequence_parallel_size > 1:
+        raise NotImplementedError("pp does not compose with sp yet")
+    scan_layers = getattr(module, "scan_layers", None)
+    if scan_layers is None:
+        raise NotImplementedError(
+            f"{module.__name__} does not support pipeline parallelism")
+    pctx = ParallelContext(cfg, "sp", num_kv_heads=arch.num_kv_heads,
+                           head_dim=arch.head_dim)
+
+    attn_impl = None
+    make_attn = getattr(module, "make_attn_impl", None)
+    if make_attn is not None and attn_qb is not None:
+        attn_impl = make_attn(attn_qb)
+
+    def body(params, kv, inputs):
+        stage = jax.lax.axis_index("pp")
+        ids = inputs["input_ids"]
+        t_total = ids.shape[0]
+        m = pp                         # microbatches = stages
+        tm = t_total // m
+        dt = params["final_norm"].dtype   # embed may be fp8-quantized
+        d = arch.hidden_size
+
+        shared = {k: v for k, v in inputs.items() if k not in _ROW_KEYS}
+        h_cur = jnp.zeros((tm, d), dt)
+        out = jnp.zeros((t_total, d), dt)
+
+        for t in range(m + pp - 1):
+            m_here = t - stage                       # traced, per stage
+            valid = (m_here >= 0) & (m_here < m)
+            start = jnp.clip(m_here, 0, m - 1) * tm
+
+            def sl(a):
+                return jax.lax.dynamic_slice_in_dim(a, start, tm, 0)
+
+            mb = dict(shared)
+            for k in _ROW_KEYS:
+                mb[k] = sl(inputs[k])
+            mb["positions_local"] = mb["positions"]
+            # Bubble ticks write K/V to the sink block (slot -1).
+            mb["slot_mapping"] = jnp.where(valid, mb["slot_mapping"], -1)
+
+            inject = jnp.equal(stage, 0) & (t < m)
+            h_in = jnp.where(
+                inject,
+                module.embed_lookup(params, mb["input_ids"]).astype(dt),
+                h_cur)
+            kv, h_out = scan_layers(params["layers"], arch, kv, h_in,
+                                    mb, attn_impl=attn_impl, pctx=pctx)
+            done = jnp.equal(stage, pp - 1) & valid
+            fin = module.finalize_hidden(params, arch, h_out)
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, jnp.where(done, fin, jnp.zeros_like(fin)), start, 0)
+            h_cur = jax.lax.ppermute(
+                h_out, "pp", [(i, (i + 1) % pp) for i in range(pp)])
+
+        return kv, jax.lax.psum(out, "pp")
+
+    param_specs = _param_spec_tree(module, quantized, pp=True,
+                                   embed_quantized=embed_quantized)
+    param_specs = {k: v for k, v in param_specs.items() if k in _FWD_KEYS}
+    kv_spec = mesh_lib.kv_cache_spec(pp=True)
+    smapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(param_specs, kv_spec, P()),
+        out_specs=(kv_spec, P()),
+        check_vma=False)
+
+    def fn(params, kv, inputs):
+        fwd_params = {k: params[k] for k in _FWD_KEYS if k in params}
+        # The Pallas schedule arrays describe the FULL batch; microbatch
+        # slices can't use them, so the jnp reference attention runs
+        # under pp for now.
+        clean = {k: v for k, v in inputs.items()
+                 if not k.startswith("attn_item")
+                 and not k.startswith("attn_token")}
+        return smapped(fwd_params, kv, clean)
+
+    return fn

@@ -166,7 +166,8 @@ def token_in_specs(mode: str) -> P:
 
 def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
                          mode: str, attn_qb: Optional[int] = None,
-                         quantized: bool = False):
+                         quantized: bool = False,
+                         embed_quantized: bool = False):
     """Build the shard_map'd forward for one mode.
 
     Returns fn(params, kv, inputs) -> (kv, hidden[T, D_model]) operating on
@@ -193,7 +194,8 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
         attn_impl = make_attn(attn_qb)
 
     tok_spec = token_in_specs(mode)
-    param_spec_tree = _param_spec_tree(module, quantized)
+    param_spec_tree = _param_spec_tree(module, quantized,
+                                       embed_quantized=embed_quantized)
     kv_spec = mesh_lib.kv_cache_spec()
     # Modules that gather + return only the sample rows (SwiftKV) emit a
     # replicated hidden block rather than a token-sharded one.
@@ -237,12 +239,19 @@ _FWD_KEYS = ("embed", "layers", "final_norm", "layers_a", "layers_b",
              "wk_swift", "wv_swift", "norm_swiftkv")
 
 
-def _param_spec_tree(module, quantized: bool):
+def _param_spec_tree(module, quantized: bool, pp: bool = False,
+                     embed_quantized: bool = False):
     """Build the exact-structure spec pytree for shard_map in_specs
     (decoder params only — the LM head stays outside shard_map)."""
     hook = getattr(module, "param_specs", None)
-    specs = hook() if hook is not None else mesh_lib.param_specs()
+    if pp and hook is not None:
+        raise NotImplementedError(
+            f"{module.__name__} has custom param specs; pp not supported")
+    specs = hook() if hook is not None else mesh_lib.param_specs(pp=pp)
     specs = {k: v for k, v in specs.items() if k in _FWD_KEYS}
+    scale_spec = P("pp") if pp else P(None)
+    if embed_quantized and "embed" in specs:
+        specs["embed"] = QuantizedLinear(specs["embed"], P())
 
     if not quantized:
         return specs
@@ -255,7 +264,7 @@ def _param_spec_tree(module, quantized: bool):
         layers = dict(layers)
         for k in q_keys:
             if k in layers:
-                layers[k] = QuantizedLinear(layers[k], P(None))
+                layers[k] = QuantizedLinear(layers[k], scale_spec)
         return layers
 
     out = dict(specs)

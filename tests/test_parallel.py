@@ -15,6 +15,7 @@ import pytest
 
 from arcticinference_tpu.config import ParallelConfig
 from arcticinference_tpu.models import llama
+from arcticinference_tpu.ops.fp8 import QuantizedLinear
 from arcticinference_tpu.ops.kv_cache import KVCacheSpec, allocate_kv_cache
 from arcticinference_tpu.parallel import mesh as mesh_lib
 from arcticinference_tpu.parallel.ulysses import make_sharded_forward
@@ -135,7 +136,9 @@ def test_quantized_sharded_forward():
                          ulysses_sequence_parallel_size=2)
     mesh = mesh_lib.build_mesh(cfg)
     sharded = mesh_lib.shard_params(qparams, mesh)
-    fn = make_sharded_forward(llama, ARCH, mesh, cfg, "sp", quantized=True)
+    fn = make_sharded_forward(llama, ARCH, mesh, cfg, "sp", quantized=True,
+                              embed_quantized=isinstance(
+                                  qparams["embed"], QuantizedLinear))
     _, h = jax.jit(fn)(sharded, allocate_kv_cache(kv_spec()), inputs)
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
                                rtol=2e-3, atol=2e-3)
