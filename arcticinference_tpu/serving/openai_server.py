@@ -59,13 +59,25 @@ class OpenAIServer:
         eos_ignore = bool(body.get("ignore_eos", False))
         guided = None
         fmt = body.get("response_format") or {}
-        if fmt.get("type") in ("json_object", "json_schema"):
+        spec = None
+        if fmt.get("type") == "json_object":
+            spec = {"json": True}
+        elif fmt.get("type") == "json_schema":
+            schema = (fmt.get("json_schema") or {}).get("schema")
+            spec = {"json": schema if isinstance(schema, dict) else True}
+        elif body.get("guided_regex"):
+            spec = {"regex": body["guided_regex"]}
+        elif body.get("guided_choice"):
+            spec = {"choice": body["guided_choice"]}
+        elif body.get("guided_json"):
+            spec = {"json": body["guided_json"]}
+        if spec is not None:
             if self.tokenizer is None:
                 raise web.HTTPBadRequest(
-                    text="json mode requires a tokenizer")
+                    text="guided decoding requires a tokenizer")
             from arcticinference_tpu.serving.structured import (
-                JsonGuidedDecoder)
-            guided = JsonGuidedDecoder(self.tokenizer)
+                make_guided_decoder)
+            guided = make_guided_decoder(self.tokenizer, spec)
         logprobs = body.get("logprobs")
         return SamplingParams(
             max_tokens=int(body.get("max_tokens", 128)),

@@ -59,6 +59,8 @@ class JsonPrefixValidator:
         self.lit_pos = 0
         self.num_state = ""        # progress marker inside a number
         self.dead = False
+        self.text = ""             # accumulated (committed) document text
+        self.started = False       # first non-whitespace char seen
 
     def copy(self) -> "JsonPrefixValidator":
         c = JsonPrefixValidator.__new__(JsonPrefixValidator)
@@ -70,6 +72,8 @@ class JsonPrefixValidator:
         c.lit_pos = self.lit_pos
         c.num_state = self.num_state
         c.dead = self.dead
+        c.text = self.text
+        c.started = self.started
         return c
 
     # -- public ----------------------------------------------------------
@@ -80,6 +84,9 @@ class JsonPrefixValidator:
             if not self._feed_char(ch):
                 self.dead = True
                 return False
+            self.text += ch
+            if ch not in _WS:
+                self.started = True
         return True
 
     def accepts(self, text: str) -> bool:
@@ -303,3 +310,188 @@ class JsonGuidedDecoder:
             if self.allows_token(int(tok)):
                 return int(tok)
         return None
+
+
+class _TokenTextDecoder:
+    """Shared token layer: decode cache + top-K candidate picking.
+    Subclasses implement text-level accepts/feed/complete/suggest."""
+
+    def __init__(self, tokenizer) -> None:
+        self.tokenizer = tokenizer
+        self._cache: dict[int, str] = {}
+
+    def _text(self, token_id: int) -> str:
+        t = self._cache.get(token_id)
+        if t is None:
+            t = self.tokenizer.decode([token_id])
+            self._cache[token_id] = t
+        return t
+
+    # text-level hooks --------------------------------------------------
+    def accepts_text(self, text: str) -> bool:
+        raise NotImplementedError
+
+    def feed_text(self, text: str) -> None:
+        raise NotImplementedError
+
+    def finished(self) -> bool:
+        raise NotImplementedError
+
+    def suggest_text(self) -> str:
+        return ""
+
+    # token layer (engine interface) ------------------------------------
+    def allows_token(self, token_id: int) -> bool:
+        if self.finished():
+            return False
+        return self.accepts_text(self._text(token_id))
+
+    def advance_token(self, token_id: int) -> None:
+        self.feed_text(self._text(token_id))
+
+    def fallback_token(self) -> Optional[int]:
+        s = self.suggest_text()
+        if not s:
+            return None
+        ids = self.tokenizer.encode(s, add_special_tokens=False)
+        return ids[0] if ids else None
+
+    def pick(self, candidates: Sequence[int]) -> Optional[int]:
+        for tok in candidates:
+            if self.allows_token(int(tok)):
+                return int(tok)
+        return None
+
+
+class RegexGuidedDecoder(_TokenTextDecoder):
+    """Regex-constrained decoding (vLLM ``guided_regex`` equivalent).
+
+    Prefix validity uses the ``regex`` module's partial matching: a
+    candidate extension is allowed iff the new text can still extend to
+    a full match.  Generation finishes at the first complete match
+    (greedy-stop semantics)."""
+
+    _PROBE = ('"', "0", "1", "a", "e", " ", "-", ".", ",", ":", "{", "}",
+              "[", "]", "t", "f", "n", "A", "_", "/")
+
+    def __init__(self, tokenizer, pattern: str) -> None:
+        import regex as _regex
+
+        super().__init__(tokenizer)
+        self._re = _regex.compile(pattern)
+        self.text = ""
+
+    def _ok(self, text: str):
+        return self._re.fullmatch(text, partial=True)
+
+    def accepts_text(self, text: str) -> bool:
+        return bool(self._ok(self.text + text))
+
+    def feed_text(self, text: str) -> None:
+        self.text += text
+
+    def finished(self) -> bool:
+        m = self._re.fullmatch(self.text)
+        return bool(m) and not m.partial
+
+    def suggest_text(self) -> str:
+        for ch in self._PROBE:
+            if self._ok(self.text + ch):
+                return ch
+        # Exhaustive fallback over the printable range.
+        for code in range(32, 127):
+            ch = chr(code)
+            if self._ok(self.text + ch):
+                return ch
+        return ""
+
+
+class ChoiceGuidedDecoder(_TokenTextDecoder):
+    """Constrain output to one of N fixed strings (vLLM
+    ``guided_choice`` equivalent)."""
+
+    def __init__(self, tokenizer, choices: Sequence[str]) -> None:
+        super().__init__(tokenizer)
+        if not choices:
+            raise ValueError("choices must be non-empty")
+        self.choices = [str(c) for c in choices]
+        self.text = ""
+
+    def accepts_text(self, text: str) -> bool:
+        new = self.text + text
+        return any(c.startswith(new) for c in self.choices)
+
+    def feed_text(self, text: str) -> None:
+        self.text += text
+
+    def finished(self) -> bool:
+        # Finished once the prefix equals a choice that no other choice
+        # strictly extends (unambiguous longest-match).
+        if self.text not in self.choices:
+            return False
+        return not any(c != self.text and c.startswith(self.text)
+                       for c in self.choices)
+
+    def suggest_text(self) -> str:
+        for c in self.choices:
+            if c.startswith(self.text) and len(c) > len(self.text):
+                return c[len(self.text)]
+        return ""
+
+
+class JsonSchemaGuidedDecoder(JsonGuidedDecoder):
+    """JSON-schema mode: syntactic JSON validity is enforced per token
+    (inherited); the completed document is validated against the schema
+    (``schema_ok``).  Schema-aware per-token masking beyond the root
+    type is future work — the reference delegates the same job to
+    vLLM's guided decoding backends."""
+
+    def __init__(self, tokenizer, schema: dict) -> None:
+        super().__init__(tokenizer)
+        self.schema = schema or {}
+        self.schema_ok: Optional[bool] = None
+        root = self.schema.get("type")
+        self._root_first = {"object": "{", "array": "[",
+                            "string": '"'}.get(root)
+
+    def allows_token(self, token_id: int) -> bool:
+        if self._root_first and not self.validator.started:
+            txt = self._text(token_id).lstrip(_WS)
+            if txt and not txt.startswith(self._root_first):
+                return False
+        return super().allows_token(token_id)
+
+    def finished(self) -> bool:
+        done = super().finished()
+        if done and self.schema_ok is None:
+            try:
+                import json as _json
+
+                import jsonschema
+
+                jsonschema.validate(_json.loads(self.validator.text),
+                                    self.schema)
+                self.schema_ok = True
+            except Exception:
+                self.schema_ok = False
+        return done
+
+
+def make_guided_decoder(tokenizer, spec) -> object:
+    """Factory mirroring vLLM's GuidedDecodingParams surface:
+    ``{"json": schema|True}`` / ``{"regex": pat}`` / ``{"choice": [..]}``
+    or an already-built decoder (returned as-is)."""
+    if hasattr(spec, "pick"):
+        return spec
+    if not isinstance(spec, dict):
+        raise ValueError(f"unsupported guided spec {spec!r}")
+    if "regex" in spec:
+        return RegexGuidedDecoder(tokenizer, spec["regex"])
+    if "choice" in spec:
+        return ChoiceGuidedDecoder(tokenizer, spec["choice"])
+    if "json" in spec:
+        schema = spec["json"]
+        if isinstance(schema, dict):
+            return JsonSchemaGuidedDecoder(tokenizer, schema)
+        return JsonGuidedDecoder(tokenizer)
+    raise ValueError(f"unsupported guided spec keys {sorted(spec)}")

@@ -171,3 +171,54 @@ def test_completions_logprobs(server, loop):
             assert all(len(d) == 3 for d in lp["top_logprobs"])
 
     loop.run_until_complete(run())
+
+
+def test_guided_choice_endpoint(server, loop):
+    """guided_choice constrains the HTTP response to one of N strings."""
+    from tests.test_structured import CharTokenizer
+
+    async def run():
+        server.tokenizer = CharTokenizer()
+        try:
+            client = await _client(server)
+            async with client:
+                r = await client.post("/v1/completions", json={
+                    "prompt_token_ids": [65, 66, 67],
+                    "max_tokens": 20,
+                    "guided_choice": ["alpha", "beta", "gamma"],
+                })
+                assert r.status == 200
+                data = await r.json()
+                text = "".join(chr(t)
+                               for t in data["choices"][0]["token_ids"])
+                assert text in ("alpha", "beta", "gamma"), text
+        finally:
+            server.tokenizer = None
+
+    loop.run_until_complete(run())
+
+
+def test_guided_regex_endpoint(server, loop):
+    import re
+
+    from tests.test_structured import CharTokenizer
+
+    async def run():
+        server.tokenizer = CharTokenizer()
+        try:
+            client = await _client(server)
+            async with client:
+                r = await client.post("/v1/completions", json={
+                    "prompt_token_ids": [65, 66, 67],
+                    "max_tokens": 20,
+                    "guided_regex": r"id-\d+",
+                })
+                assert r.status == 200
+                data = await r.json()
+                text = "".join(chr(t)
+                               for t in data["choices"][0]["token_ids"])
+                assert re.fullmatch(r"id-\d+", text), text
+        finally:
+            server.tokenizer = None
+
+    loop.run_until_complete(run())
