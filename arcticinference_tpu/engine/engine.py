@@ -64,8 +64,9 @@ class LLMEngine:
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    self.runner.num_blocks)
         self.spec_stats = SpecDecodingStats()
-        from arcticinference_tpu.stats import EngineStats
+        from arcticinference_tpu.stats import EngineStats, StepTimeStats
         self.engine_stats = EngineStats()
+        self.step_times = StepTimeStats()
         self._last_log = time.time()
         self._profiling = False
         self._rng = jax.random.PRNGKey(config.model.seed)
@@ -145,8 +146,14 @@ class LLMEngine:
         syncing the oldest in-flight one (host<->device latency hides
         behind device compute); otherwise fully synchronous.
         """
+        t0 = time.perf_counter()
+        kind, finished = self._step_inner()
+        self.step_times.observe(kind, time.perf_counter() - t0)
+        return finished
+
+    def _step_inner(self) -> tuple[str, list[Request]]:
         if self._pipeline and not self._any_guided():
-            return self._step_pipelined()
+            return "pipelined", self._step_pipelined()
         if self._inflight:
             self._flush_inflight()
         # Device-resident fused decode: when every running request sits at
@@ -160,11 +167,28 @@ class LLMEngine:
             if self._fused.active:
                 finished = self._fused.step()
                 if self._fused.active or finished:
-                    return finished
+                    return "fused", finished
                 # Exited without anything to report (e.g. block
                 # pre-extension failed before the first dispatch): fall
                 # through so the sync path makes progress this iteration.
-        return self._step_sync()
+        return "sync", self._step_sync()
+
+    # -- profiling -------------------------------------------------------
+
+    def start_profile(self, trace_dir: str) -> None:
+        """Begin a JAX profiler trace (device timelines; view in
+        TensorBoard/XProf).  Mirrors vLLM's /start_profile."""
+        import jax
+
+        jax.profiler.start_trace(trace_dir)
+        self._profiling = True
+
+    def stop_profile(self) -> None:
+        import jax
+
+        if getattr(self, "_profiling", False):
+            jax.profiler.stop_trace()
+            self._profiling = False
 
     def _any_guided(self) -> bool:
         return any(r.sampling.guided is not None or r.sampling.logprobs

@@ -40,6 +40,8 @@ class OpenAIServer:
             web.get("/v1/models", self.models),
             web.get("/health", self.health),
             web.get("/metrics", self.metrics),
+            web.post("/start_profile", self.start_profile),
+            web.post("/stop_profile", self.stop_profile),
         ])
 
     def _load_tokenizer(self):
@@ -120,11 +122,38 @@ class OpenAIServer:
 
     async def metrics(self, request: web.Request) -> web.Response:
         eng = self.engine.engine
+        st = eng.engine_stats
         return web.json_response({
             "num_waiting": len(eng.scheduler.waiting),
             "num_running": len(eng.scheduler.running),
+            "num_steps": st.num_steps,
+            "num_finished": st.num_finished,
+            "num_prompt_tokens": st.num_prompt_tokens,
+            "num_generated_tokens": st.num_generated_tokens,
+            "generation_tokens_per_s": round(st.tokens_per_second(), 2),
+            "step_times": eng.step_times.summary(),
             "spec_decoding": eng.spec_stats.summary(),
         })
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        """Begin a JAX device trace (vLLM /start_profile parity)."""
+        body = {}
+        if request.can_read_body:
+            try:
+                body = await request.json()
+            except Exception:
+                body = {}
+        trace_dir = body.get("trace_dir") or "/tmp/arctic_tpu_trace"
+        try:
+            self.engine.engine.start_profile(trace_dir)
+        except Exception as e:  # double-start etc.
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response({"status": "profiling",
+                                  "trace_dir": trace_dir})
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        self.engine.engine.stop_profile()
+        return web.json_response({"status": "ok"})
 
     async def completions(self, request: web.Request) -> web.Response:
         body = await request.json()

@@ -68,3 +68,45 @@ class EngineStats:
     def tokens_per_second(self) -> float:
         dt = time.time() - self.start_time
         return self.num_generated_tokens / dt if dt > 0 else 0.0
+
+
+class StepTimeStats:
+    """Bounded per-step wall-time histogram, split by step kind
+    (``fused`` device-resident, ``pipelined`` async greedy, ``sync``).
+
+    The reference has no engine-side timing of its own (SURVEY §5.1 —
+    it leans on vLLM's profiler); here per-step timing is first-class
+    so /metrics can answer "what is this engine doing right now"
+    without a trace."""
+
+    def __init__(self, window: int = 2048) -> None:
+        from collections import deque
+
+        self.window = window
+        self._times: dict[str, object] = {}
+        self._counts: dict[str, int] = {}
+
+    def observe(self, kind: str, seconds: float) -> None:
+        from collections import deque
+
+        dq = self._times.get(kind)
+        if dq is None:
+            dq = self._times[kind] = deque(maxlen=self.window)
+        dq.append(seconds)
+        self._counts[kind] = self._counts.get(kind, 0) + 1
+
+    def summary(self) -> dict:
+        out = {}
+        for kind, dq in self._times.items():
+            xs = sorted(dq)
+            n = len(xs)
+            if not n:
+                continue
+            out[kind] = {
+                "count": self._counts[kind],
+                "p50_ms": round(xs[n // 2] * 1e3, 2),
+                "p90_ms": round(xs[min(n - 1, (n * 9) // 10)] * 1e3, 2),
+                "p99_ms": round(xs[min(n - 1, (n * 99) // 100)] * 1e3, 2),
+                "max_ms": round(xs[-1] * 1e3, 2),
+            }
+        return out

@@ -108,7 +108,10 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
             done = eng.step()
             now = time.perf_counter()
             for r in eng.scheduler.running:
-                if r.output_token_ids and r.req_id not in first_token_t:
+                # PENDING placeholders (async path) are not host-visible
+                # tokens yet; TTFT counts only synced values.
+                if r.req_id not in first_token_t and any(
+                        t >= 0 for t in r.output_token_ids[:1]):
                     first_token_t[r.req_id] = now
             for r in done:
                 if r.req_id not in first_token_t:

@@ -222,3 +222,39 @@ def test_guided_regex_endpoint(server, loop):
             server.tokenizer = None
 
     loop.run_until_complete(run())
+
+
+def test_metrics_and_profile_endpoints(server, loop, tmp_path):
+    async def run():
+        client = await _client(server)
+        async with client:
+            # generate something so step timings exist
+            r = await client.post("/v1/completions", json={
+                "prompt_token_ids": [3, 14, 15],
+                "max_tokens": 4,
+            })
+            assert r.status == 200
+            r = await client.get("/metrics")
+            assert r.status == 200
+            m = await r.json()
+            assert m["num_steps"] > 0
+            assert m["num_generated_tokens"] >= 4
+            assert isinstance(m["step_times"], dict) and m["step_times"]
+            for v in m["step_times"].values():
+                assert v["count"] > 0 and v["p50_ms"] >= 0
+            # profiler trace round trip
+            d = str(tmp_path / "trace")
+            r = await client.post("/start_profile",
+                                  json={"trace_dir": d})
+            assert r.status == 200
+            r = await client.post("/v1/completions", json={
+                "prompt_token_ids": [5, 6, 7],
+                "max_tokens": 2,
+            })
+            assert r.status == 200
+            r = await client.post("/stop_profile")
+            assert r.status == 200
+            import os
+            assert any(os.scandir(d)), "no trace output written"
+
+    loop.run_until_complete(run())
