@@ -111,6 +111,44 @@ class LLM:
         return outputs
 
 
+class KVCalibrationMixin:
+    """FP8 KV-cache scale calibration (ROADMAP: amax tracking).
+
+    Static/delayed scaling: run representative prompts once, measure
+    per-layer K/V amax from the cache, then freeze ``kv_scale`` so all
+    later writes use the calibrated dynamic range.  Mirrors how fp8-KV
+    checkpoints ship per-layer k_scale/v_scale (vLLM); for checkpoints
+    without them this produces equivalent scales from data."""
+
+    FP8_MAX = 448.0
+
+    def calibrate_kv_scales(self, prompt_token_ids, margin: float = 1.0):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        runner = self.engine.runner
+        if runner.kv.dtype != jnp.float8_e4m3fn:
+            raise ValueError("kv cache is not fp8; nothing to calibrate")
+        old = jnp.asarray(runner.kv_scale)          # [L, 2]
+        self.generate(prompt_token_ids=prompt_token_ids,
+                      sampling_params=SamplingParams(max_tokens=1))
+
+        @jax.jit
+        def amax_fn(kv, old):
+            a = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=(1, 3, 4))
+            return a * old                           # undo old scaling
+
+        amax = np.asarray(amax_fn(runner.kv, old))   # true K/V amax [L,2]
+        scales = np.maximum(amax, 1e-6) / self.FP8_MAX * margin
+        runner.kv_scale = jnp.asarray(scales, jnp.float32)
+        return scales
+
+
+LLM.calibrate_kv_scales = KVCalibrationMixin.calibrate_kv_scales
+LLM.FP8_MAX = KVCalibrationMixin.FP8_MAX
+
+
 def _is_encoder_arch(config: EngineConfig) -> bool:
     """True when the configured architecture is a bidirectional encoder
     (module attribute ``IS_ENCODER``), resolved exactly like the loader."""

@@ -55,6 +55,11 @@ class ModelRunner:
         self.module = module
         self.arch = arch
         self.mesh = mesh
+        # Per-layer [k_scale, v_scale] fp8-KV dequant pairs ride the
+        # checkpoint pytree (reference: vLLM k_scale/v_scale); pull them
+        # out before sharding (they are runner state, not weights).
+        loaded_kv_scales = (params.pop("kv_scales", None)
+                            if isinstance(params, dict) else None)
         pcfg = config.parallel
         if pcfg.world_size > 1 and mesh is None:
             from arcticinference_tpu.parallel import mesh as mesh_lib
@@ -122,7 +127,10 @@ class ModelRunner:
             self.kv = jax.device_put(
                 self.kv, NamedSharding(self.mesh, mesh_lib.kv_cache_spec(
                     pp=config.parallel.pipeline_parallel_size > 1)))
-        self.kv_scale = jnp.ones((1,), jnp.float32)
+        if loaded_kv_scales is not None and kv_dtype == jnp.float8_e4m3fn:
+            self.kv_scale = jnp.asarray(loaded_kv_scales, jnp.float32)
+        else:
+            self.kv_scale = jnp.ones((arch.num_layers, 2), jnp.float32)
 
         self.b_max = config.scheduler.max_num_seqs
         self.token_buckets = default_token_buckets(

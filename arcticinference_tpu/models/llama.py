@@ -181,17 +181,23 @@ def _qkv(h, lp, arch):
             v.reshape(t, arch.num_kv_heads, arch.head_dim))
 
 
-def _write_kv_layer(kv, layer, k, v, slot_mapping):
+def _write_kv_layer(kv, layer, k, v, slot_mapping, kv_scale=None):
     """Scatter new tokens' K/V into the stacked cache at one layer.
 
     Cache layout [L, N_blk, 2, Bs, Hkv*D]: each token's K (all heads) is
-    one contiguous row write.
+    one contiguous row write.  ``kv_scale`` (this layer's [k, v] dequant
+    scales) divides values before the fp8 cast so the attention read's
+    ``*scale`` dequant round-trips (reference: vLLM per-layer
+    k_scale/v_scale, bulk-write kernel ``csrc/custom_ops/kernels.cu``).
     """
     bs = kv.shape[3]
     t = k.shape[0]
     slots = jnp.where(slot_mapping < 0, 0, slot_mapping)
     blk = slots // bs
     off = slots % bs
+    if kv_scale is not None and kv.dtype == jnp.float8_e4m3fn:
+        k = k.astype(jnp.float32) / kv_scale[0]
+        v = v.astype(jnp.float32) / kv_scale[1]
     kv = kv.at[layer, blk, 0, off, :].set(k.reshape(t, -1).astype(kv.dtype))
     kv = kv.at[layer, blk, 1, off, :].set(v.reshape(t, -1).astype(kv.dtype))
     return kv
@@ -269,7 +275,9 @@ def scan_layers(layers: dict, arch: LlamaArch, kv: jax.Array,
         k = apply_rope(k, rope_positions, inv_freq)
         if pctx is not None:
             q, k, v = pctx.dispatch(q, k, v)
-        kv = _write_kv_layer(kv, layer, k, v, inputs["slot_mapping"])
+        ks = inputs.get("kv_scale")
+        kv = _write_kv_layer(kv, layer, k, v, inputs["slot_mapping"],
+                             None if ks is None else ks[layer])
         o = _attend(q, kv, layer, inputs, arch, attn_impl)
         if pctx is not None:
             o = pctx.combine(o)
@@ -328,9 +336,14 @@ def make_attn_impl(attn_qb: int = 32):
                 kv_scale=inputs.get("kv_scale"), layer=layer)
         kv_layer = jax.lax.dynamic_index_in_dim(kv, layer, 0,
                                                 keepdims=False)
+        ks = inputs.get("kv_scale")
+        if ks is None or kv.dtype != jnp.float8_e4m3fn:
+            row = None
+        else:
+            row = ks[layer]
         return ragged_paged_attention_reference(
             q, kv_layer, inputs["positions"], inputs["req_idx"],
-            inputs["block_tables"], inputs["seq_lens"])
+            inputs["block_tables"], inputs["seq_lens"], kv_scale=row)
 
     return _attn
 
@@ -379,6 +392,9 @@ def load_hf_state(arch: LlamaArch, tensors: dict[str, np.ndarray],
                                      for k, _ in _LAYER_MAP.values()}
     scales: dict[str, list] = {k: [None] * lL
                                for k, _ in _LAYER_MAP.values()}
+    # Optional per-layer fp8-KV dequant scales (vLLM k_scale/v_scale).
+    kv_scales = np.ones((lL, 2), np.float32)
+    have_kv_scales = False
     params: dict = {"layers": {}}
     for name, arr in tensors.items():
         if name == "model.embed_tokens.weight":
@@ -391,6 +407,12 @@ def load_hf_state(arch: LlamaArch, tensors: dict[str, np.ndarray],
             rest = name[len("model.layers."):]
             idx_s, _, leaf = rest.partition(".")
             l = int(idx_s)
+            if leaf in ("self_attn.k_scale", "self_attn.v_scale",
+                        "self_attn.attn.k_scale", "self_attn.attn.v_scale"):
+                col = 0 if leaf.endswith("k_scale") else 1
+                kv_scales[l, col] = float(np.asarray(arr).reshape(()))
+                have_kv_scales = True
+                continue
             is_scale = leaf.endswith(".weight_scale")
             base = leaf.replace(".weight_scale", ".weight")
             if base not in _LAYER_MAP:
@@ -427,6 +449,8 @@ def load_hf_state(arch: LlamaArch, tensors: dict[str, np.ndarray],
         # Pre-quantized checkpoints ship bf16 embeddings; quantize ours
         # like the reference's Fp8ConfigWithEmbedding (fp8.py:310-337).
         params["embed"] = fp8_quantize(params["embed"])
+    if have_kv_scales:
+        params["kv_scales"] = kv_scales
     return params
 
 

@@ -194,7 +194,9 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
         k = apply_rope(k, rope_positions, inv_freq)
         if pctx is not None:
             q, k, v = pctx.dispatch(q, k, v)
-        kv = _write_kv_layer(kv, layer, k, v, inputs["slot_mapping"])
+        ks = inputs.get("kv_scale")
+        kv = _write_kv_layer(kv, layer, k, v, inputs["slot_mapping"],
+                             None if ks is None else ks[layer])
         o = llama_mod._attend(q, kv, layer, inputs, arch, attn_impl)
         if pctx is not None:
             o = pctx.combine(o)
@@ -272,8 +274,10 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
     def swift_layer_step(carry, xs):
         h, kv = carry
         lp, layer, k_l, v_l = xs
+        ks = inputs.get("kv_scale")
         kv = _write_kv_layer(kv, layer, k_l, v_l,
-                             inputs["slot_mapping"])
+                             inputs["slot_mapping"],
+                             None if ks is None else ks[layer])
         if b_ctx is not None:
             lp = b_ctx.layer_params(lp)
         res = h

@@ -48,13 +48,16 @@ def ragged_paged_attention_reference(
     block_tables: jax.Array,
     seq_lens: jax.Array,
     scale: float | None = None,
-    kv_scale: float | None = None,
+    kv_scale=None,
 ) -> jax.Array:
     """Dense-gather oracle implementation.
 
     Every query token t attends to kv positions j of its request with
     j <= positions[t] (causal) and j < seq_lens[req]. Padding tokens
     (req_idx < 0) produce zeros.
+
+    ``kv_scale``: this layer's [k_scale, v_scale] dequant pair (or a
+    scalar applied to both; None = no dequant scaling).
     """
     t_, hq, d = q.shape
     hkv = kv_cache.shape[3] // d
@@ -62,8 +65,9 @@ def ragged_paged_attention_reference(
         scale = d ** -0.5
     kd, vd = _dense_kv(kv_cache, block_tables, d)  # [B, S, Hkv, D]
     if kv_scale is not None:
-        kd = kd.astype(jnp.float32) * kv_scale
-        vd = vd.astype(jnp.float32) * kv_scale
+        ks = jnp.asarray(kv_scale, jnp.float32).reshape(-1)
+        kd = kd.astype(jnp.float32) * ks[0]
+        vd = vd.astype(jnp.float32) * ks[-1]
     s = kd.shape[1]
     group = hq // hkv
 

@@ -107,12 +107,14 @@ def _attn_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0), qw)
         pos_row = item_pos_base[item] + t_off
 
-        # Fold the kv dequant scale into q (for K) and the output (for V):
-        # the inner loop then never multiplies a [ck, d] tile by a scalar.
-        kv_scale = kv_scale_smem[0]
+        # Fold the per-layer kv dequant scales into q (k_scale) and the
+        # output (v_scale): the inner loop then never multiplies a
+        # [ck, d] tile by a scalar.
+        k_scale = kv_scale_smem[layer, 0]
+        v_scale = kv_scale_smem[layer, 1]
         qf = [
             (qbuf[h].reshape(rows, d).astype(jnp.float32)
-             * (scale * kv_scale)).astype(jnp.bfloat16)
+             * (scale * k_scale)).astype(jnp.bfloat16)
             for h in range(hkv)
         ]
 
@@ -175,8 +177,8 @@ def _attn_kernel(
 
         for h in range(hkv):
             _, l, acc = final[h]
-            # kv_scale for V was deferred to here (one [rows, d] multiply).
-            out = acc * (kv_scale / jnp.maximum(l, 1e-20))
+            # v_scale was deferred to here (one [rows, d] multiply).
+            out = acc * (v_scale / jnp.maximum(l, 1e-20))
             out_vmem[0, h] = out.astype(out_vmem.dtype)
 
     @pl.when(qlen == 0)
@@ -208,7 +210,7 @@ def _ragged_attention_call(
             # schedule): it stays in HBM and reaches VMEM via DMA.
             pl.BlockSpec(memory_space=pltpu.HBM),   # q [Hkv, group, T+, D]
             pl.BlockSpec(memory_space=pl.ANY),   # kv_cache
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_scale (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # kv_scale [L, 2]
         ],
         out_specs=pl.BlockSpec(
             (1, hkv, qw * group, d), lambda i, *_: (i, 0, 0, 0),
@@ -309,12 +311,17 @@ def ragged_paged_attention_kernel(
     t, hq, d = q.shape
     if scale is None:
         scale = d ** -0.5
-    if kv_scale is None:
-        kv_scale = jnp.ones((1,), jnp.float32)
     if layer is None:
         # Single-layer cache view: add the (trivial) layer dim.
         kv_cache = kv_cache[None]
         layer = jnp.zeros((), jnp.int32)
+    if kv_scale is None:
+        kv_scale = jnp.ones((kv_cache.shape[0], 2), jnp.float32)
+    else:
+        kv_scale = jnp.asarray(kv_scale, jnp.float32)
+        if kv_scale.ndim != 2:  # legacy scalar/(1,) form
+            kv_scale = jnp.broadcast_to(
+                kv_scale.reshape(-1)[0], (kv_cache.shape[0], 2))
     if schedule is None:
         req_np = np.asarray(req_idx)
         pos_np = np.asarray(positions)
