@@ -42,8 +42,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-N_BUF = 2        # KV chunk pipeline depth (double buffering)
-CHUNK_PAGES = 8  # pages consumed per flash iteration (256 KV tokens)
+import os
+
+N_BUF = int(os.environ.get("ARCTIC_TPU_ATTN_NBUF", "2"))
+CHUNK_PAGES = int(os.environ.get("ARCTIC_TPU_ATTN_CHUNK_PAGES", "8"))
 
 
 def _attn_kernel(
@@ -80,23 +82,59 @@ def _attn_kernel(
 
         layer = layer_smem[0]
 
+        max_blk = block_tables.shape[1]
+
+        def chunk_run_info(c):
+            """Is chunk c a full run of CONSECUTIVE pages?  The block
+            manager allocates page ids in order, so long contexts are
+            overwhelmingly contiguous runs — one big DMA instead of
+            CHUNK_PAGES descriptor issues (issue latency, not bandwidth,
+            bounds the per-page path)."""
+            base = block_tables[req, jnp.minimum(c * CHUNK_PAGES,
+                                                 max_blk - 1)]
+            run = (c + 1) * CHUNK_PAGES <= npages
+            for j in range(1, CHUNK_PAGES):
+                idx = jnp.minimum(c * CHUNK_PAGES + j, max_blk - 1)
+                run = run & (block_tables[req, idx] == base + j)
+            return base, run
+
         def chunk_dma(slot, c):
             """Start DMAs for all in-range pages of chunk c into `slot`."""
-            for j in range(CHUNK_PAGES):
-                @pl.when(c * CHUNK_PAGES + j < npages)
-                def _start():
-                    page = block_tables[req, c * CHUNK_PAGES + j]
-                    pltpu.make_async_copy(
-                        kv_hbm.at[layer, page], kvbuf.at[slot, j],
-                        kvsems.at[slot]).start()
+            base, run = chunk_run_info(c)
+
+            @pl.when(run)
+            def _run():
+                pltpu.make_async_copy(
+                    kv_hbm.at[layer, pl.ds(base, CHUNK_PAGES)],
+                    kvbuf.at[slot], kvsems.at[slot]).start()
+
+            @pl.when(jnp.logical_not(run))
+            def _pages():
+                for j in range(CHUNK_PAGES):
+                    @pl.when(c * CHUNK_PAGES + j < npages)
+                    def _start():
+                        page = block_tables[req, c * CHUNK_PAGES + j]
+                        pltpu.make_async_copy(
+                            kv_hbm.at[layer, page], kvbuf.at[slot, j],
+                            kvsems.at[slot]).start()
 
         def chunk_wait(slot, c):
-            for j in range(CHUNK_PAGES):
-                @pl.when(c * CHUNK_PAGES + j < npages)
-                def _wait():
-                    pltpu.make_async_copy(
-                        kv_hbm.at[0, 0], kvbuf.at[slot, j],
-                        kvsems.at[slot]).wait()
+            base, run = chunk_run_info(c)
+
+            @pl.when(run)
+            def _wait_run():
+                pltpu.make_async_copy(
+                    kv_hbm.at[layer, pl.ds(base, CHUNK_PAGES)],
+                    kvbuf.at[slot], kvsems.at[slot]).wait()
+
+            @pl.when(jnp.logical_not(run))
+            def _wait_pages():
+                for j in range(CHUNK_PAGES):
+                    @pl.when(c * CHUNK_PAGES + j < npages)
+                    def _wait():
+                        pltpu.make_async_copy(
+                            kv_hbm.at[0, 0], kvbuf.at[slot, j],
+                            kvsems.at[slot]).wait()
 
         n_chunks = (npages + CHUNK_PAGES - 1) // CHUNK_PAGES
         chunk_dma(0, 0)
@@ -345,3 +383,246 @@ def ragged_paged_attention_kernel(
         jnp.asarray(item_pos_base),
         block_tables, jnp.asarray(token_item), jnp.asarray(token_off),
         kv_scale, qb=qb, scale=float(scale))
+
+
+# --------------------------------------------------------------------- #
+# Decode-shaped fast path
+# --------------------------------------------------------------------- #
+#
+# The general ragged kernel pays for a qb+8 token window per item; on
+# decode steps (uniform small qlen per sequence) only qlen*group of
+# those qw*group rows are real — at qlen=1, ~94% of the QK/softmax work
+# is discarded, which turns a bandwidth problem compute-bound.  This
+# kernel grids over SEQUENCES with rows = qlen*group (padded to the
+# 8-sublane floor), so per-chunk compute scales with real work.
+
+
+def _decode_kernel(
+    # scalar prefetch
+    layer_smem, pos_base, seq_lens, block_tables,
+    # inputs
+    q_vmem, kv_hbm, kv_scale_smem,
+    # output
+    out_vmem,
+    # scratch
+    kvbuf, kvsems,
+    *, rows: int, qlen: int, group: int, hkv: int, bs: int,
+    head_dim: int, scale: float, kv_bf16: bool,
+):
+    b = pl.program_id(0)
+    sl = seq_lens[b]
+
+    @pl.when(sl > 0)
+    def _run():
+        d = head_dim
+        npages = (sl + bs - 1) // bs
+        ck = CHUNK_PAGES * bs
+        layer = layer_smem[0]
+        max_blk = block_tables.shape[1]
+
+        def chunk_run_info(c):
+            base = block_tables[b, jnp.minimum(c * CHUNK_PAGES,
+                                               max_blk - 1)]
+            run = (c + 1) * CHUNK_PAGES <= npages
+            for j in range(1, CHUNK_PAGES):
+                idx = jnp.minimum(c * CHUNK_PAGES + j, max_blk - 1)
+                run = run & (block_tables[b, idx] == base + j)
+            return base, run
+
+        def chunk_dma(slot, c):
+            base, run = chunk_run_info(c)
+
+            @pl.when(run)
+            def _run_dma():
+                pltpu.make_async_copy(
+                    kv_hbm.at[layer, pl.ds(base, CHUNK_PAGES)],
+                    kvbuf.at[slot], kvsems.at[slot]).start()
+
+            @pl.when(jnp.logical_not(run))
+            def _pages():
+                for j in range(CHUNK_PAGES):
+                    @pl.when(c * CHUNK_PAGES + j < npages)
+                    def _start():
+                        page = block_tables[b, c * CHUNK_PAGES + j]
+                        pltpu.make_async_copy(
+                            kv_hbm.at[layer, page], kvbuf.at[slot, j],
+                            kvsems.at[slot]).start()
+
+        def chunk_wait(slot, c):
+            base, run = chunk_run_info(c)
+
+            @pl.when(run)
+            def _wait_run():
+                pltpu.make_async_copy(
+                    kv_hbm.at[layer, pl.ds(base, CHUNK_PAGES)],
+                    kvbuf.at[slot], kvsems.at[slot]).wait()
+
+            @pl.when(jnp.logical_not(run))
+            def _wait_pages():
+                for j in range(CHUNK_PAGES):
+                    @pl.when(c * CHUNK_PAGES + j < npages)
+                    def _wait():
+                        pltpu.make_async_copy(
+                            kv_hbm.at[0, 0], kvbuf.at[slot, j],
+                            kvsems.at[slot]).wait()
+
+        n_chunks = (npages + CHUNK_PAGES - 1) // CHUNK_PAGES
+        chunk_dma(0, 0)
+
+        # Row r holds token t = r // group; its absolute position is
+        # pos_base[b] + t.  Padding rows (r >= qlen*group) mask to -1.
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        t_off = r_iota // group
+        pos_row = jnp.where(r_iota < qlen * group,
+                            pos_base[b] + t_off, -1)
+
+        k_scale = kv_scale_smem[layer, 0]
+        v_scale = kv_scale_smem[layer, 1]
+        qf = [
+            (q_vmem[0, h].astype(jnp.float32)
+             * (scale * k_scale)).astype(jnp.bfloat16)
+            for h in range(hkv)
+        ]
+
+        def body(c, carry):
+            slot = jax.lax.rem(c, N_BUF)
+
+            @pl.when(c + 1 < n_chunks)
+            def _prefetch():
+                chunk_dma(jax.lax.rem(c + 1, N_BUF), c + 1)
+
+            chunk_wait(slot, c)
+
+            kv_pos = (c * ck +
+                      jax.lax.broadcasted_iota(jnp.int32, (rows, ck), 1))
+            valid = kv_pos <= pos_row
+            tok_real = (c * ck + jax.lax.broadcasted_iota(
+                jnp.int32, (ck, 1), 0)) < npages * bs
+            kchunk = kvbuf[slot, :, 0]         # [CHUNK, Bs, Hkv*D]
+            vchunk = kvbuf[slot, :, 1]
+
+            new_carry = []
+            for h in range(hkv):
+                m_prev, l_prev, acc = carry[h]
+                k = kchunk[:, :, h * d:(h + 1) * d].reshape(ck, d)
+                if not kv_bf16:
+                    k = k.astype(jnp.bfloat16)
+                s = jax.lax.dot_general(
+                    qf[h], k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [rows, ck]
+                s = jnp.where(valid, s, -jnp.inf)
+                m_cur = jnp.max(s, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+                alpha = jnp.where(m_prev == -jnp.inf, 0.0,
+                                  jnp.exp(m_prev - m_safe))
+                pmat = jnp.exp(s - m_safe)
+                l_new = alpha * l_prev + jnp.sum(pmat, -1, keepdims=True)
+                v = vchunk[:, :, h * d:(h + 1) * d].reshape(ck, d)
+                v = jnp.where(tok_real, v.astype(jnp.bfloat16), 0)
+                pv = jax.lax.dot_general(
+                    pmat.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                new_carry.append((m_new, l_new, acc * alpha + pv))
+            return tuple(new_carry)
+
+        init = tuple(
+            (jnp.full((rows, 1), -jnp.inf, jnp.float32),
+             jnp.zeros((rows, 1), jnp.float32),
+             jnp.zeros((rows, head_dim), jnp.float32))
+            for _ in range(hkv))
+        final = jax.lax.fori_loop(0, n_chunks, body, init)
+
+        for h in range(hkv):
+            _, l, acc = final[h]
+            out = acc * (v_scale / jnp.maximum(l, 1e-20))
+            out_vmem[0, h] = out.astype(out_vmem.dtype)
+
+    @pl.when(sl == 0)
+    def _skip():
+        out_vmem[...] = jnp.zeros(out_vmem.shape, out_vmem.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("qlen", "scale"))
+def _decode_attention_call(q, kv_cache, layer, pos_base, block_tables,
+                           seq_lens, kv_scale, qlen: int, scale: float):
+    t, hq, d = q.shape
+    num_layers, n_blocks, _, bs, hkv_d = kv_cache.shape
+    hkv = hkv_d // d
+    group = hq // hkv
+    b = block_tables.shape[0]
+    rows = max(8, ((qlen * group + 7) // 8) * 8)
+    # Seq-major token order: token j of seq i at row i*qlen + j.
+    qr = q.reshape(b, qlen, hkv, group, d).transpose(0, 2, 1, 3, 4)
+    qr = qr.reshape(b, hkv, qlen * group, d)
+    if rows != qlen * group:
+        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, rows - qlen * group),
+                          (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hkv, rows, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),   # q (auto-pipelined)
+            pl.BlockSpec(memory_space=pl.ANY),       # kv_cache
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # kv_scale [L, 2]
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hkv, rows, d), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((N_BUF, CHUNK_PAGES, 2, bs, hkv_d),
+                       kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel, rows=rows, qlen=qlen, group=group, hkv=hkv,
+        bs=bs, head_dim=d, scale=scale,
+        kv_bf16=kv_cache.dtype == jnp.bfloat16)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rows, d), q.dtype),
+        grid_spec=grid_spec,
+    )(layer.reshape(1), pos_base, seq_lens, block_tables,
+      qr, kv_cache, kv_scale)
+    out = out[:, :, :qlen * group, :].reshape(b, hkv, qlen, group, d)
+    return out.transpose(0, 2, 1, 3, 4).reshape(t, hq, d)
+
+
+def decode_paged_attention_kernel(
+    q: jax.Array,
+    kv_cache: jax.Array,
+    pos_base: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    qlen: int,
+    scale: float | None = None,
+    kv_scale: jax.Array | None = None,
+    layer: jax.Array | None = None,
+) -> jax.Array:
+    """Uniform-qlen decode attention over the paged cache.
+
+    q: [B*qlen, Hq, D] seq-major (token j of seq i at row i*qlen+j);
+    pos_base: [B] absolute position of each seq's first new token;
+    seq_lens: [B] total tokens (context + new; 0 = dead slot).
+    """
+    t, hq, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    if layer is None:
+        kv_cache = kv_cache[None]
+        layer = jnp.zeros((), jnp.int32)
+    if kv_scale is None:
+        kv_scale = jnp.ones((kv_cache.shape[0], 2), jnp.float32)
+    else:
+        kv_scale = jnp.asarray(kv_scale, jnp.float32)
+        if kv_scale.ndim != 2:
+            kv_scale = jnp.broadcast_to(
+                kv_scale.reshape(-1)[0], (kv_cache.shape[0], 2))
+    return _decode_attention_call(
+        q, kv_cache, jnp.asarray(layer, jnp.int32),
+        jnp.asarray(pos_base, jnp.int32), block_tables,
+        jnp.asarray(seq_lens, jnp.int32), kv_scale,
+        qlen=int(qlen), scale=float(scale))

@@ -98,3 +98,42 @@ def test_fp8_matmul_interpret():
                                 out_dtype=jnp.float32)
     rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
     assert rel < 0.05, rel
+
+
+def test_decode_kernel_interpret_matches_oracle():
+    """Experimental decode-shaped kernel vs the dense oracle (CPU
+    interpreter).  The engine uses the ragged kernel (measured faster);
+    this keeps the alternative honest."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from arcticinference_tpu.ops.attention import (
+        ragged_paged_attention_reference)
+    from arcticinference_tpu.ops.pallas.ragged_attention import (
+        decode_paged_attention_kernel)
+
+    rng = np.random.default_rng(3)
+    B, ctx, qlen, Hq, Hkv, D, Bs = 3, 40, 4, 8, 2, 32, 8
+    MaxBlk = (ctx + qlen + Bs - 1) // Bs + 1
+    bt = np.zeros((B, MaxBlk), np.int32)
+    nb = 1
+    for r in range(B):
+        for i in range((ctx + qlen + Bs - 1) // Bs):
+            bt[r, i] = nb
+            nb += 1
+    kv = jnp.asarray(rng.standard_normal((nb + 1, 2, Bs, Hkv * D)),
+                     jnp.float32)
+    pos_base = np.full(B, ctx, np.int32)
+    sl = np.full(B, ctx + qlen, np.int32)
+    q = jnp.asarray(rng.standard_normal((B * qlen, Hq, D)), jnp.float32)
+    positions = np.concatenate(
+        [np.arange(ctx, ctx + qlen) for _ in range(B)]).astype(np.int32)
+    req = np.repeat(np.arange(B), qlen).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = decode_paged_attention_kernel(
+            q, kv, pos_base, jnp.asarray(bt), jnp.asarray(sl), qlen)
+    ref = ragged_paged_attention_reference(
+        q, kv, jnp.asarray(positions), jnp.asarray(req),
+        jnp.asarray(bt), jnp.asarray(sl))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
