@@ -22,6 +22,8 @@ _REGISTRY = {
     "BertModel": "arcticinference_tpu.models.bert",
     "BertForMaskedLM": "arcticinference_tpu.models.bert",
     "BertForSequenceClassification": "arcticinference_tpu.models.bert",
+    "mixtral": "arcticinference_tpu.models.mixtral",
+    "MixtralForCausalLM": "arcticinference_tpu.models.mixtral",
     "mlp_speculator": "arcticinference_tpu.models.speculators",
     "ArcticMLPSpeculatorPreTrainedModel":
         "arcticinference_tpu.models.speculators",

@@ -245,16 +245,23 @@ def forward(params: dict, arch: LlamaArch, kv: jax.Array,
 
 def scan_layers(layers: dict, arch: LlamaArch, kv: jax.Array,
                 h: jax.Array, inputs: dict, attn_impl=None, pctx=None,
-                unroll: bool = False) -> tuple[jax.Array, jax.Array]:
+                unroll: bool = False,
+                mlp_fn=None) -> tuple[jax.Array, jax.Array]:
     """Run a (sub)stack of decoder layers over hidden states ``h``.
 
     ``layers`` is stacked params whose leading axis is the number of
     layers to run; ``kv``'s leading axis must match (under pipeline
     parallelism each stage passes its LOCAL layer shard and kv shard —
     layer indices are local).
+
+    ``mlp_fn(x, lp, arch, pctx) -> y`` replaces the dense SwiGLU block
+    (MoE models inject their expert-routed MLP here); its result is
+    psum-reduced by the caller's parallel context like the dense path.
     """
     if attn_impl is None:
         attn_impl = _default_attn
+    if mlp_fn is None:
+        mlp_fn = _dense_mlp_fn
     num_layers = jax.tree.leaves(layers)[0].shape[0]
     arch_q = pctx.arch_view(arch) if pctx is not None else arch
     psum = pctx.psum if pctx is not None else (lambda x: x)
@@ -285,7 +292,7 @@ def scan_layers(layers: dict, arch: LlamaArch, kv: jax.Array,
         h = res + psum(matmul(o.reshape(t, -1), lp["wo"]))
         res = h
         x = rms_norm(h, lp["post_norm"], arch.rms_norm_eps)
-        h = res + psum(_mlp(x, lp))
+        h = res + psum(mlp_fn(x, lp, arch, pctx))
         return (h, kv), None
 
     if unroll:
@@ -312,6 +319,10 @@ def _mlp(x, lp):
     h = (jax.nn.silu(g.astype(jnp.float32)) *
          u.astype(jnp.float32)).astype(x.dtype)
     return matmul(h, lp["w_down"])
+
+
+def _dense_mlp_fn(x, lp, arch, pctx):
+    return _mlp(x, lp)
 
 
 def make_attn_impl(attn_qb: int = 32):

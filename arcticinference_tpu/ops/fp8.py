@@ -60,12 +60,15 @@ def fp8_quantize(w: jax.Array) -> QuantizedLinear:
     (``[L]``) so each layer keeps its own dynamic range.
     """
     wf = w.astype(jnp.float32)
-    if w.ndim == 3:
-        amax = jnp.max(jnp.abs(wf), axis=(1, 2))
+    if w.ndim >= 3:
+        # Stacked layer (and, for MoE, expert) weights: per-layer scale.
+        amax = jnp.max(jnp.abs(wf), axis=tuple(range(1, w.ndim)))
+        scale = jnp.maximum(amax, 1e-12) / FP8_MAX
+        q = wf / scale.reshape((-1,) + (1,) * (w.ndim - 1))
     else:
         amax = jnp.max(jnp.abs(wf))
-    scale = jnp.maximum(amax, 1e-12) / FP8_MAX
-    q = (wf / scale[..., None, None] if w.ndim == 3 else wf / scale)
+        scale = jnp.maximum(amax, 1e-12) / FP8_MAX
+        q = wf / scale
     q = jnp.clip(q, -FP8_MAX, FP8_MAX).astype(FP8_DTYPE)
     return QuantizedLinear(weight=q, scale=scale.astype(jnp.float32))
 
@@ -74,8 +77,8 @@ def fp8_dequantize(q: QuantizedLinear,
                    dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
     scale = q.scale
     w = q.weight.astype(jnp.float32)
-    if w.ndim == 3 and scale.ndim == 1:
-        scale = scale[:, None, None]
+    if w.ndim >= 3 and scale.ndim == 1:
+        scale = scale.reshape((-1,) + (1,) * (w.ndim - 1))
     return (w * scale).astype(dtype)
 
 

@@ -56,8 +56,15 @@ class ParallelContext:
     shift mode the wk/wv shards are sliced at head granularity.
     """
 
+    #: default shift-mode re-slice axes for per-layer [in, out] weights;
+    #: MoE modules override via a ``SHIFT_SLICE_AXES`` attribute (expert
+    #: weights slice their leading expert axis instead).
+    DEFAULT_SLICE_AXES = {"wq": 1, "wk": 1, "wv": 1, "w_gate": 1,
+                          "w_up": 1, "wo": 0, "w_down": 0}
+
     def __init__(self, cfg: ParallelConfig, mode: str,
-                 num_kv_heads: int = 0, head_dim: int = 0):
+                 num_kv_heads: int = 0, head_dim: int = 0,
+                 slice_axes: Optional[dict] = None):
         assert mode in ("sp", "shift")
         self.cfg = cfg
         self.mode = mode
@@ -65,6 +72,8 @@ class ParallelContext:
         self.tp = cfg.tensor_parallel_size
         self.num_kv_heads = num_kv_heads
         self.head_dim = head_dim
+        self.slice_axes = dict(self.DEFAULT_SLICE_AXES if slice_axes is None
+                               else slice_axes)
         # kv replication factor (1 when heads divide evenly)
         self.kv_rep = (max(self.sp * self.tp // num_kv_heads, 1)
                        if num_kv_heads else 1)
@@ -79,8 +88,7 @@ class ParallelContext:
         s = jax.lax.axis_index("sp")
         out = dict(lp)
         # Axes are for per-layer [in, out] weights (scan strips the L dim).
-        for key, axis in (("wq", 1), ("wk", 1), ("wv", 1), ("w_gate", 1),
-                          ("w_up", 1), ("wo", 0), ("w_down", 0)):
+        for key, axis in self.slice_axes.items():
             if key not in lp:  # e.g. SwiftKV later layers have no wk/wv
                 continue
             w = lp[key]
@@ -107,6 +115,27 @@ class ParallelContext:
             else:
                 out[key] = _local_slice(w, axis, s, self.sp)
         return out
+
+    # -- expert parallelism ---------------------------------------------
+
+    def moe_expert_range(self, num_experts: int) -> tuple:
+        """(global offset, count) of the experts this device holds.
+
+        The reference builds a dedicated EP process group
+        (``ulysses.py:199-207``); here expert parallelism is just the
+        expert axis of the stacked expert weights sharded over ``tp``
+        (SP mode) or the fused ``(tp, sp)`` axis (shift mode — the
+        shard_map shard was already re-sliced by :meth:`layer_params`,
+        so the count matches the local weight).
+        """
+        div = self.tp if self.mode == "sp" else self.tp * self.sp
+        el = num_experts // max(div, 1)
+        t = jax.lax.axis_index("tp") if self.tp > 1 else 0
+        if self.mode == "sp" or self.sp == 1:
+            return t * el, el
+        s = jax.lax.axis_index("sp")
+        # fused (tp, sp) order: tp-major, sp minor (same as weight slices)
+        return (t * self.sp + s) * el, el
 
     # -- head counts at qkv time ----------------------------------------
 
@@ -174,7 +203,17 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
     GLOBAL arrays (hidden gathered over sp).
     """
     pctx = ParallelContext(cfg, mode, num_kv_heads=arch.num_kv_heads,
-                           head_dim=arch.head_dim)
+                           head_dim=arch.head_dim,
+                           slice_axes=getattr(module, "SHIFT_SLICE_AXES",
+                                              None))
+    num_experts = getattr(arch, "num_experts", 0)
+    if num_experts:
+        div = cfg.sp_tp_size if mode == "shift" else \
+            cfg.tensor_parallel_size
+        if num_experts % max(div, 1) != 0:
+            raise NotImplementedError(
+                f"num_experts={num_experts} must divide the expert-"
+                f"parallel degree {div} ({mode} mode)")
     heads_div = cfg.sp_tp_size
     if arch.num_kv_heads % heads_div != 0:
         # KV replication case: requires whole heads per tp shard and an
