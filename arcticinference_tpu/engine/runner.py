@@ -70,11 +70,6 @@ class ModelRunner:
             self.mesh = mesh_lib.build_mesh(pcfg)
             pp = pcfg.pipeline_parallel_size
             if pp > 1:
-                if pcfg.ulysses_sequence_parallel_size > 1 or \
-                        pcfg.enable_shift_parallel:
-                    raise NotImplementedError(
-                        "pipeline parallelism does not compose with "
-                        "sp/shift yet")
                 if getattr(module, "scan_layers", None) is None:
                     raise NotImplementedError(
                         f"{module.__name__} does not support pp")
@@ -82,12 +77,16 @@ class ModelRunner:
                     raise ValueError(
                         f"num_layers={arch.num_layers} must divide by "
                         f"pipeline_parallel_size={pp}")
+                # Each stage's microbatch (T/pp rows) is further sharded
+                # over sp in SP mode, so buckets must divide by pp*sp.
+                div = pp * pcfg.ulysses_sequence_parallel_size
                 for b in default_token_buckets(
                         config.scheduler.max_num_batched_tokens):
-                    if b % pp:
+                    if b % div:
                         raise ValueError(
-                            f"token bucket {b} not divisible by pp={pp}; "
-                            "use a power-of-two max_num_batched_tokens")
+                            f"token bucket {b} not divisible by pp*sp="
+                            f"{div}; use a power-of-two "
+                            "max_num_batched_tokens")
             hook = getattr(module, "param_specs", None)
             specs = (hook() if hook is not None
                      else mesh_lib.param_specs(pp=pp > 1))
@@ -326,6 +325,10 @@ class ModelRunner:
             return "single"
         pcfg = self.config.parallel
         if pcfg.pipeline_parallel_size > 1:
+            if (pcfg.ulysses_sequence_parallel_size > 1
+                    and pcfg.enable_shift_parallel
+                    and total_tokens <= pcfg.shift_parallel_threshold):
+                return "pp_shift"
             return "pp"
         if pcfg.ulysses_sequence_parallel_size <= 1:
             return "sp"  # pure TP: the sp program with sp=1 IS plain TP
@@ -356,13 +359,14 @@ class ModelRunner:
                 self.params,
                 is_leaf=lambda x: isinstance(x, QuantizedLinear)))
         embed_q = isinstance(self.params.get("embed"), QuantizedLinear)
-        if mode == "pp":
+        if mode in ("pp", "pp_shift"):
             from arcticinference_tpu.parallel.pp import make_pp_forward
 
             return make_pp_forward(
                 self.module, self.arch, self.mesh, self.config.parallel,
                 attn_qb=attn_qb, quantized=quantized,
-                embed_quantized=embed_q)
+                embed_quantized=embed_q,
+                mode="shift" if mode == "pp_shift" else "sp")
         return make_sharded_forward(
             self.module, self.arch, self.mesh, self.config.parallel,
             mode, attn_qb=attn_qb, quantized=quantized,

@@ -23,8 +23,18 @@ position), so a contiguous row split keeps every token's intra-request
 predecessors in the same or an earlier microbatch — their KV is already
 written when a later microbatch reaches any given stage.
 
-Composes with TP (``psum`` over ``"tp"`` inside each stage).  SP and
-shift parallelism are not composed with PP yet.
+Composition with SP/TP/shift (the reference's full PP×SP×TP product,
+``ulysses.py:151-162``):
+
+- **TP** — ``psum`` over ``"tp"`` inside each stage (always on).
+- **SP (Ulysses)** — each stage's microbatch is additionally sharded
+  over ``"sp"``: a device holds ``tm/sp`` rows, attention all-to-alls
+  tokens<->heads over ``"sp"`` exactly like the non-pipelined SP
+  program, and the rotating activation is the sp-LOCAL chunk (ICI
+  traffic per tick shrinks by 1/sp).
+- **shift (full-TP)** — rows replicated within a stage; weights
+  re-sliced per layer to the fused ``(tp, sp)`` shard by the parallel
+  context.  The per-step mode switch then works under PP too.
 """
 
 from __future__ import annotations
@@ -49,19 +59,28 @@ _FWD_KEYS = ("embed", "layers", "final_norm")
 def make_pp_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
                     attn_qb: Optional[int] = None,
                     quantized: bool = False,
-                    embed_quantized: bool = False):
+                    embed_quantized: bool = False,
+                    mode: str = "sp"):
     """Build the pipelined forward: fn(params, kv, inputs) ->
-    (kv, hidden[T, D]) on global arrays, layers/kv pp-sharded."""
+    (kv, hidden[T, D]) on global arrays, layers/kv pp-sharded.
+
+    ``mode`` selects the intra-stage program: ``"sp"`` (Ulysses SP × TP;
+    plain TP when sp == 1) or ``"shift"`` (full TP over the fused
+    (tp, sp) axis).
+    """
     pp = cfg.pipeline_parallel_size
-    assert pp > 1
-    if cfg.ulysses_sequence_parallel_size > 1:
-        raise NotImplementedError("pp does not compose with sp yet")
+    sp = cfg.ulysses_sequence_parallel_size
+    assert pp > 1 and mode in ("sp", "shift")
     scan_layers = getattr(module, "scan_layers", None)
     if scan_layers is None:
         raise NotImplementedError(
             f"{module.__name__} does not support pipeline parallelism")
-    pctx = ParallelContext(cfg, "sp", num_kv_heads=arch.num_kv_heads,
-                           head_dim=arch.head_dim)
+    pctx = ParallelContext(cfg, mode, num_kv_heads=arch.num_kv_heads,
+                           head_dim=arch.head_dim,
+                           slice_axes=getattr(module, "SHIFT_SLICE_AXES",
+                                              None))
+    # Rows are sp-sharded inside a stage only in SP mode.
+    row_shard = sp if mode == "sp" else 1
 
     attn_impl = None
     make_attn = getattr(module, "make_attn_impl", None)
@@ -74,43 +93,55 @@ def make_pp_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
         t_total = ids.shape[0]
         m = pp                         # microbatches = stages
         tm = t_total // m
+        chunk = tm // row_shard        # rows this device carries per tick
+        s = jax.lax.axis_index("sp") if row_shard > 1 else 0
         dt = params["final_norm"].dtype   # embed may be fp8-quantized
         d = arch.hidden_size
 
         shared = {k: v for k, v in inputs.items() if k not in _ROW_KEYS}
-        h_cur = jnp.zeros((tm, d), dt)
+        h_cur = jnp.zeros((chunk, d), dt)
         out = jnp.zeros((t_total, d), dt)
 
         for t in range(m + pp - 1):
             m_here = t - stage                       # traced, per stage
             valid = (m_here >= 0) & (m_here < m)
             start = jnp.clip(m_here, 0, m - 1) * tm
+            # This device's row window within the microbatch (SP shard).
+            lstart = start + s * chunk
 
-            def sl(a):
-                return jax.lax.dynamic_slice_in_dim(a, start, tm, 0)
+            def sl(a, st=None, n=tm):
+                return jax.lax.dynamic_slice_in_dim(
+                    a, start if st is None else st, n, 0)
 
             mb = dict(shared)
             for k in _ROW_KEYS:
                 mb[k] = sl(inputs[k])
-            mb["positions_local"] = mb["positions"]
+            # RoPE runs on the locally held rows (sp-sharded in SP mode);
+            # attention metadata stays full-microbatch.
+            mb["positions_local"] = sl(inputs["positions"], lstart, chunk)
             # Bubble ticks write K/V to the sink block (slot -1).
             mb["slot_mapping"] = jnp.where(valid, mb["slot_mapping"], -1)
 
+            local_ids = sl(inputs["input_ids"], lstart, chunk)
             inject = jnp.equal(stage, 0) & (t < m)
             h_in = jnp.where(
                 inject,
-                module.embed_lookup(params, mb["input_ids"]).astype(dt),
+                module.embed_lookup(params, local_ids).astype(dt),
                 h_cur)
             kv, h_out = scan_layers(params["layers"], arch, kv, h_in,
                                     mb, attn_impl=attn_impl, pctx=pctx)
             done = jnp.equal(stage, pp - 1) & valid
             fin = module.finalize_hidden(params, arch, h_out)
             out = jax.lax.dynamic_update_slice_in_dim(
-                out, jnp.where(done, fin, jnp.zeros_like(fin)), start, 0)
+                out, jnp.where(done, fin, jnp.zeros_like(fin)), lstart, 0)
             h_cur = jax.lax.ppermute(
                 h_out, "pp", [(i, (i + 1) % pp) for i in range(pp)])
 
-        return kv, jax.lax.psum(out, "pp")
+        # Each (last-stage, sp-shard) device contributed its own rows;
+        # everything else is zero.  In shift mode rows are replicated
+        # over sp, so only "pp" is reduced.
+        axes = ("pp", "sp") if row_shard > 1 else ("pp",)
+        return kv, jax.lax.psum(out, axes)
 
     param_specs = _param_spec_tree(module, quantized, pp=True,
                                    embed_quantized=embed_quantized)

@@ -81,8 +81,36 @@ def test_pp_rejects_bad_layer_count():
         LLM(cfg)
 
 
-def test_pp_rejects_sp_composition():
+@pytest.mark.parametrize("pp,sp,tp", [(2, 2, 1), (2, 4, 1), (2, 2, 2),
+                                      (4, 2, 1)])
+def test_engine_pp_sp_matches_single(single_outputs, pp, sp, tp):
+    """PP × Ulysses-SP (× TP) composition: each stage's microbatch is
+    sp-sharded and attention all-to-alls within the stage."""
+    cfg = _pp_cfg(pipeline_parallel_size=pp,
+                  ulysses_sequence_parallel_size=sp,
+                  tensor_parallel_size=tp)
+    llm = LLM(cfg)
+    outs = llm.generate(prompt_token_ids=PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=12))
+    for o, ref in zip(outs, single_outputs):
+        assert o.token_ids == ref.token_ids
+    modes = {k[3] for k in llm.engine.runner._step_fns}
+    assert modes == {"pp"}
+
+
+def test_engine_pp_shift_switches_modes(single_outputs):
+    """With shift parallelism enabled under PP, decode steps (small
+    token counts) run the full-TP pipelined program and prefill runs the
+    SP one — outputs must still match single-chip exactly."""
     cfg = _pp_cfg(pipeline_parallel_size=2,
-                  ulysses_sequence_parallel_size=2)
-    with pytest.raises(NotImplementedError):
-        LLM(cfg)
+                  ulysses_sequence_parallel_size=2,
+                  tensor_parallel_size=2,
+                  enable_shift_parallel=True,
+                  shift_parallel_threshold=8)
+    llm = LLM(cfg)
+    outs = llm.generate(prompt_token_ids=PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=12))
+    for o, ref in zip(outs, single_outputs):
+        assert o.token_ids == ref.token_ids
+    modes = {k[3] for k in llm.engine.runner._step_fns}
+    assert "pp_shift" in modes and "pp" in modes
