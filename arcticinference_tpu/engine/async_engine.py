@@ -46,6 +46,9 @@ class AsyncLLMEngine:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=5)
+        ch = self.engine.runner.mh_channel
+        if ch is not None:
+            ch.close()  # broadcasts stop so follower processes exit
 
     # -- background loop (engine thread) --------------------------------
 

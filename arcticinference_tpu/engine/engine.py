@@ -61,6 +61,12 @@ class LLMEngine:
         self.eos_token_id: Optional[int] = getattr(arch, "eos_token_id",
                                                    None)
         self.runner = ModelRunner(config, module, arch, params, mesh=mesh)
+        if self.runner.is_multihost and config.speculative is not None:
+            # Spec decoding drives extra device programs (fused loop,
+            # drafter chain) that the follower mirror doesn't replay yet.
+            raise NotImplementedError(
+                "speculative decoding is not supported in multi-host "
+                "serving yet")
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    self.runner.num_blocks)
         self.spec_stats = SpecDecodingStats()

@@ -117,19 +117,36 @@ class ModelRunner:
             block_size=self.block_size,
             head_dim=arch.head_dim,
             dtype=kv_dtype)
-        self.kv = allocate_kv_cache(self.kv_spec)
+        # Multi-host (multi-controller SPMD): every process mirrors each
+        # dispatch; the leader broadcasts step inputs over mh_channel
+        # (see parallel/multihost.py).
+        self.is_multihost = jax.process_count() > 1
+        self.mh_channel = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
             from arcticinference_tpu.parallel import mesh as mesh_lib
 
-            self.kv = jax.device_put(
-                self.kv, NamedSharding(self.mesh, mesh_lib.kv_cache_spec(
-                    pp=config.parallel.pipeline_parallel_size > 1)))
-        if loaded_kv_scales is not None and kv_dtype == jnp.float8_e4m3fn:
-            self.kv_scale = jnp.asarray(loaded_kv_scales, jnp.float32)
+            kv_sharding = NamedSharding(
+                self.mesh, mesh_lib.kv_cache_spec(
+                    pp=config.parallel.pipeline_parallel_size > 1))
+            if self.is_multihost:
+                # Collective zero-init: no host->device transfer, valid
+                # when the global array spans other hosts' devices.
+                self.kv = jax.jit(
+                    lambda: allocate_kv_cache(self.kv_spec),
+                    out_shardings=kv_sharding)()
+            else:
+                self.kv = jax.device_put(allocate_kv_cache(self.kv_spec),
+                                         kv_sharding)
         else:
-            self.kv_scale = jnp.ones((arch.num_layers, 2), jnp.float32)
+            self.kv = allocate_kv_cache(self.kv_spec)
+        if loaded_kv_scales is not None and kv_dtype == jnp.float8_e4m3fn:
+            kv_scale = np.asarray(loaded_kv_scales, np.float32)
+        else:
+            kv_scale = np.ones((arch.num_layers, 2), np.float32)
+        self.kv_scale = (self._replicated(kv_scale) if self.is_multihost
+                         else jnp.asarray(kv_scale))
 
         self.b_max = config.scheduler.max_num_seqs
         self.token_buckets = default_token_buckets(
@@ -147,6 +164,12 @@ class ModelRunner:
                   ("item_req", "item_qstart", "item_qlen", "item_pages",
                    "item_pos_base", "token_item", "token_off"))
             if self.swift else ())
+
+    def _replicated(self, x):
+        """Place a host array replicated over the (global) mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(np.asarray(x), NamedSharding(self.mesh, P()))
 
     def _auto_num_blocks(self) -> int:
         """Size the cache from an HBM budget estimate."""
@@ -425,30 +448,62 @@ class ModelRunner:
             tokens = jnp.concatenate(parts)
             return kv, tokens, rows
 
-        fn = jax.jit(step, donate_argnums=(1,))
+        if self.is_multihost:
+            # Fully-replicated outputs: the leader reads them without a
+            # cross-host gather; followers hold identical copies.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            fn = jax.jit(step, donate_argnums=(1,),
+                         out_shardings=(self.kv.sharding, rep, rep))
+        else:
+            fn = jax.jit(step, donate_argnums=(1,))
         self._step_fns[key] = fn
         return fn
 
     def dispatch(self, step_inputs: StepInputs,
                  rng: Optional[jax.Array] = None,
-                 prev_tokens=None, need_topk: bool = False):
+                 prev_tokens=None, need_topk: bool = False,
+                 _mirror: bool = False):
         """Enqueue one device step; returns (tokens_dev [2*S_pad], rows).
 
         ``prev_tokens`` is the previous step's device token vector for
         input passthrough (async scheduling); a dummy is used when every
         input token value is known on host.
+
+        Multi-host: the leader broadcasts the step to followers FIRST so
+        every process issues the same program for each collective;
+        ``_mirror`` marks the follower-side replay (no re-broadcast).
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        if self.mh_channel is not None and not _mirror:
+            self.mh_channel.broadcast({
+                "kind": "dispatch",
+                "arrays": step_inputs.arrays,
+                "t_pad": step_inputs.t_pad,
+                "s_pad": step_inputs.s_pad,
+                "attn_qb": step_inputs.attn_qb,
+                "total_tokens": step_inputs.total_tokens,
+                "rng": np.asarray(rng),
+                "use_prev": prev_tokens is not None,
+                "need_topk": need_topk,
+            })
         if prev_tokens is None:
-            prev_tokens = jnp.zeros(2, jnp.int32)
+            prev_tokens = (self._replicated(np.zeros(2, np.int32))
+                           if self.is_multihost else jnp.zeros(2, jnp.int32))
         i32, f32, shapes = self._pack(step_inputs.arrays)
         need_sampling = bool(step_inputs.arrays["temperature"].max() > 0)
         mode = self._choose_mode(step_inputs.total_tokens)
         fn = self._get_step_fn(step_inputs.attn_qb, need_sampling, shapes,
                                mode, step_inputs.t_pad, need_topk)
+        if self.is_multihost:
+            i32, f32, rng = (self._replicated(i32), self._replicated(f32),
+                             self._replicated(np.asarray(rng)))
+        else:
+            i32, f32 = jnp.asarray(i32), jnp.asarray(f32)
         self.kv, tokens, rows = fn(
-            self.params, self.kv, jnp.asarray(i32), jnp.asarray(f32),
+            self.params, self.kv, i32, f32,
             self.kv_scale, rng, prev_tokens)
         return tokens, rows
 

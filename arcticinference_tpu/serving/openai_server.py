@@ -371,8 +371,42 @@ def main() -> None:
     parser.add_argument("--enable-shift-parallel", action="store_true")
     parser.add_argument("--shift-parallel-threshold", type=int,
                         default=512)
+    # Multi-host sharded serving (one engine over all hosts' chips):
+    # run the SAME command on every host with a distinct --multihost-
+    # process-id; process 0 serves HTTP, the rest mirror device steps.
+    parser.add_argument("--multihost-coordinator", default=None,
+                        help="host:port of the jax.distributed "
+                        "coordinator (process 0)")
+    parser.add_argument("--multihost-num-processes", type=int, default=0)
+    parser.add_argument("--multihost-process-id", type=int, default=0)
+    parser.add_argument("--multihost-leader", default="127.0.0.1",
+                        help="leader host for the step channel")
+    parser.add_argument("--multihost-channel-port", type=int,
+                        default=8550)
     args = parser.parse_args()
+
+    multihost = None
+    if args.multihost_num_processes > 1:
+        from arcticinference_tpu.parallel import multihost
+        multihost.initialize(args.multihost_coordinator,
+                             args.multihost_num_processes,
+                             args.multihost_process_id)
+        if args.multihost_process_id != 0:
+            from arcticinference_tpu.engine.engine import LLMEngine
+
+            engine = LLMEngine(build_config(args))
+            channel = multihost.FollowerChannel(
+                args.multihost_leader, args.multihost_channel_port)
+            multihost.follower_serve(engine.runner, channel)
+            return
+
     server = OpenAIServer(build_config(args))
+    if multihost is not None:
+        channel = multihost.LeaderChannel(
+            args.multihost_num_processes - 1,
+            args.multihost_channel_port)
+        channel.wait_connected()
+        server.engine.engine.runner.mh_channel = channel
     web.run_app(server.app, host=args.host, port=args.port)
 
 
