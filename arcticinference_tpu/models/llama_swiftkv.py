@@ -142,15 +142,32 @@ def _stacked_proj(x, w):
 
 def _slice_swift_kv_proj(w, b_ctx):
     """Take this device's (tp, sp)-fused output slice of a stacked
-    [L2, D, Hkv*Dh] projection (tp shard stored; sp sub-slice here)."""
+    [L2, D, Hkv*Dh] projection (tp shard stored; sp sub-slice here).
+
+    GQA replication (``num_kv_heads < sp*tp``): like the per-layer
+    wk/wv shift slices (``parallel/ulysses.py``), the sp sub-slice is
+    head-granular — fused shard (t, s) keeps the one whole head
+    ``(s*g)//sp`` of its g-head tp shard, so the r shards sharing a
+    head each project an identical replica."""
     if b_ctx.sp == 1:
         return w
+    from arcticinference_tpu.parallel.ulysses import _local_slice
+
     s = jax.lax.axis_index("sp")
+    if b_ctx.kv_rep > 1:
+        g = b_ctx.num_kv_heads // b_ctx.tp    # heads per tp shard
+        d = b_ctx.head_dim
+
+        def slice_head(x):
+            head = (s * g) // b_ctx.sp
+            return jax.lax.dynamic_slice_in_dim(x, head * d, d, 2)
+
+        if isinstance(w, QuantizedLinear):
+            return QuantizedLinear(slice_head(w.weight), w.scale)
+        return slice_head(w)
     if isinstance(w, QuantizedLinear):
-        from arcticinference_tpu.parallel.ulysses import _local_slice
         return QuantizedLinear(
             _local_slice(w.weight, 2, s, b_ctx.sp), w.scale)
-    from arcticinference_tpu.parallel.ulysses import _local_slice
     return _local_slice(w, 2, s, b_ctx.sp)
 
 
@@ -229,9 +246,6 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
                  else ParallelContext(pctx.cfg, "shift",
                                       num_kv_heads=pctx.num_kv_heads,
                                       head_dim=pctx.head_dim))
-        if b_ctx.kv_rep > 1:
-            raise NotImplementedError(
-                "SwiftKV + kv-head replication lands later")
 
     if kb == 0:
         h = rms_norm(h, params["final_norm"], arch.rms_norm_eps)

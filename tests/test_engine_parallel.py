@@ -139,3 +139,36 @@ class TestShardedSwiftKV:
                             sampling_params=SamplingParams(max_tokens=10))
         for o, ref in zip(outs, single):
             assert o.token_ids == ref.token_ids
+
+    GQA_HF = dict(num_attention_heads=8, num_key_value_heads=2,
+                  head_dim=8, num_key_value_layers=1,
+                  num_hidden_layers=2)
+
+    def _gqa_cfg(self, parallel=None):
+        cfg = tiny_config(hf=dict(self.GQA_HF))
+        cfg.model.model = "llama_swiftkv"
+        if parallel:
+            cfg = cfg.replace(parallel=parallel)
+        return cfg
+
+    @pytest.fixture(scope="class")
+    def single_gqa(self):
+        llm = LLM(self._gqa_cfg())
+        return llm.generate(prompt_token_ids=PROMPTS,
+                            sampling_params=SamplingParams(max_tokens=10))
+
+    @pytest.mark.parametrize("tp,sp,shift", [
+        (2, 2, False), (1, 4, False), (2, 4, False), (2, 2, True)])
+    def test_swiftkv_kv_replication(self, single_gqa, tp, sp, shift):
+        """SwiftKV second half under kv-head replication: the fused
+        shards sharing a head project identical replicas (head-granular
+        slice of wk/wv_swift)."""
+        cfg = self._gqa_cfg(ParallelConfig(
+            tensor_parallel_size=tp, ulysses_sequence_parallel_size=sp,
+            enable_shift_parallel=shift,
+            shift_parallel_threshold=4 if shift else 512))
+        llm = LLM(cfg)
+        outs = llm.generate(prompt_token_ids=PROMPTS,
+                            sampling_params=SamplingParams(max_tokens=10))
+        for o, ref in zip(outs, single_gqa):
+            assert o.token_ids == ref.token_ids
