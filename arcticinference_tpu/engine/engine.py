@@ -61,12 +61,6 @@ class LLMEngine:
         self.eos_token_id: Optional[int] = getattr(arch, "eos_token_id",
                                                    None)
         self.runner = ModelRunner(config, module, arch, params, mesh=mesh)
-        if self.runner.is_multihost and config.speculative is not None:
-            # Spec decoding drives extra device programs (fused loop,
-            # drafter chain) that the follower mirror doesn't replay yet.
-            raise NotImplementedError(
-                "speculative decoding is not supported in multi-host "
-                "serving yet")
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    self.runner.num_blocks)
         self.spec_stats = SpecDecodingStats()
@@ -96,9 +90,18 @@ class LLMEngine:
                     self.spec_config.suffix_cache_max_depth)
             if self.spec_config.method in ("arctic", "mlp_speculator",
                                            "lstm_speculator"):
+                if self.runner.is_multihost:
+                    # The drafter chain is a separate device program the
+                    # follower mirror doesn't replay yet.  Suffix
+                    # decoding (host-side drafts, verified inside the
+                    # mirrored dispatch) works multihost.
+                    raise NotImplementedError(
+                        "model drafters are not supported in multi-host "
+                        "serving yet; use method='suffix'")
                 from arcticinference_tpu.spec.proposer import ArcticProposer
                 self._drafter = ArcticProposer(self.spec_config, arch)
-            if self.spec_config.enable_fused_decode:
+            if self.spec_config.enable_fused_decode and \
+                    not self.runner.is_multihost:
                 from arcticinference_tpu.engine.fused_decode import (
                     FusedDecodeLoop)
                 fused = FusedDecodeLoop(self)
