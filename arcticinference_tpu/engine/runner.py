@@ -88,7 +88,7 @@ class ModelRunner:
                             f"{div}; use a power-of-two "
                             "max_num_batched_tokens")
             hook = getattr(module, "param_specs", None)
-            specs = (hook() if hook is not None
+            specs = (hook(pp=pp > 1) if hook is not None
                      else mesh_lib.param_specs(pp=pp > 1))
             params = mesh_lib.shard_params(params, self.mesh, specs)
         else:

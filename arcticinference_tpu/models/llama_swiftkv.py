@@ -49,12 +49,15 @@ compute_logits = _compute_logits
 _QUANT_KEYS = llama_mod._QUANT_KEYS
 
 
-def param_specs():
+def param_specs(pp: bool = False):
     """PartitionSpecs for the SwiftKV pytree (shard_map in_specs)."""
     from jax.sharding import PartitionSpec as P
 
     from arcticinference_tpu.parallel import mesh as mesh_lib
 
+    if pp:
+        raise NotImplementedError(
+            "SwiftKV does not compose with pipeline parallelism yet")
     base = mesh_lib.param_specs()
     layers_b = {k: v for k, v in base["layers"].items()
                 if k not in ("wk", "wv")}

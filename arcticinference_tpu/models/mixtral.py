@@ -90,26 +90,28 @@ _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 def param_specs(pp: bool = False) -> dict:
     """PartitionSpecs: attention like Llama; expert stacks shard their
-    expert axis over ``tp`` (EP); the tiny router is replicated."""
+    expert axis over ``tp`` (EP); the tiny router is replicated.  With
+    ``pp`` the stacked layer axis additionally shards over the pipeline
+    axis (each stage holds its own layers' attention + expert weights;
+    per-layer fp8 scales follow via ``P("pp")``)."""
     from jax.sharding import PartitionSpec as P
 
-    if pp:
-        raise NotImplementedError("mixtral does not compose with pp yet")
-    col = P(None, None, "tp")
-    row = P(None, "tp", None)
+    l_ax = "pp" if pp else None
+    col = P(l_ax, None, "tp")
+    row = P(l_ax, "tp", None)
     return {
         "embed": P(None, None),
         "final_norm": P(None),
         "lm_head": P(None, "tp"),
         "layers": {
-            "input_norm": P(None, None),
-            "post_norm": P(None, None),
+            "input_norm": P(l_ax, None),
+            "post_norm": P(l_ax, None),
             "wq": col, "wk": col, "wv": col,
             "wo": row,
-            "w_router": P(None, None, None),
-            "w_gate": P(None, "tp", None, None),
-            "w_up": P(None, "tp", None, None),
-            "w_down": P(None, "tp", None, None),
+            "w_router": P(l_ax, None, None),
+            "w_gate": P(l_ax, "tp", None, None),
+            "w_up": P(l_ax, "tp", None, None),
+            "w_down": P(l_ax, "tp", None, None),
         },
     }
 

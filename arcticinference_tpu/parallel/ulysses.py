@@ -283,10 +283,7 @@ def _param_spec_tree(module, quantized: bool, pp: bool = False,
     """Build the exact-structure spec pytree for shard_map in_specs
     (decoder params only — the LM head stays outside shard_map)."""
     hook = getattr(module, "param_specs", None)
-    if pp and hook is not None:
-        raise NotImplementedError(
-            f"{module.__name__} has custom param specs; pp not supported")
-    specs = hook() if hook is not None else mesh_lib.param_specs(pp=pp)
+    specs = hook(pp=pp) if hook is not None else mesh_lib.param_specs(pp=pp)
     specs = {k: v for k, v in specs.items() if k in _FWD_KEYS}
     scale_spec = P("pp") if pp else P(None)
     if embed_quantized and "embed" in specs:

@@ -252,25 +252,88 @@ def test_hf_config_roundtrip():
 # Engine end to end
 # --------------------------------------------------------------------- #
 
-def test_engine_generates_with_moe():
-    from arcticinference_tpu.engine.llm import LLM
-    from arcticinference_tpu.engine.request import SamplingParams
-
+def _moe_engine_cfg(num_layers=2, **parallel_kw):
     hf = dict(vocab_size=97, hidden_size=64, intermediate_size=96,
-              num_hidden_layers=2, num_attention_heads=4,
+              num_hidden_layers=num_layers, num_attention_heads=4,
               num_key_value_heads=2, head_dim=16,
               num_local_experts=4, num_experts_per_tok=2)
-    cfg = EngineConfig(
+    return EngineConfig(
         model=ModelConfig(model="mixtral", hf_overrides=hf,
                           max_model_len=128, dtype="float32"),
         cache=CacheConfig(block_size=8, num_blocks=64),
         scheduler=SchedulerConfig(max_num_seqs=4,
                                   max_num_batched_tokens=64),
+        parallel=ParallelConfig(**parallel_kw),
     )
-    llm = LLM(cfg)
+
+
+def test_engine_generates_with_moe():
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+
+    llm = LLM(_moe_engine_cfg())
     outs = llm.generate(
         prompt_token_ids=[[1, 5, 9, 2], [3, 3, 7]],
         sampling_params=SamplingParams(max_tokens=8, temperature=0.0))
     assert len(outs) == 2
     for o in outs:
         assert len(o.token_ids) == 8
+
+
+# --------------------------------------------------------------------- #
+# MoE × pipeline parallelism (each stage holds its layers' experts)
+# --------------------------------------------------------------------- #
+
+MOE_PP_PROMPTS = [[1, 5, 9, 2, 11, 8], [3, 3, 7], [12, 4, 4, 9, 2]]
+
+
+@pytest.fixture(scope="module")
+def moe_single_outputs():
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+
+    llm = LLM(_moe_engine_cfg(num_layers=4))
+    return llm.generate(prompt_token_ids=MOE_PP_PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=10))
+
+
+@pytest.mark.parametrize("pp,sp,tp", [(2, 1, 1), (2, 1, 2), (4, 1, 2),
+                                      (2, 2, 1), (2, 2, 2)])
+def test_engine_moe_pp_matches_single(moe_single_outputs, pp, sp, tp):
+    """Mixtral under PP(×SP×TP): stage-local expert stacks + ragged_dot,
+    outputs must match single chip exactly."""
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+
+    cfg = _moe_engine_cfg(num_layers=4, pipeline_parallel_size=pp,
+                          ulysses_sequence_parallel_size=sp,
+                          tensor_parallel_size=tp)
+    llm = LLM(cfg)
+    runner = llm.engine.runner
+    assert runner.mesh.shape["pp"] == pp
+    # Stage-sharded expert stacks: local shard holds L/pp layers.
+    wg = runner.params["layers"]["w_gate"]
+    assert wg.addressable_shards[0].data.shape[0] == wg.shape[0] // pp
+    outs = llm.generate(prompt_token_ids=MOE_PP_PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=10))
+    for o, ref in zip(outs, moe_single_outputs):
+        assert o.token_ids == ref.token_ids
+    assert {k[3] for k in runner._step_fns} == {"pp"}
+
+
+def test_engine_moe_pp_shift_switches_modes(moe_single_outputs):
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+
+    cfg = _moe_engine_cfg(num_layers=4, pipeline_parallel_size=2,
+                          ulysses_sequence_parallel_size=2,
+                          tensor_parallel_size=2,
+                          enable_shift_parallel=True,
+                          shift_parallel_threshold=8)
+    llm = LLM(cfg)
+    outs = llm.generate(prompt_token_ids=MOE_PP_PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=10))
+    for o, ref in zip(outs, moe_single_outputs):
+        assert o.token_ids == ref.token_ids
+    modes = {k[3] for k in llm.engine.runner._step_fns}
+    assert "pp_shift" in modes and "pp" in modes
