@@ -62,7 +62,8 @@ MAX_STOP_IDS = 4
 
 def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                      eos_token_id: Optional[int], use_suffix: bool = False,
-                     path_len_max: int = 32, ring_w: int = 64):
+                     path_len_max: int = 32, ring_w: int = 64,
+                     batch: int = 0):
     """Compile one fused decode step for batch-width ``B`` (read from the
     state at call time), draft length ``num_spec`` and fixed sampling mode.
 
@@ -71,6 +72,12 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
     kv and state donated.  The ``h_*`` inputs (suffix mode only) carry the
     host's freshest suffix-tree path per slot: tokens [B, PLEN], absolute
     anchor index [B], and usable length [B] (0 = nothing good to offer).
+
+    On a mesh runner (TP / SP / shift) the model forward runs through the
+    runner's shard_map program — the same per-step mode choice as the
+    non-fused path (reference ``model_runner.py:236-239``) applied to the
+    loop's fixed ``B*(K+1)`` row count; verify / stop / re-draft logic
+    stays outside shard_map under auto-GSPMD on replicated state.
     """
     module, arch = runner.module, runner.arch
     bs = runner.block_size
@@ -81,6 +88,10 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
     eos = -1 if eos_token_id is None else int(eos_token_id)
     plen = path_len_max
     w = ring_w
+    sharded_fwd = None
+    if runner.mesh is not None:
+        mesh_mode = runner._choose_mode(batch * r)
+        sharded_fwd = runner._forward_fn(qb, mesh_mode, batch * r)
 
     if drafter is not None:
         from arcticinference_tpu.models import speculators as spec_mod
@@ -141,11 +152,14 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                 attn_token_off=rows - aligned[rows // r],
             )
 
-        from arcticinference_tpu.engine.runner import _make_attn
-        unroll = jax.default_backend() == "tpu" and b * r <= 512
-        kv, h = module.forward(params, arch, kv, inputs,
-                               attn_impl=_make_attn(module, qb),
-                               unroll=unroll)
+        if sharded_fwd is not None:
+            kv, h = sharded_fwd(params, kv, inputs)
+        else:
+            from arcticinference_tpu.engine.runner import _make_attn
+            unroll = jax.default_backend() == "tpu" and b * r <= 512
+            kv, h = module.forward(params, arch, kv, inputs,
+                                   attn_impl=_make_attn(module, qb),
+                                   unroll=unroll)
         logits = module.compute_logits(params, h)          # [B*R, V]
 
         rng, sub = jax.random.split(state["rng"])
@@ -312,10 +326,15 @@ class FusedDecodeLoop:
         """Static eligibility: is there anything to speculate with, on a
         runner whose decode step the fused program can own?  When this is
         False the engine keeps the loop uninstalled so the sync path
-        retains full drafting duties."""
+        retains full drafting duties.  TP / SP / shift meshes are owned
+        via the runner's shard_map forward; PP (per-microbatch state
+        flow) and multihost (leader-broadcast dispatch) are not yet."""
         eng = self.engine
-        return not ((eng._drafter is None and self._suffix is None)
-                    or self.runner.swift or self.runner.mesh is not None)
+        if eng._drafter is None and self._suffix is None:
+            return False
+        if self.runner.swift or self.runner.is_multihost:
+            return False
+        return self.runner.config.parallel.pipeline_parallel_size <= 1
 
     def can_enter(self) -> bool:
         eng = self.engine
@@ -338,6 +357,11 @@ class FusedDecodeLoop:
         eng = self.engine
         running = list(eng.scheduler.running)
         b = _bucket(len(running), eng.config.scheduler.max_num_seqs)
+        if self.runner.mesh is not None:
+            # SP mode shards the B*(K+1) token rows over sp: keep B a
+            # multiple of sp (dead tail slots stay alive=0).
+            sp = eng.config.parallel.ulysses_sequence_parallel_size
+            b = -(-b // sp) * sp
         sc = eng.config.speculative
         if eng._drafter is not None:
             k = eng._drafter.n_predict
@@ -423,7 +447,7 @@ class FusedDecodeLoop:
                                   self._need_sampling, eng.eos_token_id,
                                   use_suffix=self._suffix is not None,
                                   path_len_max=self._plen,
-                                  ring_w=self._ring_w)
+                                  ring_w=self._ring_w, batch=key[0])
             self._fns[key] = fn
         spec_params = eng._drafter.params if eng._drafter else None
         args = ()

@@ -257,3 +257,86 @@ class TestFusedSuffixOnly:
         for o in outs:
             assert len(o.token_ids) == 15
             assert all(0 <= t < 97 for t in o.token_ids)
+
+
+class TestFusedOnMesh:
+    """Fused spec decode composes with TP / SP / shift meshes: the model
+    forward runs through the runner's shard_map program, verify/re-draft
+    stay on replicated state (reference runs spec under its full process
+    grid; here it is the same jitted loop over Mesh(dp, sp, tp))."""
+
+    LAYOUTS = [dict(tensor_parallel_size=2),
+               dict(ulysses_sequence_parallel_size=2),
+               dict(tensor_parallel_size=2,
+                    ulysses_sequence_parallel_size=2),
+               dict(tensor_parallel_size=2,
+                    ulysses_sequence_parallel_size=2,
+                    enable_shift_parallel=True,
+                    shift_parallel_threshold=64)]
+
+    def _mesh_cfg(self, layout, **kw):
+        from arcticinference_tpu.config import ParallelConfig
+
+        cfg = tiny_config(**kw)
+        return cfg.replace(parallel=ParallelConfig(**layout))
+
+    @pytest.mark.parametrize("layout", LAYOUTS)
+    def test_arctic_fused_on_mesh_matches_single(self, layout):
+        prompts = _prompts(3, seed=20)
+        sp = SamplingParams(max_tokens=14)
+        want = LLM(tiny_config()).generate(prompt_token_ids=prompts,
+                                           sampling_params=sp)
+        llm = LLM(self._mesh_cfg(layout, speculative=_spec(True)))
+        assert llm.engine._fused is not None
+        got = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+        # The fused loop really engaged on the mesh.
+        assert llm.engine.spec_stats.num_drafts > 0
+
+    @pytest.mark.parametrize("layout", LAYOUTS[:2] + LAYOUTS[3:])
+    def test_suffix_fused_on_mesh_matches_single(self, layout):
+        rng = np.random.default_rng(21)
+        base = [int(x) for x in rng.integers(1, 97, 6)]
+        prompts = [(base * 4)[:20] for _ in range(2)]
+        sp = SamplingParams(max_tokens=20)
+        want = LLM(tiny_config()).generate(prompt_token_ids=prompts,
+                                           sampling_params=sp)
+        spec = SpeculativeConfig(method="suffix", enable_fused_decode=True)
+        llm = LLM(self._mesh_cfg(layout, speculative=spec))
+        got = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+        assert llm.engine.spec_stats.num_drafts > 0
+
+    def test_fused_shift_mode_selected(self):
+        """With a high threshold the fused step must compile the shift
+        (full-TP) program, not the SP one."""
+        from arcticinference_tpu.engine import fused_decode as fd
+
+        llm = LLM(self._mesh_cfg(self.LAYOUTS[3], speculative=_spec(True)))
+        runner = llm.engine.runner
+        seen = {}
+        orig = runner._forward_fn
+
+        def spy(qb, mode, t_pad):
+            seen[mode] = t_pad
+            return orig(qb, mode, t_pad)
+
+        runner._forward_fn = spy
+        llm.generate(prompt_token_ids=_prompts(2, seed=22),
+                     sampling_params=SamplingParams(max_tokens=10))
+        assert "shift" in seen  # fused decode rows fit under the threshold
+
+    def test_fused_still_off_under_pp(self):
+        from arcticinference_tpu.config import ParallelConfig
+
+        cfg = tiny_config(hf=dict(num_hidden_layers=4),
+                          speculative=_spec(True))
+        cfg = cfg.replace(parallel=ParallelConfig(pipeline_parallel_size=2))
+        llm = LLM(cfg)
+        assert llm.engine._fused is None
+        outs = llm.generate(prompt_token_ids=_prompts(2, seed=23),
+                            sampling_params=SamplingParams(max_tokens=8))
+        for o in outs:
+            assert len(o.token_ids) == 8
