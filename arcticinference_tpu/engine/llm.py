@@ -190,9 +190,7 @@ class EmbeddingMixin:
             return self.encoder.encode(
                 prompt_token_ids, pooling=pooling,
                 normalize=True if normalize is None else normalize)
-        if normalize:
-            raise NotImplementedError(
-                "normalize is only supported for encoder architectures")
+        normalize = bool(normalize)
         runner = self.engine.runner
         bm = self.engine.scheduler.block_manager
         budget = self.config.scheduler.max_num_batched_tokens
@@ -206,15 +204,15 @@ class EmbeddingMixin:
                     f"max_num_batched_tokens={budget}")
             if (total + len(ids) > budget
                     or len(batch) >= self.config.scheduler.max_num_seqs):
-                out.extend(self._encode_batch(batch, pooling))
+                out.extend(self._encode_batch(batch, pooling, normalize))
                 batch, total = [], 0
             batch.append(list(ids))
             total += len(ids)
         if batch:
-            out.extend(self._encode_batch(batch, pooling))
+            out.extend(self._encode_batch(batch, pooling, normalize))
         return out
 
-    def _encode_batch(self, batch, pooling):
+    def _encode_batch(self, batch, pooling, normalize=False):
         import numpy as np
         from arcticinference_tpu.engine.request import (Request,
                                                         SamplingParams)
@@ -233,7 +231,8 @@ class EmbeddingMixin:
             sched.scheduled.append(ScheduledRequest(req, len(ids), []))
         try:
             si = runner.prepare_inputs(sched)
-            pooled = runner.execute_encode(si, pooling=pooling)
+            pooled = runner.execute_encode(si, pooling=pooling,
+                                           normalize=normalize)
         finally:
             for req in reqs:
                 bm.free(req.block_ids)

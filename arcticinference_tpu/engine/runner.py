@@ -533,8 +533,9 @@ def _make_attn(module, attn_qb: int):
 def _attach_encode():
     """Add the embedding (pooled) execution path to ModelRunner."""
 
-    def _get_encode_fn(self, attn_qb: int, shapes, pooling: str):
-        key = ("encode", attn_qb, shapes, pooling)
+    def _get_encode_fn(self, attn_qb: int, shapes, pooling: str,
+                       normalize: bool = False):
+        key = ("encode", attn_qb, shapes, pooling, normalize)
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
@@ -561,15 +562,20 @@ def _attach_encode():
                 pooled = hf[inputs["logits_indices"][:b_max]]
             else:
                 raise ValueError(f"unknown pooling {pooling!r}")
+            if normalize:
+                pooled = pooled / jnp.maximum(
+                    jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
             return kv, pooled
 
         fn = jax.jit(encode, donate_argnums=(1,))
         self._step_fns[key] = fn
         return fn
 
-    def execute_encode(self, step_inputs, pooling: str = "mean"):
+    def execute_encode(self, step_inputs, pooling: str = "mean",
+                       normalize: bool = False):
         i32, f32, shapes = self._pack(step_inputs.arrays)
-        fn = self._get_encode_fn(step_inputs.attn_qb, shapes, pooling)
+        fn = self._get_encode_fn(step_inputs.attn_qb, shapes, pooling,
+                                 normalize)
         self.kv, pooled = fn(self.params, self.kv, jnp.asarray(i32),
                              jnp.asarray(f32), self.kv_scale)
         return np.asarray(pooled)

@@ -57,6 +57,15 @@ class TestEncodeMath:
         b = llm.encode(prompt_token_ids=[[1, 2, 3, 4]], pooling="last")[0]
         assert not np.allclose(a, b)
 
+    def test_causal_normalize(self, llm):
+        """L2 normalization on the causal-LM pooled path (device-side)."""
+        raw = llm.encode(prompt_token_ids=[[1, 2, 3], [4] * 10])
+        unit = llm.encode(prompt_token_ids=[[1, 2, 3], [4] * 10],
+                          normalize=True)
+        for r, u in zip(raw, unit):
+            np.testing.assert_allclose(np.linalg.norm(u), 1.0, atol=1e-5)
+            np.testing.assert_allclose(u, r / np.linalg.norm(r), atol=1e-5)
+
 
 class TestGrpcRoundtrip:
 
