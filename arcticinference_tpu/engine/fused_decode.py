@@ -326,15 +326,14 @@ class FusedDecodeLoop:
         """Static eligibility: is there anything to speculate with, on a
         runner whose decode step the fused program can own?  When this is
         False the engine keeps the loop uninstalled so the sync path
-        retains full drafting duties.  TP / SP / shift meshes are owned
-        via the runner's shard_map forward; PP (per-microbatch state
-        flow) and multihost (leader-broadcast dispatch) are not yet."""
+        retains full drafting duties.  TP / SP / shift / PP meshes are
+        owned via the runner's shard_map forwards (the fused step's
+        request-major row order keeps PP's microbatch causality
+        invariant); multihost (leader-broadcast dispatch) is not yet."""
         eng = self.engine
         if eng._drafter is None and self._suffix is None:
             return False
-        if self.runner.swift or self.runner.is_multihost:
-            return False
-        return self.runner.config.parallel.pipeline_parallel_size <= 1
+        return not (self.runner.swift or self.runner.is_multihost)
 
     def can_enter(self) -> bool:
         eng = self.engine
@@ -358,10 +357,14 @@ class FusedDecodeLoop:
         running = list(eng.scheduler.running)
         b = _bucket(len(running), eng.config.scheduler.max_num_seqs)
         if self.runner.mesh is not None:
-            # SP mode shards the B*(K+1) token rows over sp: keep B a
-            # multiple of sp (dead tail slots stay alive=0).
-            sp = eng.config.parallel.ulysses_sequence_parallel_size
-            b = -(-b // sp) * sp
+            # SP mode shards the B*(K+1) token rows over sp; PP splits
+            # them into pp microbatches (each sp-sharded in SP mode):
+            # keep B a multiple of pp*sp so every split is exact (dead
+            # tail slots stay alive=0).
+            pcfg = eng.config.parallel
+            div = (pcfg.ulysses_sequence_parallel_size
+                   * pcfg.pipeline_parallel_size)
+            b = -(-b // div) * div
         sc = eng.config.speculative
         if eng._drafter is not None:
             k = eng._drafter.n_predict

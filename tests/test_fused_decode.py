@@ -274,7 +274,8 @@ class TestFusedOnMesh:
                     enable_shift_parallel=True,
                     shift_parallel_threshold=64)]
 
-    def _mesh_cfg(self, layout, **kw):
+    @staticmethod
+    def _mesh_cfg(layout, **kw):
         from arcticinference_tpu.config import ParallelConfig
 
         cfg = tiny_config(**kw)
@@ -328,15 +329,44 @@ class TestFusedOnMesh:
                      sampling_params=SamplingParams(max_tokens=10))
         assert "shift" in seen  # fused decode rows fit under the threshold
 
-    def test_fused_still_off_under_pp(self):
-        from arcticinference_tpu.config import ParallelConfig
+    PP_LAYOUTS = [dict(pipeline_parallel_size=2),
+                  dict(pipeline_parallel_size=2, tensor_parallel_size=2),
+                  dict(pipeline_parallel_size=2,
+                       ulysses_sequence_parallel_size=2),
+                  dict(pipeline_parallel_size=2, tensor_parallel_size=2,
+                       ulysses_sequence_parallel_size=2,
+                       enable_shift_parallel=True,
+                       shift_parallel_threshold=64)]
 
-        cfg = tiny_config(hf=dict(num_hidden_layers=4),
-                          speculative=_spec(True))
-        cfg = cfg.replace(parallel=ParallelConfig(pipeline_parallel_size=2))
-        llm = LLM(cfg)
-        assert llm.engine._fused is None
-        outs = llm.generate(prompt_token_ids=_prompts(2, seed=23),
-                            sampling_params=SamplingParams(max_tokens=8))
-        for o in outs:
-            assert len(o.token_ids) == 8
+    @pytest.mark.parametrize("layout", PP_LAYOUTS)
+    def test_arctic_fused_under_pp_matches_single(self, layout):
+        """Fused spec decode under PP: the fused step runs the GPipe
+        shard_map program; request-major row order keeps intra-request
+        KV causality across microbatches."""
+        prompts = _prompts(3, seed=23)
+        sp = SamplingParams(max_tokens=14)
+        hf = dict(num_hidden_layers=4)
+        want = LLM(tiny_config(hf=hf)).generate(prompt_token_ids=prompts,
+                                                sampling_params=sp)
+        llm = LLM(self._mesh_cfg(layout, hf=hf, speculative=_spec(True)))
+        assert llm.engine._fused is not None
+        got = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+        assert llm.engine.spec_stats.num_drafts > 0
+
+    def test_suffix_fused_under_pp_matches_single(self):
+        rng = np.random.default_rng(24)
+        base = [int(x) for x in rng.integers(1, 97, 6)]
+        prompts = [(base * 4)[:20] for _ in range(2)]
+        sp = SamplingParams(max_tokens=20)
+        hf = dict(num_hidden_layers=4)
+        want = LLM(tiny_config(hf=hf)).generate(prompt_token_ids=prompts,
+                                                sampling_params=sp)
+        spec = SpeculativeConfig(method="suffix", enable_fused_decode=True)
+        llm = LLM(self._mesh_cfg(self.PP_LAYOUTS[1], hf=hf,
+                                 speculative=spec))
+        got = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+        assert llm.engine.spec_stats.num_drafts > 0
