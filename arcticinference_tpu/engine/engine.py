@@ -90,14 +90,10 @@ class LLMEngine:
                     self.spec_config.suffix_cache_max_depth)
             if self.spec_config.method in ("arctic", "mlp_speculator",
                                            "lstm_speculator"):
-                if self.runner.is_multihost:
-                    # The drafter chain is a separate device program the
-                    # follower mirror doesn't replay yet.  Suffix
-                    # decoding (host-side drafts, verified inside the
-                    # mirrored dispatch) works multihost.
-                    raise NotImplementedError(
-                        "model drafters are not supported in multi-host "
-                        "serving yet; use method='suffix'")
+                # Works multihost too: the drafter chain runs
+                # LEADER-LOCAL on the replicated sample-row output (see
+                # spec/proposer.py), so the follower mirror never sees a
+                # second device program.
                 from arcticinference_tpu.spec.proposer import ArcticProposer
                 self._drafter = ArcticProposer(self.spec_config, arch)
             if self.spec_config.enable_fused_decode and \

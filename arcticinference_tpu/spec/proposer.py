@@ -115,6 +115,14 @@ class ArcticProposer:
                  if s.request.req_id in accepted_row]
         if not items:
             return
+        if getattr(rows, "is_fully_addressable", True) is False:
+            # Multi-host: ``rows`` is a replicated global array (runner
+            # compiles step outputs with replicated out_shardings).  The
+            # drafter is tiny, so run it LEADER-LOCAL on this process's
+            # replica copy — no cross-host program, nothing for the
+            # follower mirror to replay; the drafts re-enter the mirrored
+            # dispatch as ordinary step inputs next step.
+            rows = rows.addressable_shards[0].data
         b = len(items)
         b_pad = pad_to_bucket(b, [8, 16, 32, 64, 128, 256, 512, 1024])
         idx = np.zeros(b_pad, np.int32)

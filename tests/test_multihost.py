@@ -109,6 +109,55 @@ def test_multihost_suffix_decoding(tmp_path):
                 proc.wait(timeout=10)
 
 
+def test_multihost_arctic_drafter(tmp_path):
+    """Model drafter (MLP speculator) under multi-host: the drafter chain
+    runs leader-local on the replicated sample rows; outputs must match
+    the same spec config on a single process exactly (greedy verification
+    is draft-invariant)."""
+    from arcticinference_tpu.config import EngineConfig
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+
+    cfg_d = json.loads(json.dumps(MH_CFG))
+    cfg_d["speculative"] = {"method": "arctic",
+                            "num_speculative_tokens": 3}
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+
+    ref_llm = LLM(EngineConfig.from_dict(json.loads(json.dumps(cfg_d))))
+    assert ref_llm.engine._drafter is not None
+    ref = ref_llm.generate(
+        prompt_token_ids=[prompt],
+        sampling_params=SamplingParams(max_tokens=12,
+                                       temperature=0.0))[0].token_ids
+
+    cfg_path = tmp_path / "mh_arctic.json"
+    cfg_path.write_text(json.dumps(cfg_d))
+    coord, channel, http = free_port(), free_port(), free_port()
+    leader = _spawn(str(cfg_path), 0, 2, coord, channel, http)
+    follower = _spawn(str(cfg_path), 1, 2, coord, channel, http + 1)
+    try:
+        wait_http(f"http://127.0.0.1:{http}/health", leader, timeout=240)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http}/v1/completions",
+            data=json.dumps({"prompt_token_ids": prompt,
+                             "max_tokens": 12,
+                             "temperature": 0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=180) as r:
+            data = json.loads(r.read())
+        assert data["choices"][0]["token_ids"] == ref
+        assert follower.poll() is None       # mirror still alive
+    finally:
+        for proc in (leader, follower):
+            proc.terminate()
+        for proc in (leader, follower):
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=10)
+
+
 def test_two_process_sharded_serving(tmp_path, single_reference):
     cfg_path = tmp_path / "mh.json"
     cfg_path.write_text(json.dumps(MH_CFG))
