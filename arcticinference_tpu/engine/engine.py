@@ -96,8 +96,7 @@ class LLMEngine:
                 # second device program.
                 from arcticinference_tpu.spec.proposer import ArcticProposer
                 self._drafter = ArcticProposer(self.spec_config, arch)
-            if self.spec_config.enable_fused_decode and \
-                    not self.runner.is_multihost:
+            if self.spec_config.enable_fused_decode:
                 from arcticinference_tpu.engine.fused_decode import (
                     FusedDecodeLoop)
                 fused = FusedDecodeLoop(self)

@@ -281,6 +281,15 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
             [emitted, (dlen * alive)[:, None]], axis=1)     # [B, R+1]
         return kv, state2, telemetry
 
+    if runner.is_multihost:
+        # Replicated state/telemetry so the leader reads telemetry with
+        # no cross-host gather and every process's mirrored state stays
+        # bit-identical (same contract as the runner's sync step fns).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(runner.mesh, P())
+        return jax.jit(step, donate_argnums=(2, 3),
+                       out_shardings=(runner.kv.sharding, rep, rep))
     return jax.jit(step, donate_argnums=(2, 3))
 
 
@@ -319,6 +328,9 @@ class FusedDecodeLoop:
         self._suffix = engine._suffix_cache
         self._plen = 32
         self._ring_w = 64
+        self._announce_state = None         # multihost: state to mirror
+        self._bt_dirty = False
+        self._spec_params_global = None     # multihost: replicated copy
 
     # -- entry ----------------------------------------------------------
 
@@ -329,11 +341,12 @@ class FusedDecodeLoop:
         retains full drafting duties.  TP / SP / shift / PP meshes are
         owned via the runner's shard_map forwards (the fused step's
         request-major row order keeps PP's microbatch causality
-        invariant); multihost (leader-broadcast dispatch) is not yet."""
+        invariant); under multihost every fused step is broadcast to the
+        follower mirrors like any other dispatch."""
         eng = self.engine
         if eng._drafter is None and self._suffix is None:
             return False
-        return not (self.runner.swift or self.runner.is_multihost)
+        return not self.runner.swift
 
     def can_enter(self) -> bool:
         eng = self.engine
@@ -418,19 +431,31 @@ class FusedDecodeLoop:
             n_computed=n_comp, last_token=last, drafts=drafts,
             draft_len=dlen, alive=alive, limit=limit, temperature=temp,
             top_k=top_k, top_p=top_p, eos_mask=eos_mask,
-            stop_ids=stop_ids, rng=sub)
+            stop_ids=stop_ids, rng=np.asarray(sub))
         if self._suffix is not None:
             state.update(
                 ring=np.full((b, self._ring_w), -1, np.int32),
                 path=np.zeros((b, self._plen), np.int32),
                 path_off=np.zeros(b, np.int32),
                 path_len=np.zeros(b, np.int32))
-        self._state = jax.device_put(state)
-        self._bt_dev = jax.device_put(self._bt_np)
+        # Multi-host: followers mirror the loop, so the initial state is
+        # announced with the first fused-step broadcast.
+        self._announce_state = (state if self.runner.mh_channel is not None
+                                else None)
+        self._state = {k: self._put(v) for k, v in state.items()}
+        self._bt_dev = self._put(self._bt_np)
+        self._bt_dirty = True
         self._inflight = []
         self.active = True
         logger.debug("fused decode: entered with %d requests (B=%d, K=%d)",
                      len(running), b, k)
+
+    def _put(self, x):
+        """Device placement: replicated over the global mesh under
+        multihost (host-local arrays can't feed a cross-process jit)."""
+        if self.runner.is_multihost:
+            return self.runner._replicated(x)
+        return jax.device_put(x)
 
     # -- stepping -------------------------------------------------------
 
@@ -452,10 +477,26 @@ class FusedDecodeLoop:
                                   path_len_max=self._plen,
                                   ring_w=self._ring_w, batch=key[0])
             self._fns[key] = fn
-        spec_params = eng._drafter.params if eng._drafter else None
-        args = ()
-        if self._suffix is not None:
-            args = self._host_paths()
+        spec_params = self._spec_params()
+        paths_np = (self._host_paths() if self._suffix is not None
+                    else None)
+        ch = self.runner.mh_channel
+        if ch is not None:
+            # Mirror the fused step on every process (same contract as
+            # runner.dispatch: broadcast first, then issue the program).
+            ch.broadcast({
+                "kind": "fused", "b": key[0], "k": self._k,
+                "need_sampling": self._need_sampling,
+                "use_suffix": self._suffix is not None,
+                "plen": self._plen, "ring_w": self._ring_w,
+                "eos": eng.eos_token_id,
+                "state": self._announce_state,
+                "bt": self._bt_np if self._bt_dirty else None,
+                "paths": paths_np})
+            self._announce_state = None
+            self._bt_dirty = False
+        args = (tuple(self._put(a) for a in paths_np)
+                if paths_np is not None else ())
         self.runner.kv, self._state, telem = fn(
             self.runner.params, spec_params, self.runner.kv, self._state,
             self._bt_dev, self.runner.kv_scale, *args)
@@ -471,11 +512,27 @@ class FusedDecodeLoop:
             finished.extend(self._drain_one())
         return finished
 
+    def _spec_params(self):
+        """Drafter params for the fused step: the proposer's local copy
+        single-host; a cached mesh-replicated copy under multihost (the
+        local copy keeps serving the leader-local sync-path drafter)."""
+        eng = self.engine
+        if eng._drafter is None:
+            return None
+        if not self.runner.is_multihost:
+            return eng._drafter.params
+        if self._spec_params_global is None:
+            self._spec_params_global = jax.tree.map(
+                self.runner._replicated, eng._drafter.params)
+        return self._spec_params_global
+
     def _host_paths(self):
         """Speculate a suffix path per alive slot from the host's
         lag-synced prefix (reference SuffixCache.speculate semantics,
         ``common/suffix_cache/suffix_cache.py:200-222``); the device
-        verifies the unseen gap and walks the tail."""
+        verifies the unseen gap and walks the tail.  Returns host
+        (numpy) arrays — the caller places them (and broadcasts them to
+        follower mirrors under multihost)."""
         eng = self.engine
         sc = eng.config.speculative
         b = self._state["n_computed"].shape[0]
@@ -513,8 +570,7 @@ class FusedDecodeLoop:
                     h_path[i, :n] = res.token_ids[:n]
                     h_start[i] = len(req.all_token_ids)
                     h_len[i] = n
-        return (jax.device_put(h_path), jax.device_put(h_start),
-                jax.device_put(h_len))
+        return (h_path, h_start, h_len)
 
     def _pre_extend_blocks(self) -> bool:
         """Grow block tables to cover the worst-case frontier of every
@@ -538,7 +594,8 @@ class FusedDecodeLoop:
                     req.block_ids[before:]
                 changed = True
         if changed:
-            self._bt_dev = jax.device_put(self._bt_np)
+            self._bt_dev = self._put(self._bt_np)
+            self._bt_dirty = True
         return True
 
     def _drain_one(self) -> list:
@@ -589,9 +646,12 @@ class FusedDecodeLoop:
         finished: list = []
         while self._inflight:
             finished.extend(self._drain_one())
+        if self.active and self.runner.mh_channel is not None:
+            self.runner.mh_channel.broadcast({"kind": "fused_exit"})
         self.active = False
         self._state = None
         self._bt_dev = None
+        self._announce_state = None
         logger.debug("fused decode: exited")
         return finished
 

@@ -166,10 +166,19 @@ class ModelRunner:
             if self.swift else ())
 
     def _replicated(self, x):
-        """Place a host array replicated over the (global) mesh."""
+        """Place a host array replicated over the (global) mesh.
+
+        Uses ``make_array_from_callback`` rather than ``device_put``:
+        device_put with a cross-process sharding runs a hidden
+        ``assert_equal`` process_allgather (a collective!), which both
+        adds a sync to every step upload and deadlocks any caller that
+        hasn't broadcast to the follower mirrors yet.  Every process
+        builds its replica from (identical) host data, purely locally."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.device_put(np.asarray(x), NamedSharding(self.mesh, P()))
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, NamedSharding(self.mesh, P()), lambda idx: x[idx])
 
     def _auto_num_blocks(self) -> int:
         """Size the cache from an HBM budget estimate."""

@@ -153,25 +153,65 @@ class FollowerChannel:
 # Follower mirror loop
 # --------------------------------------------------------------------- #
 
-def follower_serve(runner, channel: FollowerChannel) -> None:
+def follower_serve(engine, channel: FollowerChannel) -> None:
     """Mirror every leader dispatch so this process joins each collective.
 
     The only per-step state a follower carries is the previous step's
-    device token vector (for the async pipeline's token passthrough);
-    by construction the leader's ``prev_tokens`` is always its previous
-    dispatch's output, so mirroring dispatch order reproduces it.
+    device token vector (for the async pipeline's token passthrough) and,
+    while the leader's fused spec-decode loop is active, the mirrored
+    fused state pytree; by construction the leader's ``prev_tokens`` is
+    always its previous dispatch's output, so mirroring dispatch order
+    reproduces it.  (``engine`` may also be a bare ModelRunner when the
+    caller has no spec decoding.)
     """
     import jax.numpy as jnp
 
-    from arcticinference_tpu.engine.runner import StepInputs
+    from arcticinference_tpu.engine.runner import ModelRunner, StepInputs
+
+    runner = engine if isinstance(engine, ModelRunner) else engine.runner
+    loop = None if isinstance(engine, ModelRunner) else engine._fused
 
     last_tokens = None
+    fused_state = None
+    fused_bt = None
+    fused_fns: dict = {}
     while True:
         msg = channel.recv()
         kind = msg.get("kind")
         if kind == "stop":
             logger.info("follower: stop received")
             return
+        if kind == "fused_exit":
+            fused_state = None
+            continue
+        if kind == "fused":
+            if loop is None:
+                raise RuntimeError(
+                    "leader runs fused spec decode but this follower has "
+                    "no speculative config")
+            from arcticinference_tpu.engine.fused_decode import (
+                build_fused_step)
+
+            key = (msg["b"], msg["k"], msg["need_sampling"])
+            fn = fused_fns.get(key)
+            if fn is None:
+                fn = build_fused_step(
+                    runner, engine._drafter, msg["k"],
+                    msg["need_sampling"], msg["eos"],
+                    use_suffix=msg["use_suffix"], path_len_max=msg["plen"],
+                    ring_w=msg["ring_w"], batch=msg["b"])
+                fused_fns[key] = fn
+            if msg["state"] is not None:
+                fused_state = {k: runner._replicated(v)
+                               for k, v in msg["state"].items()}
+            if msg["bt"] is not None:
+                fused_bt = runner._replicated(msg["bt"])
+            args = (tuple(runner._replicated(a) for a in msg["paths"])
+                    if msg["paths"] is not None else ())
+            runner.kv, fused_state, _telem = fn(
+                runner.params, loop._spec_params(), runner.kv,
+                fused_state, fused_bt, runner.kv_scale, *args)
+            continue
         if kind != "dispatch":
             logger.warning("follower: unknown message kind %r", kind)
             continue

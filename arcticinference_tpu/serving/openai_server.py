@@ -397,7 +397,7 @@ def main() -> None:
             engine = LLMEngine(build_config(args))
             channel = multihost.FollowerChannel(
                 args.multihost_leader, args.multihost_channel_port)
-            multihost.follower_serve(engine.runner, channel)
+            multihost.follower_serve(engine, channel)
             return
 
     server = OpenAIServer(build_config(args))

@@ -158,6 +158,89 @@ def test_multihost_arctic_drafter(tmp_path):
                 proc.wait(timeout=10)
 
 
+_FUSED_DRIVER = r"""
+import sys, json
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from arcticinference_tpu.parallel import multihost
+pid = int(sys.argv[1])
+multihost.initialize(sys.argv[2], 2, pid)
+from arcticinference_tpu.config import EngineConfig
+from arcticinference_tpu.engine.engine import LLMEngine
+from arcticinference_tpu.engine.request import SamplingParams
+
+engine = LLMEngine(EngineConfig.from_dict(json.loads(sys.argv[4])))
+prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+if pid == 0:
+    ch = multihost.LeaderChannel(1, int(sys.argv[3]))
+    ch.wait_connected()
+    engine.runner.mh_channel = ch
+    engine.add_request("r0", prompt, SamplingParams(max_tokens=12))
+    done, fused_steps = {{}}, 0
+    while engine.has_unfinished:
+        fused_steps += bool(engine._fused and engine._fused.active)
+        for r in engine.step():
+            done[r.req_id] = r.output_token_ids
+    ch.close()
+    print("RESULT", json.dumps({{"tokens": done["r0"],
+                                 "fused_steps": fused_steps,
+                                 "drafts": engine.spec_stats.num_drafts}}))
+else:
+    chan = multihost.FollowerChannel("127.0.0.1", int(sys.argv[3]))
+    multihost.follower_serve(engine, chan)
+"""
+
+
+def test_multihost_fused_decode(tmp_path):
+    """The fused spec-decode loop engages under multi-host: every fused
+    step is broadcast to the follower mirror and outputs match the same
+    config on a single process exactly."""
+    import os
+
+    from arcticinference_tpu.config import EngineConfig
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+
+    cfg_d = json.loads(json.dumps(MH_CFG))
+    cfg_d["speculative"] = {"method": "suffix"}
+    prompt = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6]
+    ref_llm = LLM(EngineConfig.from_dict(json.loads(json.dumps(cfg_d))))
+    ref = ref_llm.generate(
+        prompt_token_ids=[prompt],
+        sampling_params=SamplingParams(max_tokens=12,
+                                       temperature=0.0))[0].token_ids
+
+    script = tmp_path / "fused_driver.py"
+    script.write_text(_FUSED_DRIVER.format(
+        repo=str(os.path.dirname(os.path.dirname(__file__)))))
+    coord, channel = free_port(), free_port()
+    env = _env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    def spawn(pid):
+        return subprocess.Popen(
+            [sys.executable, "-u", str(script), str(pid),
+             f"127.0.0.1:{coord}", str(channel), json.dumps(cfg_d)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+
+    leader, follower = spawn(0), spawn(1)
+    try:
+        out, _ = leader.communicate(timeout=240)
+        follower.wait(timeout=60)
+    except subprocess.TimeoutExpired:
+        leader.kill()
+        follower.kill()
+        raise
+    line = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+    assert line, out[-2000:]
+    res = json.loads(line[0][len("RESULT "):])
+    assert res["tokens"] == ref
+    assert res["fused_steps"] > 0        # the loop really engaged
+    assert res["drafts"] > 0             # and drafted
+
+
 def test_two_process_sharded_serving(tmp_path, single_reference):
     cfg_path = tmp_path / "mh.json"
     cfg_path.write_text(json.dumps(MH_CFG))
