@@ -29,6 +29,11 @@ from arcticinference_tpu.config import EngineConfig
 from arcticinference_tpu.engine.scheduler import SchedulerOutput
 from arcticinference_tpu.ops.kv_cache import KVCacheSpec, allocate_kv_cache
 from arcticinference_tpu.ops.pallas.ragged_attention import build_work_items
+
+#: Pallas ragged-attention schedule array names (host-built prefetch).
+_ATTN_SCHED_KEYS = ("attn_item_req", "attn_item_qstart", "attn_item_qlen",
+                    "attn_item_pages", "attn_item_pos_base",
+                    "attn_token_item", "attn_token_off")
 from arcticinference_tpu.utils import cdiv, default_token_buckets, \
     pad_to_bucket
 
@@ -164,6 +169,11 @@ class ModelRunner:
                   ("item_req", "item_qstart", "item_qlen", "item_pages",
                    "item_pos_base", "token_item", "token_off"))
             if self.swift else ())
+        if config.parallel.pipeline_parallel_size > 1:
+            # Stacked per-microbatch attention schedules (one row per
+            # pipeline microbatch; see prepare_inputs / parallel/pp.py).
+            self._i32_keys = self._i32_keys + tuple(
+                "pp" + k for k in _ATTN_SCHED_KEYS)
 
     def _replicated(self, x):
         """Place a host array replicated over the (global) mesh.
@@ -309,6 +319,34 @@ class ModelRunner:
                                  "item_pages", "item_pos_base",
                                  "token_item", "token_off"), sw):
                 arrays[f"swift_{key}"] = val
+        pp = self.config.parallel.pipeline_parallel_size
+        if pp > 1:
+            # Per-microbatch schedules for the Pallas kernel under PP:
+            # the GPipe program splits the flat batch into pp contiguous
+            # row windows, so each window gets its own (request-clipped)
+            # work-item list; stage bodies index the stacked [pp, ...]
+            # arrays by microbatch (parallel/pp.py).
+            tm = t_pad // pp
+            n_items_mb = tm // attn_qb + b
+            starts = np.zeros(b, np.int64)
+            starts[1:len(scheduled)] = np.cumsum(
+                query_lens[:len(scheduled) - 1])
+            parts = []
+            for mi in range(pp):
+                lo, hi = mi * tm, (mi + 1) * tm
+                ql = np.zeros(b, np.int64)
+                lpos = np.zeros(b, np.int64)
+                for r in range(len(scheduled)):
+                    a = max(int(starts[r]), lo)
+                    z = min(int(starts[r] + query_lens[r]), hi)
+                    if z > a:
+                        ql[r] = z - a
+                        lpos[r] = (last_pos[r]
+                                   - (starts[r] + query_lens[r] - z))
+                parts.append(build_work_items(
+                    ql, lpos, attn_qb, self.block_size, n_items_mb, tm))
+            for i, key in enumerate(_ATTN_SCHED_KEYS):
+                arrays["pp" + key] = np.stack([p[i] for p in parts])
         return StepInputs(arrays=arrays, t_pad=t_pad, s_pad=s_pad,
                           attn_qb=attn_qb, sample_row_start=row_start,
                           sample_row_count=row_count, total_tokens=total)

@@ -27,6 +27,12 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # regardless of SpeculativeConfig.enable_fused_decode.
     "ARCTIC_TPU_DISABLE_FUSED":
         lambda: os.environ.get("ARCTIC_TPU_DISABLE_FUSED", "0") == "1",
+    # Run the Pallas attention kernel in TPU-interpret mode on CPU (tests:
+    # exercises the kernel code path, e.g. under a virtual PP mesh, where
+    # the backend gate would otherwise pick the jnp reference).
+    "ARCTIC_TPU_FORCE_PALLAS_INTERPRET":
+        lambda: os.environ.get(
+            "ARCTIC_TPU_FORCE_PALLAS_INTERPRET", "0") == "1",
 }
 
 

@@ -332,19 +332,31 @@ def make_attn_impl(attn_qb: int = 32):
     def _attn(q, kv, layer, inputs):
         from arcticinference_tpu import envs
 
+        interpret = (envs.ARCTIC_TPU_FORCE_PALLAS_INTERPRET
+                     and jax.default_backend() != "tpu")
         if ("attn_item_req" in inputs and not envs.ARCTIC_TPU_DISABLE_PALLAS
-                and jax.default_backend() == "tpu"):
+                and (jax.default_backend() == "tpu" or interpret)):
             from arcticinference_tpu.ops.pallas.ragged_attention import (
                 ragged_paged_attention_kernel)
             schedule = (inputs["attn_item_req"], inputs["attn_item_qstart"],
                         inputs["attn_item_qlen"], inputs["attn_item_pages"],
                         inputs["attn_item_pos_base"],
                         inputs["attn_token_item"], inputs["attn_token_off"])
-            return ragged_paged_attention_kernel(
-                q, kv, inputs["positions"], inputs["req_idx"],
-                inputs["block_tables"], inputs["seq_lens"],
-                qb=attn_qb, schedule=schedule,
-                kv_scale=inputs.get("kv_scale"), layer=layer)
+
+            def run():
+                return ragged_paged_attention_kernel(
+                    q, kv, inputs["positions"], inputs["req_idx"],
+                    inputs["block_tables"], inputs["seq_lens"],
+                    qb=attn_qb, schedule=schedule,
+                    kv_scale=inputs.get("kv_scale"), layer=layer)
+
+            if interpret:
+                from jax.experimental import pallas as pl  # noqa: F401
+                from jax.experimental.pallas import tpu as pltpu
+
+                with pltpu.force_tpu_interpret_mode():
+                    return run()
+            return run()
         kv_layer = jax.lax.dynamic_index_in_dim(kv, layer, 0,
                                                 keepdims=False)
         ks = inputs.get("kv_scale")

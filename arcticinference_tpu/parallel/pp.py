@@ -54,6 +54,13 @@ from arcticinference_tpu.parallel.ulysses import (ParallelContext,
 # Row-indexed arrays sliced per microbatch; everything else is shared.
 _ROW_KEYS = ("input_ids", "positions", "req_idx", "slot_mapping")
 _FWD_KEYS = ("embed", "layers", "final_norm")
+# Pallas schedule arrays: host builds one schedule PER MICROBATCH,
+# stacked on a leading pp axis under "pp"-prefixed keys (runner
+# prepare_inputs); each stage body indexes its current microbatch's
+# schedule and hands it to the attention impl under the plain names.
+_ATTN_KEYS = ("attn_item_req", "attn_item_qstart", "attn_item_qlen",
+              "attn_item_pages", "attn_item_pos_base", "attn_token_item",
+              "attn_token_off")
 
 
 def make_pp_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
@@ -116,6 +123,15 @@ def make_pp_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
             mb = dict(shared)
             for k in _ROW_KEYS:
                 mb[k] = sl(inputs[k])
+            mi = jnp.clip(m_here, 0, m - 1)
+            for k in _ATTN_KEYS:
+                if "pp" + k in inputs:
+                    # Bubble ticks replay a real microbatch's schedule;
+                    # their attention output is discarded and their KV
+                    # writes go to the sink block, so stale page reads
+                    # are harmless.
+                    mb[k] = jax.lax.dynamic_index_in_dim(
+                        inputs["pp" + k], mi, 0, keepdims=False)
             # RoPE runs on the locally held rows (sp-sharded in SP mode);
             # attention metadata stays full-microbatch.
             mb["positions_local"] = sl(inputs["positions"], lstart, chunk)
@@ -155,9 +171,10 @@ def make_pp_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
 
     def fn(params, kv, inputs):
         fwd_params = {k: params[k] for k in _FWD_KEYS if k in params}
-        # The Pallas schedule arrays describe the FULL batch; microbatch
-        # slices can't use them, so the jnp reference attention runs
-        # under pp for now.
+        # The FLAT schedule arrays describe the full batch; PP attention
+        # uses the stacked per-microbatch "pp"-prefixed schedules instead
+        # (absent e.g. in the fused decode step, which then runs the jnp
+        # reference attention under PP).
         clean = {k: v for k, v in inputs.items()
                  if not k.startswith("attn_item")
                  and not k.startswith("attn_token")}
