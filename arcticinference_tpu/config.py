@@ -35,7 +35,9 @@ class ModelConfig:
     model: str = "llama"
     tokenizer: Optional[str] = None
     dtype: str = "bfloat16"                  # activation / default weight dtype
-    quantization: Optional[str] = None       # None | "fp8" (weight-only fp8)
+    #: None | "fp8" | "int8" | "int4" (weight-only; fp8 also covers
+    #: pre-quantized fp8 checkpoints, int4 uses group-128 scales)
+    quantization: Optional[str] = None
     max_model_len: int = 8192
     # Direct architecture overrides (used when no config.json is found, and
     # merged on top of one when it is).
@@ -45,7 +47,7 @@ class ModelConfig:
 
     def __post_init__(self) -> None:
         _positive("max_model_len", self.max_model_len)
-        if self.quantization not in (None, "fp8"):
+        if self.quantization not in (None, "fp8", "int8", "int4"):
             raise ValueError(f"Unknown quantization {self.quantization!r}")
         if self.tokenizer is None:
             self.tokenizer = self.model

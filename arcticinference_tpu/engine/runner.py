@@ -66,6 +66,14 @@ class ModelRunner:
         loaded_kv_scales = (params.pop("kv_scales", None)
                             if isinstance(params, dict) else None)
         pcfg = config.parallel
+        if pcfg.world_size > 1 and \
+                config.model.quantization in ("int8", "int4"):
+            # Per-channel / group scales need sharded-scale PartitionSpecs
+            # and shift-mode re-slicing that only the fp8 (scalar-scale)
+            # path implements today.
+            raise NotImplementedError(
+                "int8/int4 weight quantization is single-chip for now; "
+                "use fp8 on meshes")
         if pcfg.world_size > 1 and mesh is None:
             from arcticinference_tpu.parallel import mesh as mesh_lib
 

@@ -32,7 +32,8 @@ import numpy as np
 
 from arcticinference_tpu.ops.attention import (
     ragged_paged_attention_reference)
-from arcticinference_tpu.ops.fp8 import QuantizedLinear, fp8_quantize, matmul
+from arcticinference_tpu.ops.fp8 import (QuantizedLinear, fp8_quantize,
+                                         matmul, weight_quantize)
 from arcticinference_tpu.ops.layers import (apply_rope, compute_rope_freqs,
                                             rms_norm)
 
@@ -99,7 +100,7 @@ def init_params(arch: LlamaArch, rng: jax.Array,
     d, hq, hkv, dh = (arch.hidden_size, arch.num_heads, arch.num_kv_heads,
                       arch.head_dim)
     li, lL = arch.intermediate_size, arch.num_layers
-    quant = quantization == "fp8"
+    quant = quantization is not None
 
     def w(key, shape):
         return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(
@@ -108,14 +109,21 @@ def init_params(arch: LlamaArch, rng: jax.Array,
     @functools.partial(jax.jit, static_argnames=("shape",))
     def qw_jit(key, shape):
         x = jax.random.normal(key, shape, jnp.bfloat16) * 0.02
-        return fp8_quantize(x)
+        return weight_quantize(x, quantization)
 
     def qw(key, shape):
         return qw_jit(key, shape) if quant else w(key, shape)
 
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def embed_q_jit(key, shape):
+        # The embedding table is always fp8 when quantized (row-gather
+        # dequant needs a scalar scale); int modes cover matmul weights.
+        x = jax.random.normal(key, shape, jnp.bfloat16) * 0.02
+        return fp8_quantize(x)
+
     params = {
-        "embed": (qw(next(keys), (arch.vocab_size, d))
-                  if not arch.tie_word_embeddings
+        "embed": (embed_q_jit(next(keys), (arch.vocab_size, d))
+                  if quant and not arch.tie_word_embeddings
                   else w(next(keys), (arch.vocab_size, d))),
         "layers": {
             "input_norm": jnp.ones((lL, d), dtype),
@@ -132,15 +140,16 @@ def init_params(arch: LlamaArch, rng: jax.Array,
     }
     if not arch.tie_word_embeddings:
         head = w(next(keys), (d, arch.vocab_size))
-        params["lm_head"] = fp8_quantize(head) if quant else head
+        params["lm_head"] = (weight_quantize(head, quantization)
+                             if quant else head)
     return params
 
 
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_params(params: dict) -> dict:
-    """Convert the large matmul weights to weight-only FP8 (per-tensor scale).
+def quantize_params(params: dict, mode: str = "fp8") -> dict:
+    """Convert the large matmul weights to weight-only fp8/int8/int4.
 
     Norms stay bf16; the LM head AND the input embedding quantize too
     (the reference's ``Fp8ConfigWithEmbedding`` quantizes
@@ -152,10 +161,10 @@ def quantize_params(params: dict) -> dict:
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
-        layers[k] = fp8_quantize(layers[k])
+        layers[k] = weight_quantize(layers[k], mode)
     out["layers"] = layers
     if "lm_head" in out and not isinstance(out["lm_head"], QuantizedLinear):
-        out["lm_head"] = fp8_quantize(out["lm_head"])
+        out["lm_head"] = weight_quantize(out["lm_head"], mode)
     if "lm_head" in out and not isinstance(out["embed"], QuantizedLinear):
         out["embed"] = fp8_quantize(out["embed"])
     return out
@@ -464,13 +473,15 @@ def load_hf_state(arch: LlamaArch, tensors: dict[str, np.ndarray],
 
     if arch.tie_word_embeddings:
         params.pop("lm_head", None)
-    if quantization == "fp8" and not isinstance(
+    if quantization and not isinstance(
             params["layers"]["wq"], QuantizedLinear):
-        params = quantize_params(params)
-    if quantization == "fp8" and "lm_head" in params and \
+        params = quantize_params(params, quantization)
+    if quantization and "lm_head" in params and \
             not isinstance(params["embed"], QuantizedLinear):
         # Pre-quantized checkpoints ship bf16 embeddings; quantize ours
         # like the reference's Fp8ConfigWithEmbedding (fp8.py:310-337).
+        # The embedding table always uses fp8 (row-gather dequant needs a
+        # scalar scale); int modes apply to the matmul weights + LM head.
         params["embed"] = fp8_quantize(params["embed"])
     if have_kv_scales:
         params["kv_scales"] = kv_scales

@@ -126,8 +126,10 @@ def init_params(arch: LlamaSwiftKVArch, rng: jax.Array,
                                 jnp.float32) * 0.02).astype(dtype)
         wv = (jax.random.normal(rv, (kb, d, hkv * dh),
                                 jnp.float32) * 0.02).astype(dtype)
-        if quantization == "fp8":
-            wk, wv = fp8_quantize(wk), fp8_quantize(wv)
+        if quantization:
+            from arcticinference_tpu.ops.fp8 import weight_quantize
+            wk = weight_quantize(wk, quantization)
+            wv = weight_quantize(wv, quantization)
         params["wk_swift"] = wk
         params["wv_swift"] = wv
         params["norm_swiftkv"] = jnp.ones((d,), dtype)
@@ -323,7 +325,9 @@ def forward(params: dict, arch: LlamaSwiftKVArch, kv: jax.Array,
     return kv, hs
 
 
-def quantize_params(params: dict) -> dict:
+def quantize_params(params: dict, mode: str = "fp8") -> dict:
+    from arcticinference_tpu.ops.fp8 import weight_quantize
+
     out = dict(params)
     for key in ("layers_a", "layers_b"):
         if key not in out:
@@ -331,11 +335,11 @@ def quantize_params(params: dict) -> dict:
         layers = dict(out[key])
         for k in llama_mod._QUANT_KEYS:
             if k in layers and not isinstance(layers[k], QuantizedLinear):
-                layers[k] = fp8_quantize(layers[k])
+                layers[k] = weight_quantize(layers[k], mode)
         out[key] = layers
     for key in ("wk_swift", "wv_swift"):
         if key in out and not isinstance(out[key], QuantizedLinear):
-            out[key] = fp8_quantize(out[key])
+            out[key] = weight_quantize(out[key], mode)
     return out
 
 
@@ -419,6 +423,6 @@ def load_hf_state(arch: LlamaSwiftKVArch, tensors: dict[str, np.ndarray],
         params["wv_swift"] = jnp.stack(
             [jnp.asarray(s[1], dtype) for s in wkv_stack])
         params["norm_swiftkv"] = passthrough["norm_swiftkv"]
-    if quantization == "fp8":
-        params = quantize_params(params)
+    if quantization:
+        params = quantize_params(params, quantization)
     return params

@@ -49,7 +49,7 @@ from arcticinference_tpu.models.llama import (
     LlamaArch, compute_logits, embed_lookup, finalize_hidden,
     make_attn_impl)
 from arcticinference_tpu.ops.fp8 import (QuantizedLinear, fp8_dequantize,
-                                         fp8_quantize)
+                                         fp8_quantize, weight_quantize)
 from arcticinference_tpu.ops.layers import rms_norm
 
 __all__ = ["MixtralArch", "Arch", "init_params", "load_hf_state",
@@ -125,7 +125,7 @@ def init_params(arch: MixtralArch, rng: jax.Array,
     d, hq, hkv, dh = (arch.hidden_size, arch.num_heads, arch.num_kv_heads,
                       arch.head_dim)
     li, lL, e = arch.intermediate_size, arch.num_layers, arch.num_experts
-    quant = quantization == "fp8"
+    quant = quantization is not None
 
     def w(key, shape):
         return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(
@@ -135,7 +135,7 @@ def init_params(arch: MixtralArch, rng: jax.Array,
         if not quant:
             return w(key, shape)
         x = jax.random.normal(key, shape, jnp.bfloat16) * 0.02
-        return fp8_quantize(x)
+        return weight_quantize(x, quantization)
 
     params = {
         "embed": w(next(keys), (arch.vocab_size, d)),
@@ -155,19 +155,20 @@ def init_params(arch: MixtralArch, rng: jax.Array,
     }
     if not arch.tie_word_embeddings:
         head = w(next(keys), (d, arch.vocab_size))
-        params["lm_head"] = fp8_quantize(head) if quant else head
+        params["lm_head"] = (weight_quantize(head, quantization)
+                             if quant else head)
     return params
 
 
-def quantize_params(params: dict) -> dict:
+def quantize_params(params: dict, mode: str = "fp8") -> dict:
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
         if not isinstance(layers[k], QuantizedLinear):
-            layers[k] = fp8_quantize(layers[k])
+            layers[k] = weight_quantize(layers[k], mode)
     out["layers"] = layers
     if "lm_head" in out and not isinstance(out["lm_head"], QuantizedLinear):
-        out["lm_head"] = fp8_quantize(out["lm_head"])
+        out["lm_head"] = weight_quantize(out["lm_head"], mode)
     return out
 
 
@@ -347,6 +348,6 @@ def load_hf_state(arch: MixtralArch, tensors: dict[str, np.ndarray],
 
     if arch.tie_word_embeddings:
         params.pop("lm_head", None)
-    if quantization == "fp8":
-        params = quantize_params(params)
+    if quantization:
+        params = quantize_params(params, quantization)
     return params

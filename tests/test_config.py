@@ -48,7 +48,9 @@ def test_engine_config_roundtrip():
 
 def test_invalid_quantization():
     with pytest.raises(ValueError):
-        ModelConfig(quantization="int4")
+        ModelConfig(quantization="awq")
+    for ok in ("fp8", "int8", "int4"):
+        assert ModelConfig(quantization=ok).quantization == ok
 
 
 def test_kv_dtype_validation():

@@ -98,6 +98,67 @@ def test_fp8_quantized_forward_close(small):
     assert rel < 0.15, rel
 
 
+@pytest.mark.parametrize("mode,tol", [("int8", 0.05), ("int4", 0.25)])
+def test_int_quantized_forward_close(small, mode, tol):
+    """int8 (per-out-channel) and int4 (group-128) weight-only paths run
+    the same forward; error bounded on random weights (int8 tighter than
+    fp8 per-tensor, int4 looser)."""
+    arch, params, spec = small
+    qparams = llama.quantize_params(params, mode)
+    inputs = _prefill_inputs()
+    _, h = llama.forward(params, arch, allocate_kv_cache(spec), inputs)
+    _, hq = llama.forward(qparams, arch, allocate_kv_cache(spec), inputs)
+    rel = float(jnp.max(jnp.abs(hq - h)) /
+                (float(jnp.max(jnp.abs(h))) + 1e-9))
+    assert rel < tol, rel
+
+
+def test_int_quantize_roundtrip_granularity():
+    """Scale ranks encode granularity: int8 -> per-out-channel, int4 ->
+    group-128; dequant reconstructs within quantization step error."""
+    from arcticinference_tpu.ops.fp8 import fp8_dequantize, int_quantize
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((2, 256, 64)), jnp.float32)
+    q8 = int_quantize(w, bits=8)
+    assert q8.weight.dtype == jnp.int8 and q8.scale.shape == (2, 64)
+    err8 = float(jnp.max(jnp.abs(fp8_dequantize(q8, jnp.float32) - w)))
+    assert err8 <= float(jnp.max(q8.scale)) * 0.51
+
+    q4 = int_quantize(w, bits=4)
+    # Packed two-per-byte along the input dim: int8 [2, 128, 64].
+    assert q4.weight.dtype == jnp.int8 and q4.weight.shape == (2, 128, 64)
+    assert q4.scale.shape == (2, 2, 64)
+    err4 = float(jnp.max(jnp.abs(fp8_dequantize(q4, jnp.float32) - w)))
+    assert err4 <= float(jnp.max(q4.scale)) * 0.51
+
+    # matmul agrees with explicit dequant for both granularities.
+    x = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    from arcticinference_tpu.ops.fp8 import QuantizedLinear, matmul
+    for q in (q8, q4):
+        lq = QuantizedLinear(q.weight[0], q.scale[0])
+        want = np.asarray(x @ fp8_dequantize(lq, jnp.float32), np.float32)
+        got = np.asarray(matmul(x, lq), np.float32)
+        # bf16 rounding differs between the fused path and the oracle;
+        # bound the error relative to the output magnitude.
+        assert np.max(np.abs(got - want)) < 2e-2 * np.max(np.abs(want))
+
+
+def test_engine_generates_int4():
+    """End to end: the engine runs an int4-quantized model."""
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+    from tests.test_engine import tiny_config
+
+    cfg = tiny_config(model_kw=dict(quantization="int4"),
+                      hf=dict(hidden_size=256, intermediate_size=256))
+    llm = LLM(cfg)
+    outs = llm.generate(prompt_token_ids=[[1, 5, 9, 2], [3, 3, 7]],
+                        sampling_params=SamplingParams(max_tokens=8))
+    for o in outs:
+        assert len(o.token_ids) == 8
+
+
 def test_hf_config_parse():
     arch = llama.LlamaArch.from_hf_config({
         "vocab_size": 1000, "hidden_size": 256,
