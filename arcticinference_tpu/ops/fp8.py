@@ -18,11 +18,12 @@ the scale's rank relative to the weight's):
 
 Measured on one v5e chip (8B, batch-64 greedy decode incl. prefill):
 int8 2063 tok/s > fp8 1941 tok/s (int8->bf16 convert is cheaper than
-fp8->bf16 in the dot fusion).  int4 is currently MEMORY-optimized only
-(8B weights in ~4 GB): XLA will not fuse the nibble unpack into the dot
-operand, so it materializes unpacked weights each step (~348 ms/step);
-reaching int4's 2x bandwidth ceiling needs a Mosaic matmul kernel that
-unpacks in registers (ROADMAP).
+fp8->bf16 in the dot fusion) > int4 1567 tok/s via the Mosaic kernel
+(``ops/pallas/int4_matmul.py``; XLA cannot fuse the nibble unpack into
+a dot operand and materializes unpacked weights — 164 tok/s — so the
+kernel is the default int4 path on TPU).  int4's draw is capacity: 8B
+weights in ~4.3 GB, at ~80% of fp8 throughput; the register unpack is
+VPU-bound, which caps it below int4's 2x bandwidth ceiling.
 
 ``QuantizedLinear`` is a pytree node, so quantized params flow through
 ``lax.scan`` / ``pjit`` like any other leaf (leading layer dim slices off
@@ -133,26 +134,29 @@ def int_quantize(w: jax.Array, bits: int = 8,
 
 
 def _pack_int4(q: jax.Array) -> jax.Array:
-    """[.., in, out] int8 in [-7, 7] -> [.., in/2, out] packed nibbles."""
+    """[.., in, out] int8 in [-7, 7] -> [.., in/2, out] packed nibbles.
+
+    SPLIT-HALF pairing: byte row ``u`` holds unpacked row ``u`` in its
+    low nibble and row ``u + in/2`` in its high nibble.  Unpacking is
+    then two elementwise shifts plus a CONCAT along the input dim — no
+    row interleave — which is what lets the Pallas matmul kernel (and
+    XLA's fallback) consume the halves without any relayout.
+    """
     lead = q.shape[:-2]
     kin, out = q.shape[-2:]
     assert kin % 2 == 0
-    pairs = q.reshape(*lead, kin // 2, 2, out)
-    lo = pairs[..., 0, :] & jnp.int8(0x0F)
-    hi = jax.lax.shift_left(pairs[..., 1, :], jnp.int8(4))
+    lo = q[..., : kin // 2, :] & jnp.int8(0x0F)
+    hi = jax.lax.shift_left(q[..., kin // 2:, :], jnp.int8(4))
     return (lo | hi).astype(jnp.int8)
 
 
 def _unpack_int4(w: jax.Array) -> jax.Array:
-    """Packed [.., in/2, out] int8 -> [.., in, out] int8 (sign-extended).
-    Two arithmetic shifts per nibble; XLA fuses these into the consumer.
-    """
-    lead = w.shape[:-2]
-    half, out = w.shape[-2:]
+    """Packed [.., in/2, out] int8 -> [.., in, out] int8 (sign-extended,
+    split-half order: low nibbles first, high nibbles second)."""
     lo = jax.lax.shift_right_arithmetic(
         jax.lax.shift_left(w, jnp.int8(4)), jnp.int8(4))
     hi = jax.lax.shift_right_arithmetic(w, jnp.int8(4))
-    return jnp.stack([lo, hi], axis=-2).reshape(*lead, half * 2, out)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def weight_quantize(w: jax.Array, mode: str) -> QuantizedLinear:
@@ -215,9 +219,18 @@ def matmul(x: jax.Array, w, preferred_element_type=None) -> jax.Array:
                 fp8_matmul_kernel)
             return fp8_matmul_kernel(x, wq, s).astype(out_dtype)
         if s.ndim == wq.ndim:
-            # Packed int4, group scales [in/g, out]: unpack + dequant on
-            # the weight side — XLA fuses shifts+convert+mul into the
-            # dot's weight stream, so HBM traffic stays 4 bits/weight.
+            # Packed int4, group scales [in/g, out].
+            if (jax.default_backend() == "tpu" and wq.ndim == 2
+                    and os.environ.get("ARCTIC_TPU_DISABLE_PALLAS") != "1"):
+                from arcticinference_tpu.ops.pallas.int4_matmul import (
+                    int4_matmul_kernel, int4_shapes_ok)
+                if int4_shapes_ok(wq.shape[-2] * 2, wq.shape[-1]):
+                    # Mosaic kernel: unpacks nibbles in registers.  XLA
+                    # cannot fuse the unpack into a dot operand — it
+                    # materializes unpacked weights to HBM (~12x slower
+                    # end to end), so the kernel is the default here.
+                    return int4_matmul_kernel(x, wq, s).astype(out_dtype)
+            # Fallback: explicit unpack + dequant on the weight side.
             w4 = _unpack_int4(wq)
             g = w4.shape[-2] // s.shape[-2]
             wg = w4.astype(jnp.float32).reshape(

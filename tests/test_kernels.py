@@ -137,3 +137,30 @@ def test_decode_kernel_interpret_matches_oracle():
         jnp.asarray(bt), jnp.asarray(sl))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_int4_matmul_kernel_interpret():
+    """int4-dequant matmul kernel vs the explicit unpack+dot oracle
+    (split-half packing, group-128 scales)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from arcticinference_tpu.ops.fp8 import int_quantize
+    from arcticinference_tpu.ops.pallas.int4_matmul import (
+        int4_matmul_kernel, int4_matmul_reference, int4_shapes_ok)
+
+    rng = np.random.default_rng(0)
+    K, N = 2048, 256
+    assert int4_shapes_ok(K, N)
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    q = int_quantize(w, bits=4)
+    assert q.weight.shape == (K // 2, N)
+    x = jnp.asarray(rng.standard_normal((12, K)), jnp.float32)
+    want = np.asarray(int4_matmul_reference(x, q.weight, q.scale),
+                      np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(int4_matmul_kernel(x, q.weight, q.scale),
+                         np.float32)
+    # The kernel applies f32 scales on the accumulator (more precise
+    # than the oracle's bf16-rounded dequant); bound relative error.
+    rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert rel < 0.02, rel
