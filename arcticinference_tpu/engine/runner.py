@@ -66,14 +66,15 @@ class ModelRunner:
         loaded_kv_scales = (params.pop("kv_scales", None)
                             if isinstance(params, dict) else None)
         pcfg = config.parallel
-        if pcfg.world_size > 1 and \
-                config.model.quantization in ("int8", "int4"):
-            # Per-channel / group scales need sharded-scale PartitionSpecs
-            # and shift-mode re-slicing that only the fp8 (scalar-scale)
-            # path implements today.
+        if pcfg.world_size > 1 and config.model.quantization == "int4":
+            # int4's split-half nibble packing couples row u with row
+            # u + K/2 in one byte, so the packed in-dim cannot be
+            # contiguously sharded/re-sliced; int4 stays single-chip.
+            # (int8's per-channel scales shard/re-slice fine — see
+            # mesh.quantized_leaf_spec / ParallelContext._slice_scale.)
             raise NotImplementedError(
-                "int8/int4 weight quantization is single-chip for now; "
-                "use fp8 on meshes")
+                "int4 weight quantization is single-chip; use fp8/int8 "
+                "on meshes")
         if pcfg.world_size > 1 and mesh is None:
             from arcticinference_tpu.parallel import mesh as mesh_lib
 
@@ -444,11 +445,12 @@ class ModelRunner:
                 self.module, self.arch, self.mesh, self.config.parallel,
                 attn_qb=attn_qb, quantized=quantized,
                 embed_quantized=embed_q,
-                mode="shift" if mode == "pp_shift" else "sp")
+                mode="shift" if mode == "pp_shift" else "sp",
+                params=self.params)
         return make_sharded_forward(
             self.module, self.arch, self.mesh, self.config.parallel,
             mode, attn_qb=attn_qb, quantized=quantized,
-            embed_quantized=embed_q)
+            embed_quantized=embed_q, params=self.params)
 
     GUIDED_TOPK = 16
 

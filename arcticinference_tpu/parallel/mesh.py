@@ -70,10 +70,24 @@ def param_specs(quantized: bool = False, pp: bool = False) -> dict:
     return specs
 
 
-def quantized_leaf_spec(spec: P) -> tuple:
-    """A QuantizedLinear leaf flattens to (weight, scale): weight follows
-    the weight spec; the per-layer scale vector is replicated, except the
-    layer axis follows the weight's layer sharding (pp)."""
+def quantized_leaf_spec(spec: P, w_ndim: Optional[int] = None,
+                        s_ndim: Optional[int] = None) -> tuple:
+    """A QuantizedLinear leaf flattens to (weight, scale).
+
+    The scale spec derives from the weight spec + the scale's rank
+    (granularity is encoded purely in rank, see ``ops/fp8.py``):
+    - group scales (``s_ndim == w_ndim``, ``[.., in/g, out]``): the
+      group axis inherits the in-axis sharding -> same spec;
+    - per-out-channel (``s_ndim == w_ndim - 1``): weight spec minus its
+      in-axis entry (axis -2);
+    - per-layer/per-tensor: replicated, except the stacked layer axis
+      follows the weight's pp sharding.
+    """
+    if w_ndim is not None and s_ndim is not None and len(spec) == w_ndim:
+        if s_ndim == w_ndim:
+            return (spec, spec)
+        if s_ndim == w_ndim - 1:
+            return (spec, P(*(spec[:-2] + (spec[-1],))))
     if len(spec) and spec[0] == "pp":
         return (spec, P("pp"))
     return (spec, P())  # P() replicates any rank (incl. scalar scales)
@@ -103,7 +117,8 @@ def shard_params(params, mesh: Mesh, specs: Optional[dict] = None):
 
     def place(leaf, spec):
         if isinstance(leaf, QuantizedLinear):
-            wspec, sspec = quantized_leaf_spec(spec)
+            wspec, sspec = quantized_leaf_spec(
+                spec, leaf.weight.ndim, leaf.scale.ndim)
             return QuantizedLinear(put(leaf.weight, wspec),
                                    put(leaf.scale, sspec))
         return put(leaf, spec)

@@ -67,7 +67,7 @@ def make_pp_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
                     attn_qb: Optional[int] = None,
                     quantized: bool = False,
                     embed_quantized: bool = False,
-                    mode: str = "sp"):
+                    mode: str = "sp", params=None):
     """Build the pipelined forward: fn(params, kv, inputs) ->
     (kv, hidden[T, D]) on global arrays, layers/kv pp-sharded.
 
@@ -160,7 +160,8 @@ def make_pp_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
         return kv, jax.lax.psum(out, axes)
 
     param_specs = _param_spec_tree(module, quantized, pp=True,
-                                   embed_quantized=embed_quantized)
+                                   embed_quantized=embed_quantized,
+                                   params=params)
     param_specs = {k: v for k, v in param_specs.items() if k in _FWD_KEYS}
     kv_spec = mesh_lib.kv_cache_spec(pp=True)
     smapped = shard_map(

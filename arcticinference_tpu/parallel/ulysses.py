@@ -99,22 +99,46 @@ class ParallelContext:
                 head = (s * g) // self.sp
                 d = self.head_dim
 
-                def slice_head(x):
+                def slice_head(x, ax=axis):
                     return jax.lax.dynamic_slice_in_dim(
-                        x, head * d, d, axis)
+                        x, head * d, d, ax)
 
                 if isinstance(w, QuantizedLinear):
-                    out[key] = QuantizedLinear(slice_head(w.weight),
-                                               w.scale)
+                    out[key] = QuantizedLinear(
+                        slice_head(w.weight),
+                        self._slice_scale(w, axis, slice_head))
                 else:
                     out[key] = slice_head(w)
                 continue
             if isinstance(w, QuantizedLinear):
+                sl = functools.partial(_local_slice, idx=s, n=self.sp)
                 out[key] = QuantizedLinear(
-                    _local_slice(w.weight, axis, s, self.sp), w.scale)
+                    _local_slice(w.weight, axis, s, self.sp),
+                    self._slice_scale(
+                        w, axis, lambda x, ax: sl(x, axis=ax)))
             else:
                 out[key] = _local_slice(w, axis, s, self.sp)
         return out
+
+    @staticmethod
+    def _slice_scale(w: "QuantizedLinear", axis: int, slice_fn):
+        """Shift-mode scale re-slicing for non-scalar granularities.
+
+        Scale ranks (see ``ops/fp8.py``): per-channel scales drop the
+        weight's in-axis (``w.ndim - 2``), group scales keep every axis.
+        When the sliced weight axis survives in the scale, slice the
+        scale at the matching axis; slicing the in-axis of a per-channel
+        scale is a no-op.  ``slice_fn(x, ax)`` must apply the SAME
+        index window the weight slice used on axis ``ax``.
+        """
+        sc, wn = w.scale, w.weight.ndim
+        if sc.ndim == wn:                      # group scales
+            return slice_fn(sc, axis)
+        if sc.ndim == wn - 1:                  # per out-channel
+            if axis == wn - 2:
+                return sc                      # in-axis: scale unaffected
+            return slice_fn(sc, axis if axis < wn - 2 else axis - 1)
+        return sc                              # per layer/tensor scalar
 
     # -- expert parallelism ---------------------------------------------
 
@@ -196,7 +220,7 @@ def token_in_specs(mode: str) -> P:
 def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
                          mode: str, attn_qb: Optional[int] = None,
                          quantized: bool = False,
-                         embed_quantized: bool = False):
+                         embed_quantized: bool = False, params=None):
     """Build the shard_map'd forward for one mode.
 
     Returns fn(params, kv, inputs) -> (kv, hidden[T, D_model]) operating on
@@ -234,7 +258,8 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
 
     tok_spec = token_in_specs(mode)
     param_spec_tree = _param_spec_tree(module, quantized,
-                                       embed_quantized=embed_quantized)
+                                       embed_quantized=embed_quantized,
+                                       params=params)
     kv_spec = mesh_lib.kv_cache_spec()
     # Modules that gather + return only the sample rows (SwiftKV) emit a
     # replicated hidden block rather than a token-sharded one.
@@ -279,9 +304,14 @@ _FWD_KEYS = ("embed", "layers", "final_norm", "layers_a", "layers_b",
 
 
 def _param_spec_tree(module, quantized: bool, pp: bool = False,
-                     embed_quantized: bool = False):
+                     embed_quantized: bool = False, params=None):
     """Build the exact-structure spec pytree for shard_map in_specs
-    (decoder params only — the LM head stays outside shard_map)."""
+    (decoder params only — the LM head stays outside shard_map).
+
+    ``params`` (optional) supplies the actual leaves so scale specs can
+    follow the quantization granularity (per-channel int8 scales shard
+    with the weight's out axis; see ``mesh.quantized_leaf_spec``).
+    """
     hook = getattr(module, "param_specs", None)
     specs = hook(pp=pp) if hook is not None else mesh_lib.param_specs(pp=pp)
     specs = {k: v for k, v in specs.items() if k in _FWD_KEYS}
@@ -296,18 +326,27 @@ def _param_spec_tree(module, quantized: bool, pp: bool = False,
                          "arcticinference_tpu.models.llama",
                          fromlist=["_QUANT_KEYS"]), "_QUANT_KEYS", ()))
 
-    def quantize_layer_specs(layers):
+    def qspec(wspec, leaf):
+        if isinstance(leaf, QuantizedLinear):
+            return QuantizedLinear(*mesh_lib.quantized_leaf_spec(
+                wspec, leaf.weight.ndim, leaf.scale.ndim))
+        return QuantizedLinear(wspec, scale_spec)
+
+    def quantize_layer_specs(layers, pleaves):
         layers = dict(layers)
         for k in q_keys:
             if k in layers:
-                layers[k] = QuantizedLinear(layers[k], scale_spec)
+                layers[k] = qspec(layers[k],
+                                  pleaves.get(k) if pleaves else None)
         return layers
 
     out = dict(specs)
     for key in ("layers", "layers_a", "layers_b"):
         if key in out:
-            out[key] = quantize_layer_specs(out[key])
+            out[key] = quantize_layer_specs(
+                out[key], params.get(key) if params else None)
     for key in ("wk_swift", "wv_swift"):
         if key in out:
-            out[key] = QuantizedLinear(out[key], P(None))
+            out[key] = (qspec(out[key], params.get(key))
+                        if params else QuantizedLinear(out[key], P(None)))
     return out

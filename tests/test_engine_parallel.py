@@ -172,3 +172,48 @@ class TestShardedSwiftKV:
                             sampling_params=SamplingParams(max_tokens=10))
         for o, ref in zip(outs, single_gqa):
             assert o.token_ids == ref.token_ids
+
+
+class TestInt8OnMesh:
+    """int8 per-out-channel scales shard with the weight's out axis and
+    re-slice under shift mode; outputs must match single-chip int8."""
+
+    LAYOUTS = [dict(tensor_parallel_size=2),
+               dict(ulysses_sequence_parallel_size=2,
+                    tensor_parallel_size=2),
+               dict(ulysses_sequence_parallel_size=2,
+                    tensor_parallel_size=2, enable_shift_parallel=True,
+                    shift_parallel_threshold=8),
+               dict(pipeline_parallel_size=2, tensor_parallel_size=2)]
+
+    @pytest.mark.parametrize("layout", LAYOUTS)
+    def test_matches_single_chip(self, layout):
+        from arcticinference_tpu.config import ParallelConfig
+
+        hf = dict(num_hidden_layers=4, num_attention_heads=8,
+                  num_key_value_heads=8, head_dim=8)
+        prompts = [[3, 14, 15, 92, 65, 35], [27, 18, 28, 18]]
+        sp = SamplingParams(max_tokens=10)
+        ref = LLM(tiny_config(hf=hf, model_kw=dict(
+            quantization="int8"))).generate(prompt_token_ids=prompts,
+                                            sampling_params=sp)
+        cfg = tiny_config(hf=hf, model_kw=dict(quantization="int8"))
+        cfg = cfg.replace(parallel=ParallelConfig(**layout))
+        llm = LLM(cfg)
+        # The per-channel scale actually sharded over tp (not replicated).
+        wq = llm.engine.runner.params["layers"]["wq"]
+        if "pipeline_parallel_size" not in layout:
+            assert wq.scale.sharding.spec[-1] == "tp"
+            assert (wq.scale.addressable_shards[0].data.shape[-1]
+                    == wq.scale.shape[-1] // 2)
+        outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for o, r in zip(outs, ref):
+            assert o.token_ids == r.token_ids
+
+    def test_int4_mesh_rejected(self):
+        from arcticinference_tpu.config import ParallelConfig
+
+        cfg = tiny_config(model_kw=dict(quantization="int4"))
+        cfg = cfg.replace(parallel=ParallelConfig(tensor_parallel_size=2))
+        with pytest.raises(NotImplementedError, match="int4"):
+            LLM(cfg)
