@@ -203,12 +203,22 @@ class LLMEngine:
 
     def _step_pipelined(self) -> list[Request]:
         sched_out = self.scheduler.schedule()
+        flushed: list[Request] = []
         if sched_out.preempted:
             # Preempted requests may hold pending tokens that their
             # restart path would otherwise re-prefill as garbage.
-            self._flush_inflight()
+            flushed = self._flush_inflight()
+            if flushed:
+                # The drain can FINISH requests already in this step's
+                # schedule (their last pending token resolved and a stop
+                # condition fired, trimming the overshoot placeholders):
+                # their scheduled entries are now stale garbage.
+                sched_out.scheduled = [
+                    s for s in sched_out.scheduled
+                    if not s.request.status.is_finished]
         if not sched_out.scheduled:
-            return self._sync_oldest() if self._inflight else []
+            return flushed + (self._sync_oldest() if self._inflight
+                              else [])
         self._maybe_observe(sched_out)
 
         # Token passthrough: requests whose newest token is still
@@ -264,7 +274,7 @@ class LLMEngine:
             self._pending_ref[req.req_id] = (inflight, row_abs)
         self._inflight.append(inflight)
 
-        finished: list[Request] = []
+        finished: list[Request] = list(flushed)
         while len(self._inflight) > self._pipeline_depth:
             finished.extend(self._sync_oldest())
         self.engine_stats.num_steps += 1

@@ -78,6 +78,13 @@ class Scheduler:
         self._release(request)
         if request in self.running:
             self.running.remove(request)
+        # A request can finish while WAITING: preempted with its final
+        # token still in flight, then the async drain resolves the
+        # placeholder and stop conditions fire.  Leaving it queued would
+        # re-admit a finished request (and later schedule a bogus
+        # 0-known-token decode step).
+        if request in self.waiting:
+            self.waiting.remove(request)
 
     def schedule(self) -> SchedulerOutput:
         out = SchedulerOutput()
@@ -127,6 +134,9 @@ class Scheduler:
         while (self.waiting and budget > 0
                and len(self.running) < self.config.max_num_seqs):
             req = self.waiting[0]
+            if req.status.is_finished:  # belt-and-braces (finish_request
+                self.waiting.popleft()  # already dequeues finished reqs)
+                continue
             remaining = req.num_tokens - req.num_computed_tokens
             chunk = min(budget, remaining)
             if not self.config.enable_chunked_prefill and chunk < remaining:

@@ -259,6 +259,31 @@ class TestAsyncScheduling:
 
 class TestPreemption:
 
+    @pytest.mark.parametrize("blocks", [14, 11, 9])
+    def test_preempt_at_max_tokens_boundary(self, blocks):
+        """Regression: a preemption flush can FINISH requests already in
+        the step's schedule (their last pending token resolves and the
+        max_tokens trim fires) — their stale scheduled entries must be
+        dropped, and a finished-while-waiting request must never be
+        re-admitted.  Outputs must match an ample-cache run exactly."""
+        rng = np.random.default_rng(0)
+        prompts = [[int(x) for x in rng.integers(1, 97, 16)]
+                   for _ in range(8)]
+        sp = SamplingParams(max_tokens=8, ignore_eos=True)
+
+        ample = tiny_config()
+        ample.scheduler.max_num_seqs = 8
+        want = [o.token_ids for o in LLM(ample).generate(
+            prompt_token_ids=prompts, sampling_params=sp)]
+
+        cfg = tiny_config()
+        cfg.cache.num_blocks = blocks  # heavy preemption pressure
+        cfg.scheduler.max_num_seqs = 8
+        outs = LLM(cfg).generate(prompt_token_ids=prompts,
+                                 sampling_params=sp)
+        for o, w in zip(outs, want):
+            assert o.token_ids == w
+
     def test_block_exhaustion_preempts_and_recovers(self):
         # Tiny block pool: 4 requests cannot all hold max-length KV.
         cfg = tiny_config()
