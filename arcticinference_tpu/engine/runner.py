@@ -420,7 +420,10 @@ class ModelRunner:
         # Unroll only small (decode-ish) buckets: there the scan's
         # per-layer weight-slice copies dominate; for big prefill buckets
         # compute dominates and scan keeps compile time sane.
-        unroll = (jax.default_backend() == "tpu" and t_pad <= 256)
+        from arcticinference_tpu import envs
+
+        unroll = (jax.default_backend() == "tpu" and t_pad <= 256
+                  and not envs.ARCTIC_TPU_NO_UNROLL)
         if mode == "single":
             def fwd(params, kv, inputs):
                 return self.module.forward(

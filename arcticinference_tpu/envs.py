@@ -27,6 +27,10 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # regardless of SpeculativeConfig.enable_fused_decode.
     "ARCTIC_TPU_DISABLE_FUSED":
         lambda: os.environ.get("ARCTIC_TPU_DISABLE_FUSED", "0") == "1",
+    # Force lax.scan over layers for ALL buckets (skip the decode-bucket
+    # unroll; A/B lever for compile-time/throughput experiments).
+    "ARCTIC_TPU_NO_UNROLL":
+        lambda: os.environ.get("ARCTIC_TPU_NO_UNROLL", "0") == "1",
     # Run the Pallas attention kernel in TPU-interpret mode on CPU (tests:
     # exercises the kernel code path, e.g. under a virtual PP mesh, where
     # the backend gate would otherwise pick the jnp reference).
