@@ -37,8 +37,13 @@ def normalize_answer(ans: Optional[str]) -> str:
     s = ans.strip()
     # strip trailing period / units-ish suffixes
     s = s.rstrip(".")
+    # mixed numbers BEFORE generic \frac: 1\frac{1}{2} == 1 + 1/2
+    s = re.sub(r"(\d)\\frac\{([^{}]*)\}\{([^{}]*)\}", r"(\1+(\2)/(\3))", s)
+    s = re.sub(r"(\d)\\frac(\d)(\d)", r"(\1+\2/\3)", s)
     s = re.sub(r"\\frac\{([^{}]*)\}\{([^{}]*)\}", r"(\1)/(\2)", s)
     s = re.sub(r"\\frac(\d)(\d)", r"\1/\2", s)
+    # degree markers are cosmetic for equality purposes
+    s = re.sub(r"(\^\{?\\circ\}?|°)", "", s)
     for pat, rep in _LATEX_SUBS:
         s = re.sub(pat, rep, s)
     s = s.replace(" ", "")
@@ -46,6 +51,38 @@ def normalize_answer(ans: Optional[str]) -> str:
     s = re.sub(r"(?<=\d),(?=\d{3}\b)", "", s)
     # leading zeros in decimals: .5 -> 0.5
     s = re.sub(r"(?<![\d.])\.(\d)", r"0.\1", s)
+    return s
+
+
+def _split_top_level(s: str) -> Optional[list]:
+    """Split 'a,b,c' inside one outer (...)/[...] at depth 0; None if the
+    string is not a bracketed tuple/list/interval."""
+    if len(s) < 2 or s[0] not in "([" or s[-1] not in ")]":
+        return None
+    inner = s[1:-1]
+    parts, depth, cur = [], 0, []
+    for c in inner:
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+            if depth < 0:
+                return None
+        if c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append("".join(cur))
+    return parts if len(parts) > 1 else None
+
+
+def _strip_equation_lhs(s: str) -> str:
+    """'x=5' compares as '5' (single '=' with a short symbolic LHS)."""
+    if s.count("=") == 1:
+        lhs, rhs = s.split("=")
+        if re.fullmatch(r"[a-zA-Z](\([a-zA-Z]\))?", lhs or ""):
+            return rhs
     return s
 
 
@@ -75,15 +112,57 @@ def _sympy_equal(a: str, b: str) -> Optional[bool]:
 
 def math_equal(a: Optional[str], b: Optional[str],
                tolerance: float = 1e-6) -> bool:
-    """True if the two answers are mathematically equivalent."""
+    """True if the two answers are mathematically equivalent.
+
+    Covers (mirroring the capability of reference
+    ``dynasor/evaluator.py``'s Qwen2.5-Math-derived checker): exact
+    normalized match, numeric closeness (incl. percent<->decimal),
+    tuples/lists/intervals element-wise, 'x=5' vs '5', '\\pm'
+    expansions, case-insensitive text answers, and sympy symbolic
+    equality as the fallback.
+    """
     na, nb = normalize_answer(a), normalize_answer(b)
+    return _equal_normalized(na, nb, tolerance, depth=0)
+
+
+def _equal_normalized(na: str, nb: str, tolerance: float,
+                      depth: int) -> bool:
     if not na or not nb:
         return na == nb
     if na == nb:
         return True
+    if depth > 4:
+        return False
+    na, nb = _strip_equation_lhs(na), _strip_equation_lhs(nb)
+    if na == nb:
+        return True
+    # \pm expands to an unordered candidate pair.
+    for s, o in ((na, nb), (nb, na)):
+        if "\\pm" in s:
+            lo = s.replace("\\pm", "-", 1)
+            hi = s.replace("\\pm", "+", 1)
+            pair = _split_top_level(o)
+            if pair is not None and len(pair) == 2:
+                eq = lambda x, y: _equal_normalized(x, y, tolerance,
+                                                    depth + 1)
+                return ((eq(lo, pair[0]) and eq(hi, pair[1]))
+                        or (eq(lo, pair[1]) and eq(hi, pair[0])))
+            return (_equal_normalized(lo, o, tolerance, depth + 1)
+                    or _equal_normalized(hi, o, tolerance, depth + 1))
     fa, fb = _to_number(na), _to_number(nb)
     if fa is not None and fb is not None:
         return abs(fa - fb) <= tolerance * max(1.0, abs(fa), abs(fb))
+    # Tuples / lists / intervals: element-wise with matching brackets.
+    pa, pb = _split_top_level(na), _split_top_level(nb)
+    if pa is not None and pb is not None:
+        return (len(pa) == len(pb) and na[0] == nb[0] and na[-1] == nb[-1]
+                and all(_equal_normalized(x, y, tolerance, depth + 1)
+                        for x, y in zip(pa, pb)))
+    if pa is not None or pb is not None:
+        return False
+    # Pure text answers (Yes/No, option letters): case-insensitive.
+    if na.isalpha() and nb.isalpha():
+        return na.lower() == nb.lower()
     res = _sympy_equal(na, nb)
     if res is not None:
         return res

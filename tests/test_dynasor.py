@@ -151,3 +151,37 @@ def test_proxy_no_exit_when_uncertain(loop):
         assert data["choices"][0]["message"]["content"].count("step") == 60
 
     loop.run_until_complete(run())
+
+
+class TestMathEqualDepth:
+    """Extended equivalence coverage (reference dynasor/evaluator.py
+    handles these via its Qwen2.5-Math-derived checker)."""
+
+    @pytest.mark.parametrize("a,b", [
+        ("(1, 2)", "(1,2)"),
+        ("(1/2, 3)", "(0.5, 3.0)"),
+        ("[0, \\frac{1}{2}]", "[0, 0.5]"),
+        ("x = 5", "5"),
+        ("f(x)=2", "2"),
+        ("1\\frac{1}{2}", "1.5"),
+        ("2 \\pm \\sqrt{4}", "(0, 4)"),
+        ("3 \\pm 1", "4"),
+        ("Yes", "yes"),
+        ("90^\\circ", "90"),
+        ("50\\%", "0.5"),
+    ])
+    def test_equal(self, a, b):
+        from arcticinference_tpu.dynasor.evaluator import math_equal
+        assert math_equal(a, b), (a, b)
+
+    @pytest.mark.parametrize("a,b", [
+        ("(1, 2)", "(1, 3)"),
+        ("(1, 2)", "(1, 2, 3)"),
+        ("x = 5", "6"),
+        ("3 \\pm 1", "5"),
+        ("Yes", "No"),
+        ("(1, 2)", "3"),
+    ])
+    def test_not_equal(self, a, b):
+        from arcticinference_tpu.dynasor.evaluator import math_equal
+        assert not math_equal(a, b), (a, b)
