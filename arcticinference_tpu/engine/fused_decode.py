@@ -133,6 +133,12 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
             "seq_lens": n_comp + r,
             "kv_scale": kv_scale,
         }
+        if runner.swift:
+            # SwiftKV: at the decode frontier every row is a sample row,
+            # so nothing drops and the swift-half schedule IS the main
+            # schedule (the reference's "all-combined" config,
+            # benchmark_utils.py:17-70, riding the fused loop).
+            inputs["logits_indices"] = jnp.arange(b * r, dtype=jnp.int32)
         if jax.default_backend() == "tpu":
             # In-jit attention schedule: one work item per request, rows
             # packed densely at stride R, qstart aligned down to the
@@ -151,6 +157,11 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                 attn_token_item=rows // r,
                 attn_token_off=rows - aligned[rows // r],
             )
+            if runner.swift:
+                for key in ("item_req", "item_qstart", "item_qlen",
+                            "item_pages", "item_pos_base", "token_item",
+                            "token_off"):
+                    inputs[f"swift_{key}"] = inputs[f"attn_{key}"]
 
         if sharded_fwd is not None:
             kv, h = sharded_fwd(params, kv, inputs)
@@ -342,11 +353,10 @@ class FusedDecodeLoop:
         owned via the runner's shard_map forwards (the fused step's
         request-major row order keeps PP's microbatch causality
         invariant); under multihost every fused step is broadcast to the
-        follower mirrors like any other dispatch."""
+        follower mirrors like any other dispatch; SwiftKV works because
+        at the decode frontier all rows are sample rows."""
         eng = self.engine
-        if eng._drafter is None and self._suffix is None:
-            return False
-        return not self.runner.swift
+        return not (eng._drafter is None and self._suffix is None)
 
     def can_enter(self) -> bool:
         eng = self.engine

@@ -259,6 +259,78 @@ class TestFusedSuffixOnly:
             assert all(0 <= t < 97 for t in o.token_ids)
 
 
+class TestFusedSwiftKV:
+    """SwiftKV rides the fused loop: at the decode frontier every row is
+    a sample row (no token drop), so the fused step feeds the full-row
+    logits_indices and reuses its schedule for the swift half — the
+    reference's 'all-combined' config at pipelined speed."""
+
+    @staticmethod
+    def _swift_cfg(spec, **parallel_kw):
+        from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                                ModelConfig,
+                                                ParallelConfig,
+                                                SchedulerConfig)
+
+        return EngineConfig(
+            model=ModelConfig(
+                model="llama_swiftkv",
+                hf_overrides=dict(
+                    vocab_size=97, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=4, num_attention_heads=4,
+                    num_key_value_heads=2, head_dim=16,
+                    num_key_value_layers=2),
+                max_model_len=256, dtype="float32"),
+            cache=CacheConfig(block_size=8, num_blocks=64),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=64),
+            speculative=spec,
+            parallel=ParallelConfig(**parallel_kw),
+        )
+
+    def test_fused_swift_suffix_matches_sync(self):
+        rng = np.random.default_rng(30)
+        base = [int(x) for x in rng.integers(1, 97, 6)]
+        prompts = [(base * 4)[:20] for _ in range(2)]
+        sp = SamplingParams(max_tokens=20)
+        spec_off = SpeculativeConfig(method="suffix",
+                                     enable_fused_decode=False)
+        want = LLM(self._swift_cfg(spec_off)).generate(
+            prompt_token_ids=prompts, sampling_params=sp)
+        spec_on = SpeculativeConfig(method="suffix",
+                                    enable_fused_decode=True)
+        llm = LLM(self._swift_cfg(spec_on))
+        assert llm.engine._fused is not None
+        got = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+        assert llm.engine.spec_stats.num_drafts > 0
+
+    def test_fused_swift_arctic_matches_no_spec(self):
+        prompts = _prompts(3, seed=31)
+        sp = SamplingParams(max_tokens=12)
+        want = LLM(self._swift_cfg(None)).generate(
+            prompt_token_ids=prompts, sampling_params=sp)
+        llm = LLM(self._swift_cfg(_spec(True)))
+        got = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+        assert llm.engine.spec_stats.num_drafts > 0
+
+    def test_fused_swift_on_mesh(self):
+        prompts = _prompts(2, seed=32)
+        sp = SamplingParams(max_tokens=12)
+        want = LLM(self._swift_cfg(None)).generate(
+            prompt_token_ids=prompts, sampling_params=sp)
+        llm = LLM(self._swift_cfg(
+            _spec(True), tensor_parallel_size=2,
+            ulysses_sequence_parallel_size=2))
+        got = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+        assert llm.engine.spec_stats.num_drafts > 0
+
+
 class TestFusedOnMesh:
     """Fused spec decode composes with TP / SP / shift meshes: the model
     forward runs through the runner's shard_map program, verify/re-draft
