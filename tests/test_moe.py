@@ -321,6 +321,31 @@ def test_engine_moe_pp_matches_single(moe_single_outputs, pp, sp, tp):
     assert {k[3] for k in runner._step_fns} == {"pp"}
 
 
+def test_engine_moe_fused_spec_matches_no_spec():
+    """Mixtral rides the fused spec-decode loop (greedy verification is
+    draft-invariant): outputs match the no-spec engine exactly."""
+    from arcticinference_tpu.config import SpeculativeConfig
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+
+    import numpy as np
+    rng = np.random.default_rng(33)
+    base = [int(x) for x in rng.integers(1, 97, 5)]
+    prompts = [(base * 4)[:18], [int(x) for x in rng.integers(1, 97, 9)]]
+    sp = SamplingParams(max_tokens=14)
+    want = LLM(_moe_engine_cfg()).generate(prompt_token_ids=prompts,
+                                           sampling_params=sp)
+    cfg = _moe_engine_cfg()
+    cfg = cfg.replace(speculative=SpeculativeConfig(
+        method="suffix", enable_fused_decode=True))
+    llm = LLM(cfg)
+    assert llm.engine._fused is not None
+    got = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+    for w, g in zip(want, got):
+        assert g.token_ids == w.token_ids
+    assert llm.engine.spec_stats.num_drafts > 0
+
+
 def test_engine_moe_pp_shift_switches_modes(moe_single_outputs):
     from arcticinference_tpu.engine.llm import LLM
     from arcticinference_tpu.engine.request import SamplingParams
