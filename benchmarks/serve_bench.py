@@ -65,6 +65,17 @@ def build_config(name: str, on_tpu: bool, vocab_size=None,
         # The per-layer projected-KV write keeps peak HBM flat: 8B fp8
         # SwiftKV runs the full 800-block cache at 2048-token prefill
         # buckets (900 measured OK on a 16 GB chip).
+    elif name == "all":
+        # The reference's "all-combined" config (benchmark_utils.py:
+        # 17-70): SwiftKV + arctic speculator + suffix decoding, riding
+        # the fused decode loop.
+        model = "llama_swiftkv"
+        overrides["num_key_value_layers"] = \
+            overrides["num_hidden_layers"] // 2
+        spec = SpeculativeConfig(method="arctic", num_speculative_tokens=3,
+                                 enable_suffix_decoding=True,
+                                 enable_fused_decode=not no_fused)
+        swift_blocks = True
     elif name != "baseline":
         raise ValueError(f"unknown config {name}")
     return EngineConfig(
@@ -150,7 +161,8 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--configs", nargs="+",
                         default=["baseline", "suffix"],
-                        choices=["baseline", "suffix", "spec", "swiftkv"])
+                        choices=["baseline", "suffix", "spec", "swiftkv",
+                                 "all"])
     parser.add_argument("--num-prompts", type=int, default=32)
     parser.add_argument("--input-len", type=int, default=128)
     parser.add_argument("--output-len", type=int, default=64)
