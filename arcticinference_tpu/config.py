@@ -109,6 +109,10 @@ class CacheConfig:
     num_blocks: Optional[int] = None         # None => size from hbm budget
     hbm_utilization: float = 0.9
     kv_cache_dtype: str = "auto"             # auto | bfloat16 | fp8
+    #: Automatic prefix caching (content-addressed full-block KV reuse
+    #: across requests) — on by default, matching vLLM V1, which is
+    #: where the reference inherits it from.
+    enable_prefix_caching: bool = True
 
     def __post_init__(self) -> None:
         _positive("block_size", self.block_size)

@@ -626,6 +626,7 @@ class FusedDecodeLoop:
             self._known_comp[i] += len(toks)
             req.num_computed_tokens += len(toks)
             req.output_token_ids.extend(toks)
+            eng.scheduler.register_computed(req)
             if dlen_used > 0:
                 n_acc = len(toks) - 1
                 eng.spec_stats.observe(dlen_used, min(n_acc, dlen_used))

@@ -59,6 +59,9 @@ class Request:
     # Draft tokens proposed for the NEXT step (speculative decoding).
     spec_token_ids: list[int] = field(default_factory=list)
     block_ids: list[int] = field(default_factory=list)
+    # Prefix-cache registration watermark: leading full blocks whose
+    # chain hashes are registered with the BlockManager.
+    num_cached_blocks: int = 0
     # Per generated token: list of {token_id: logprob} dicts (when
     # sampling.logprobs is set).
     output_logprobs: list = field(default_factory=list)

@@ -43,7 +43,9 @@ class Scheduler:
                  cache_config: CacheConfig, num_blocks: int):
         self.config = scheduler_config
         self.block_size = cache_config.block_size
-        self.block_manager = BlockManager(num_blocks, cache_config.block_size)
+        self.block_manager = BlockManager(
+            num_blocks, cache_config.block_size,
+            enable_prefix_caching=cache_config.enable_prefix_caching)
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
 
@@ -64,6 +66,7 @@ class Scheduler:
         for i, r in enumerate(self.waiting):
             if r.req_id == req_id:
                 r.status = RequestStatus.FINISHED_ABORTED
+                self._release(r)  # may hold matched prefix-cache blocks
                 del self.waiting[i]
                 return r
         return None
@@ -72,6 +75,52 @@ class Scheduler:
         if request.block_ids:
             self.block_manager.free(request.block_ids)
             request.block_ids = []
+        request.num_cached_blocks = 0
+
+    # -- prefix caching ---------------------------------------------------
+
+    @staticmethod
+    def _known_prefix_len(request: Request) -> int:
+        """Tokens before the first async PENDING placeholder (< 0)."""
+        n = len(request.prompt_token_ids)
+        for t in request.output_token_ids:
+            if t < 0:
+                break
+            n += 1
+        return n
+
+    def _match_cached_prefix(self, request: Request) -> None:
+        """Attach the longest cached full-block prefix on admission
+        (vLLM V1 automatic prefix caching; the matched tokens' KV is
+        already on device, so prefill resumes mid-prompt exactly like
+        recompute catch-up)."""
+        if not (self.block_manager.enable_prefix_caching
+                and not request.block_ids
+                and request.num_computed_tokens == 0):
+            return
+        toks = request.all_token_ids[:self._known_prefix_len(request)]
+        blocks, matched = self.block_manager.match_prefix(toks)
+        if matched:
+            request.block_ids = blocks
+            request.num_computed_tokens = matched
+            request.num_cached_blocks = len(blocks)
+
+    def register_computed(self, request: Request) -> None:
+        """Advance the request's prefix-registration watermark over
+        full blocks whose token values are host-known and whose KV
+        writes have been dispatched (device-ordered before any later
+        matcher's read)."""
+        bm = self.block_manager
+        if not bm.enable_prefix_caching or not request.block_ids:
+            return
+        bs = self.block_size
+        full = min(request.num_computed_tokens,
+                   self._known_prefix_len(request)) // bs
+        full = min(full, len(request.block_ids))
+        if full > request.num_cached_blocks:
+            request.num_cached_blocks = bm.register_prefix(
+                request.all_token_ids, request.block_ids, full,
+                request.num_cached_blocks)
 
     def finish_request(self, request: Request, status: RequestStatus) -> None:
         request.status = status
@@ -137,6 +186,7 @@ class Scheduler:
             if req.status.is_finished:  # belt-and-braces (finish_request
                 self.waiting.popleft()  # already dequeues finished reqs)
                 continue
+            self._match_cached_prefix(req)
             remaining = req.num_tokens - req.num_computed_tokens
             chunk = min(budget, remaining)
             if not self.config.enable_chunked_prefill and chunk < remaining:
@@ -195,3 +245,4 @@ class Scheduler:
             req.num_computed_tokens -= rejected
         req.output_token_ids.extend(new_token_ids)
         req.spec_token_ids = []
+        self.register_computed(req)
