@@ -48,6 +48,8 @@ class Scheduler:
             enable_prefix_caching=cache_config.enable_prefix_caching)
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
+        # Prefix-cache telemetry: prompt tokens whose prefill was skipped.
+        self.num_cached_prompt_tokens = 0
 
     @property
     def num_unfinished(self) -> int:
@@ -104,6 +106,7 @@ class Scheduler:
             request.block_ids = blocks
             request.num_computed_tokens = matched
             request.num_cached_blocks = len(blocks)
+            self.num_cached_prompt_tokens += matched
 
     def register_computed(self, request: Request) -> None:
         """Advance the request's prefix-registration watermark over

@@ -130,6 +130,8 @@ class OpenAIServer:
             "num_finished": st.num_finished,
             "num_prompt_tokens": st.num_prompt_tokens,
             "num_generated_tokens": st.num_generated_tokens,
+            "num_cached_prompt_tokens":
+                eng.scheduler.num_cached_prompt_tokens,
             "generation_tokens_per_s": round(st.tokens_per_second(), 2),
             "step_times": eng.step_times.summary(),
             "spec_decoding": eng.spec_stats.summary(),

@@ -65,16 +65,23 @@ def main():
     llm = LLM(cfg)
 
     rng = np.random.default_rng(0)
-    prompts = [[int(x) for x in
-                rng.integers(1, overrides["vocab_size"] - 1, prompt_len)]
-               for _ in range(batch)]
+
+    def make_prompts(seed):
+        r = np.random.default_rng(seed)
+        return [[int(x) for x in
+                 r.integers(1, overrides["vocab_size"] - 1, prompt_len)]
+                for _ in range(batch)]
+
     sp = SamplingParams(max_tokens=gen_len, ignore_eos=True)
 
     # Warmup covers the same shape buckets as the measured run (prefill
     # bucket + decode bucket) so compile time stays out of the timing.
-    llm.generate(prompt_token_ids=prompts,
+    # The measured pass uses FRESH prompts so the default-on prefix
+    # cache cannot skip its prefill (keeps the metric comparable).
+    llm.generate(prompt_token_ids=make_prompts(0),
                  sampling_params=SamplingParams(max_tokens=2,
                                                 ignore_eos=True))
+    prompts = make_prompts(1)
 
     t0 = time.perf_counter()
     outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp)

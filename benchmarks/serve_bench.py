@@ -101,15 +101,18 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
 
     cfg = build_config(name, on_tpu, vocab_size, no_fused)
     llm = LLM(cfg)
-    rng = np.random.default_rng(0)
     vocab = cfg.model.hf_overrides["vocab_size"]
-    prompts = [[int(x) for x in rng.integers(1, vocab - 1, input_len)]
-               for _ in range(num_prompts)]
+
+    def make_prompts(seed):
+        r = np.random.default_rng(seed)
+        return [[int(x) for x in r.integers(1, vocab - 1, input_len)]
+                for _ in range(num_prompts)]
+
     sp = SamplingParams(max_tokens=output_len, ignore_eos=True)
 
     eng = llm.engine
 
-    def one_pass(tag):
+    def one_pass(tag, prompts):
         for i, p in enumerate(prompts):
             eng.add_request(f"bench-{name}-{tag}-{i}", p, sp)
         t0 = time.perf_counter()
@@ -133,9 +136,10 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
         return dt, ttfts, finished
 
     # Pass 1 compiles every bucket the workload touches; pass 2 is the
-    # steady-state measurement.
-    one_pass("warm")
-    dt, ttfts, finished = one_pass("run")
+    # steady-state measurement on FRESH prompts (the default-on prefix
+    # cache must not skip the measured prefill).
+    one_pass("warm", make_prompts(0))
+    dt, ttfts, finished = one_pass("run", make_prompts(1))
 
     gen_tokens = sum(len(r.output_token_ids) for r in finished)
     tpots = [(dt - ttft) / max(len(r.output_token_ids) - 1, 1)
