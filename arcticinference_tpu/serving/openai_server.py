@@ -30,13 +30,28 @@ class OpenAIServer:
     def __init__(self, config: EngineConfig,
                  served_model_name: Optional[str] = None):
         self.config = config
-        self.engine = AsyncLLMEngine(config)
+        # Encoder architectures (BERT family) serve /v1/embeddings from
+        # the dense EncoderRunner instead of the decode engine —
+        # OpenAI-embeddings parity with the reference's vLLM encode mode
+        # (reference ``embedding/replica.py:213-237`` over HTTP).
+        from arcticinference_tpu.engine.llm import _is_encoder_arch
+
+        self.encoder = None
+        self.engine = None
+        if _is_encoder_arch(config):
+            from arcticinference_tpu.engine.encoder import EncoderRunner
+
+            self.encoder = EncoderRunner(config)
+            self._encode_lock = None  # created lazily on the event loop
+        else:
+            self.engine = AsyncLLMEngine(config)
         self.model_name = served_model_name or config.model.model
         self.tokenizer = self._load_tokenizer()
         self.app = web.Application()
         self.app.add_routes([
             web.post("/v1/completions", self.completions),
             web.post("/v1/chat/completions", self.chat_completions),
+            web.post("/v1/embeddings", self.embeddings),
             web.get("/v1/models", self.models),
             web.get("/health", self.health),
             web.get("/metrics", self.metrics),
@@ -113,6 +128,45 @@ class OpenAIServer:
                                      status=503)
         return web.json_response({"status": "ok"})
 
+    async def embeddings(self, request: web.Request) -> web.Response:
+        """OpenAI /v1/embeddings for encoder models (BERT family)."""
+        import asyncio
+
+        if self.encoder is None:
+            return web.json_response(
+                {"error": "this deployment serves a causal LM; use the "
+                          "offline LLM.encode API or the gRPC embedding "
+                          "fleet for decoder pooling"}, status=400)
+        body = await request.json()
+        raw = body.get("input")
+        if raw is None:
+            return web.json_response({"error": "missing 'input'"},
+                                     status=400)
+        if isinstance(raw, str):
+            raw = [raw]
+        if raw and isinstance(raw[0], int):
+            raw = [raw]
+        token_ids = []
+        for item in raw:
+            if isinstance(item, str):
+                token_ids.append(self._encode(item))
+            else:
+                token_ids.append([int(t) for t in item])
+        if self._encode_lock is None:
+            self._encode_lock = asyncio.Lock()
+        async with self._encode_lock:   # one device batch at a time
+            embs = await asyncio.get_event_loop().run_in_executor(
+                None, lambda: self.encoder.encode(token_ids))
+        return web.json_response({
+            "object": "list",
+            "model": self.model_name,
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": [float(x) for x in e]}
+                     for i, e in enumerate(embs)],
+            "usage": {"prompt_tokens": sum(len(t) for t in token_ids),
+                      "total_tokens": sum(len(t) for t in token_ids)},
+        })
+
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response({
             "object": "list",
@@ -121,6 +175,8 @@ class OpenAIServer:
         })
 
     async def metrics(self, request: web.Request) -> web.Response:
+        if self.engine is None:
+            return web.json_response({"mode": "encoder"})
         eng = self.engine.engine
         st = eng.engine_stats
         return web.json_response({
@@ -147,6 +203,9 @@ class OpenAIServer:
                 body = {}
         trace_dir = body.get("trace_dir") or "/tmp/arctic_tpu_trace"
         try:
+            if self.engine is None:
+                return web.json_response({"error": "encoder mode"},
+                                         status=400)
             self.engine.engine.start_profile(trace_dir)
         except Exception as e:  # double-start etc.
             return web.json_response({"error": str(e)}, status=400)
@@ -154,10 +213,16 @@ class OpenAIServer:
                                   "trace_dir": trace_dir})
 
     async def stop_profile(self, request: web.Request) -> web.Response:
+        if self.engine is None:
+            return web.json_response({"error": "encoder mode"}, status=400)
         self.engine.engine.stop_profile()
         return web.json_response({"status": "ok"})
 
     async def completions(self, request: web.Request) -> web.Response:
+        if self.engine is None:
+            return web.json_response(
+                {"error": "encoder-only model: use /v1/embeddings"},
+                status=400)
         body = await request.json()
         prompt = body.get("prompt")
         prompt_ids = body.get("prompt_token_ids")
@@ -197,6 +262,10 @@ class OpenAIServer:
         })
 
     async def chat_completions(self, request: web.Request) -> web.Response:
+        if self.engine is None:
+            return web.json_response(
+                {"error": "encoder-only model: use /v1/embeddings"},
+                status=400)
         body = await request.json()
         messages = body.get("messages")
         if not messages:

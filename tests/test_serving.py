@@ -258,3 +258,62 @@ def test_metrics_and_profile_endpoints(server, loop, tmp_path):
             assert any(os.scandir(d)), "no trace output written"
 
     loop.run_until_complete(run())
+
+
+class TestEmbeddingsEndpoint:
+    """OpenAI /v1/embeddings served from the dense EncoderRunner
+    (encoder deployments; reference serves embeddings via vLLM encode,
+    ``embedding/replica.py:213-237``)."""
+
+    @pytest.fixture(scope="class")
+    def encoder_server(self):
+        from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                                ModelConfig,
+                                                SchedulerConfig)
+
+        hf = dict(architectures=["BertModel"], vocab_size=128,
+                  hidden_size=32, intermediate_size=64,
+                  num_hidden_layers=2, num_attention_heads=4,
+                  max_position_embeddings=128, pad_token_id=0,
+                  type_vocab_size=2)
+        cfg = EngineConfig(
+            model=ModelConfig(model="bert", hf_overrides=hf,
+                              max_model_len=128, dtype="float32"),
+            cache=CacheConfig(block_size=8, num_blocks=16),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=128))
+        return OpenAIServer(cfg)
+
+    def test_embeddings_roundtrip(self, encoder_server, loop):
+        async def run():
+            client = await _client(encoder_server)
+            async with client:
+                r = await client.post("/v1/embeddings",
+                                      json={"input": [[1, 2, 3],
+                                                      [4, 5, 6, 7]]})
+                assert r.status == 200
+                data = await r.json()
+                assert len(data["data"]) == 2
+                assert len(data["data"][0]["embedding"]) == 32
+                assert data["usage"]["prompt_tokens"] == 7
+                # completions must be rejected in encoder mode
+                r2 = await client.post("/v1/completions",
+                                       json={"prompt_token_ids": [1, 2],
+                                             "max_tokens": 2})
+                assert r2.status == 400
+                r3 = await client.get("/health")
+                assert r3.status == 200
+                r4 = await client.get("/metrics")
+                assert (await r4.json())["mode"] == "encoder"
+
+        loop.run_until_complete(run())
+
+    def test_causal_server_rejects_embeddings(self, server, loop):
+        async def run():
+            client = await _client(server)
+            async with client:
+                r = await client.post("/v1/embeddings",
+                                      json={"input": [[1]]})
+                assert r.status == 400
+
+        loop.run_until_complete(run())
