@@ -173,6 +173,11 @@ class SpeculativeConfig:
     # would bucket every fused step at 32 rows/seq — 4x the activation
     # memory and measurably slower on a 16 GB chip.
     fused_suffix_spec_len: int = 7
+    # Weight quantization for the draft model (reference quantizes the
+    # speculator LM head + embeddings with FP8, ``vllm/spec_dec/fp8.py``
+    # ``Fp8ConfigWithEmbedding``).  The draft LM head [hidden, vocab]
+    # dominates draft latency, so halving its HBM traffic matters.
+    quantization: Optional[str] = None       # None | "fp8" | "int8"
     # Suffix decoding knobs (reference config.py:56-62):
     enable_suffix_decoding: bool = False
     suffix_cache_max_depth: int = 64
@@ -188,6 +193,11 @@ class SpeculativeConfig:
             self.enable_suffix_decoding = True
             # Suffix drafts are variable-length up to tree depth.
             self.num_speculative_tokens = self.suffix_cache_max_depth
+        if self.quantization not in (None, "fp8", "int8"):
+            raise ValueError(
+                f"Unknown speculator quantization {self.quantization!r} "
+                "(int4's packed layout cannot be gathered for the draft "
+                "embedding tables)")
         _positive("num_speculative_tokens", self.num_speculative_tokens)
 
     @classmethod

@@ -30,9 +30,58 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from arcticinference_tpu.ops import fp8 as fp8_ops
 from arcticinference_tpu.ops.layers import l2_norm_scaled
 
 SQRT2 = math.sqrt(2.0)
+
+
+# --------------------------------------------------------------------- #
+# Quantization (reference vllm/spec_dec/fp8.py Fp8ConfigWithEmbedding:
+# FP8 draft LM head + FP8-weight embedding gather)
+# --------------------------------------------------------------------- #
+
+def _mm(x: jax.Array, w) -> jax.Array:
+    """x @ w in fp32, where w may be a QuantizedLinear."""
+    if isinstance(w, fp8_ops.QuantizedLinear):
+        return fp8_ops.matmul(x.astype(jnp.bfloat16), w,
+                              preferred_element_type=jnp.float32)
+    return jnp.dot(x.astype(w.dtype), w,
+                   preferred_element_type=jnp.float32)
+
+
+def _embed(e, tok: jax.Array) -> jax.Array:
+    """Embedding row gather -> fp32, dequantizing gathered rows only
+    (the reference's fp8-weight ``F.embedding``, ``fp8.py:310-337``)."""
+    if isinstance(e, fp8_ops.QuantizedLinear):
+        z = e.weight[tok].astype(jnp.float32)
+        s = e.scale
+        if s.ndim and s.shape[-1] == e.weight.shape[-1]:
+            return z * s                      # int8 per-out-channel
+        return z * s.reshape(())              # fp8 per-tensor
+    return e[tok].astype(jnp.float32)
+
+
+def quantize_spec_params(params: dict, mode: str) -> dict:
+    """Quantize all draft matmul + embedding weights to fp8/int8.
+
+    LayerNorm vectors stay bf16.  int4 is rejected in config: its packed
+    split-half layout can't be row-gathered for embeddings.
+    """
+    if mode not in ("fp8", "int8"):
+        raise ValueError(f"speculator quantization {mode!r} unsupported")
+
+    def q(w):
+        return fp8_ops.weight_quantize(w, mode)
+
+    out = dict(params)
+    for key in ("emb", "proj", "head", "forget_emb",
+                "proj_first", "proj_rest"):
+        if key not in out:
+            continue
+        v = out[key]
+        out[key] = [q(w) for w in v] if isinstance(v, list) else q(v)
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -128,15 +177,13 @@ def mlp_generate_proposals(params: dict, arch: MLPSpecArch,
     drafts = []
     for i in range(num_predict):
         e, p, h, lw, lb = _mlp_head_params(params, arch, i)
-        z = e[tok].astype(jnp.float32)
-        states = jnp.dot(state.astype(p.dtype), p,
-                         preferred_element_type=jnp.float32)
+        z = _embed(e, tok)
+        states = _mm(state, p)
         states = states + alpha * z
         states = jax.nn.gelu(
             l2_norm_scaled(states, lw, lb).astype(jnp.float32),
             approximate=False)
-        logits = jnp.dot(states.astype(h.dtype), h,
-                         preferred_element_type=jnp.float32)
+        logits = _mm(states, h)
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         drafts.append(tok)
         state = states
@@ -233,10 +280,9 @@ def lstm_generate_proposals(params: dict, arch: LSTMSpecArch,
     drafts = []
     for i in range(num_predict):
         proj = params["proj_first"] if i == 0 else params["proj_rest"]
-        z = params["forget_emb"][tok].astype(jnp.float32)
+        z = _embed(params["forget_emb"], tok)
         z4 = jnp.tile(z, (1, 4))
-        states = jnp.dot(state.astype(proj.dtype), proj,
-                         preferred_element_type=jnp.float32) + alpha * z4
+        states = _mm(state, proj) + alpha * z4
         gates, cand = states[:, :3 * p0], states[:, 3 * p0:]
         gates = jax.nn.sigmoid(gates)
         fg, ig, og = gates[:, :p0], gates[:, p0:2 * p0], gates[:, 2 * p0:]
@@ -249,9 +295,7 @@ def lstm_generate_proposals(params: dict, arch: LSTMSpecArch,
             l2_norm_scaled(cell, params["state_ln_w"],
                            params["state_ln_b"]).astype(jnp.float32),
             approximate=False) * og
-        logits = jnp.dot(state.astype(params["head"].dtype),
-                         params["head"],
-                         preferred_element_type=jnp.float32)
+        logits = _mm(state, params["head"])
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         drafts.append(tok)
     return jnp.stack(drafts, axis=1)

@@ -54,6 +54,11 @@ class ArcticProposer:
 
         self.params = self._load_params(spec_config.model,
                                         rng or jax.random.PRNGKey(0))
+        if spec_config.quantization:
+            # Reference quantizes the speculator LM head + embeddings to
+            # FP8 (vllm/spec_dec/fp8.py Fp8ConfigWithEmbedding).
+            self.params = spec_mod.quantize_spec_params(
+                self.params, spec_config.quantization)
         self.n_predict = min(self.arch.n_predict,
                              spec_config.num_speculative_tokens)
         self._jitted = {}

