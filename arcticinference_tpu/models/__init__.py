@@ -24,6 +24,10 @@ _REGISTRY = {
     "BertForSequenceClassification": "arcticinference_tpu.models.bert",
     "mixtral": "arcticinference_tpu.models.mixtral",
     "MixtralForCausalLM": "arcticinference_tpu.models.mixtral",
+    "qwen2": "arcticinference_tpu.models.qwen2",
+    "Qwen2ForCausalLM": "arcticinference_tpu.models.qwen2",
+    "qwen3": "arcticinference_tpu.models.qwen3",
+    "Qwen3ForCausalLM": "arcticinference_tpu.models.qwen3",
     "mlp_speculator": "arcticinference_tpu.models.speculators",
     "ArcticMLPSpeculatorPreTrainedModel":
         "arcticinference_tpu.models.speculators",

@@ -53,6 +53,9 @@ class LlamaArch:  # registry alias: Arch (see bottom of module)
     tie_word_embeddings: bool = False
     max_position: int = 131072
     eos_token_id: Optional[int] = None
+    # Family variants sharing the Llama decoder body:
+    attention_bias: bool = False   # Qwen2/2.5: biases on q/k/v projections
+    qk_norm: bool = False          # Qwen3: per-head RMSNorm on q and k
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "LlamaArch":
@@ -78,6 +81,8 @@ class LlamaArch:  # registry alias: Arch (see bottom of module)
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             max_position=cfg.get("max_position_embeddings", 131072),
             eos_token_id=_first_eos(cfg.get("eos_token_id")),
+            attention_bias=cfg.get("attention_bias", False),
+            qk_norm=cfg.get("qk_norm", False),
         )
 
 
@@ -138,6 +143,13 @@ def init_params(arch: LlamaArch, rng: jax.Array,
         },
         "final_norm": jnp.ones((d,), dtype),
     }
+    if arch.attention_bias:
+        params["layers"]["bq"] = w(next(keys), (lL, hq * dh))
+        params["layers"]["bk"] = w(next(keys), (lL, hkv * dh))
+        params["layers"]["bv"] = w(next(keys), (lL, hkv * dh))
+    if arch.qk_norm:
+        params["layers"]["q_norm"] = jnp.ones((lL, dh), dtype)
+        params["layers"]["k_norm"] = jnp.ones((lL, dh), dtype)
     if not arch.tie_word_embeddings:
         head = w(next(keys), (d, arch.vocab_size))
         params["lm_head"] = (weight_quantize(head, quantization)
@@ -184,10 +196,18 @@ def _qkv(h, lp, arch):
     q = matmul(h, lp["wq"])
     k = matmul(h, lp["wk"])
     v = matmul(h, lp["wv"])
+    if "bq" in lp:  # Qwen2-style attention bias (sliced like the weights)
+        q = q + lp["bq"].astype(q.dtype)
+        k = k + lp["bk"].astype(k.dtype)
+        v = v + lp["bv"].astype(v.dtype)
     t = h.shape[0]
-    return (q.reshape(t, arch.num_heads, arch.head_dim),
-            k.reshape(t, arch.num_kv_heads, arch.head_dim),
-            v.reshape(t, arch.num_kv_heads, arch.head_dim))
+    q = q.reshape(t, arch.num_heads, arch.head_dim)
+    k = k.reshape(t, arch.num_kv_heads, arch.head_dim)
+    v = v.reshape(t, arch.num_kv_heads, arch.head_dim)
+    if "q_norm" in lp:  # Qwen3-style per-head RMSNorm before RoPE
+        q = rms_norm(q, lp["q_norm"], arch.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], arch.rms_norm_eps)
+    return q, k, v
 
 
 def _write_kv_layer(kv, layer, k, v, slot_mapping, kv_scale=None):
@@ -407,7 +427,15 @@ _LAYER_MAP = {
     "mlp.down_proj.weight": ("w_down", True),
     "input_layernorm.weight": ("input_norm", False),
     "post_attention_layernorm.weight": ("post_norm", False),
+    # Family variants (absent in plain Llama checkpoints):
+    "self_attn.q_proj.bias": ("bq", False),       # Qwen2/2.5
+    "self_attn.k_proj.bias": ("bk", False),
+    "self_attn.v_proj.bias": ("bv", False),
+    "self_attn.q_norm.weight": ("q_norm", False),  # Qwen3
+    "self_attn.k_norm.weight": ("k_norm", False),
 }
+
+_OPTIONAL_LAYER_KEYS = ("bq", "bk", "bv", "q_norm", "k_norm")
 
 
 def load_hf_state(arch: LlamaArch, tensors: dict[str, np.ndarray],
@@ -457,6 +485,8 @@ def load_hf_state(arch: LlamaArch, tensors: dict[str, np.ndarray],
                 layer_stacks[key][l] = a
 
     for key, stack in layer_stacks.items():
+        if key in _OPTIONAL_LAYER_KEYS and all(s is None for s in stack):
+            continue  # variant param not in this checkpoint
         if any(s is None for s in stack):
             missing = [i for i, s in enumerate(stack) if s is None]
             raise ValueError(f"missing layers {missing} for {key}")

@@ -65,9 +65,18 @@ def param_specs(quantized: bool = False, pp: bool = False) -> dict:
             "wo": row,
             "w_gate": col, "w_up": col,
             "w_down": row,
+            # Family variants (pruned to the actual param structure by
+            # shard_params / _param_spec_tree when absent):
+            "bq": P(l_ax, "tp"), "bk": P(l_ax, "tp"), "bv": P(l_ax, "tp"),
+            "q_norm": P(l_ax, None), "k_norm": P(l_ax, None),
         },
     }
     return specs
+
+
+#: layer-dict keys that only some model variants carry (Qwen2 biases,
+#: Qwen3 qk norms); spec builders drop them when params lack them.
+OPTIONAL_LAYER_KEYS = ("bq", "bk", "bv", "q_norm", "k_norm")
 
 
 def quantized_leaf_spec(spec: P, w_ndim: Optional[int] = None,
@@ -99,12 +108,18 @@ def shard_params(params, mesh: Mesh, specs: Optional[dict] = None):
 
     if specs is None:
         specs = param_specs()
-    if isinstance(specs, dict) and isinstance(params, dict):
-        # Tolerate optional keys (e.g. tied lm_head absent).
-        specs = {k: specs[k] for k in params if k in specs}
-        missing = set(params) - set(specs)
-        if missing:
-            raise ValueError(f"no PartitionSpec for params {missing}")
+    def prune(s, p):
+        """Drop spec entries for absent optional params (tied lm_head,
+        variant layer keys) at every dict level; error on params that
+        have no spec."""
+        if isinstance(s, dict) and isinstance(p, dict):
+            missing = set(p) - set(s)
+            if missing:
+                raise ValueError(f"no PartitionSpec for params {missing}")
+            return {k: prune(s[k], p[k]) for k in p}
+        return s
+
+    specs = prune(specs, params)
 
     def put(x, spec):
         try:

@@ -60,7 +60,11 @@ class ParallelContext:
     #: MoE modules override via a ``SHIFT_SLICE_AXES`` attribute (expert
     #: weights slice their leading expert axis instead).
     DEFAULT_SLICE_AXES = {"wq": 1, "wk": 1, "wv": 1, "w_gate": 1,
-                          "w_up": 1, "wo": 0, "w_down": 0}
+                          "w_up": 1, "wo": 0, "w_down": 0,
+                          # Qwen2 qkv biases: [out]-shaped, slice axis 0
+                          # (kv biases follow the wk/wv head-granular
+                          # slice under GQA replication).
+                          "bq": 0, "bk": 0, "bv": 0}
 
     def __init__(self, cfg: ParallelConfig, mode: str,
                  num_kv_heads: int = 0, head_dim: int = 0,
@@ -92,7 +96,7 @@ class ParallelContext:
             if key not in lp:  # e.g. SwiftKV later layers have no wk/wv
                 continue
             w = lp[key]
-            if key in ("wk", "wv") and self.kv_rep > 1:
+            if key in ("wk", "wv", "bk", "bv") and self.kv_rep > 1:
                 # Head-granular slice: device (t, s) needs local kv head
                 # floor(s * g / sp) of its tp shard (g heads per shard).
                 g = self.num_kv_heads // self.tp
@@ -315,6 +319,17 @@ def _param_spec_tree(module, quantized: bool, pp: bool = False,
     hook = getattr(module, "param_specs", None)
     specs = hook(pp=pp) if hook is not None else mesh_lib.param_specs(pp=pp)
     specs = {k: v for k, v in specs.items() if k in _FWD_KEYS}
+    # shard_map in_specs must match the param structure exactly: prune
+    # variant layer keys (Qwen2 biases / Qwen3 qk norms) the model lacks.
+    for lk in ("layers", "layers_a", "layers_b"):
+        if lk not in specs or not isinstance(specs[lk], dict):
+            continue
+        if params is not None and lk in params:
+            have = set(params[lk])
+            specs[lk] = {k: v for k, v in specs[lk].items() if k in have}
+        else:
+            specs[lk] = {k: v for k, v in specs[lk].items()
+                         if k not in mesh_lib.OPTIONAL_LAYER_KEYS}
     scale_spec = P("pp") if pp else P(None)
     if embed_quantized and "embed" in specs:
         specs["embed"] = QuantizedLinear(specs["embed"], P())
