@@ -150,38 +150,44 @@ class DynasorProxy:
             }
             await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
 
-        async with self.session().post(
-                f"{self.backend}/v1/completions", json=backend_body) as r:
-            async for raw in r.content:
-                line = raw.decode().strip()
-                if not line.startswith("data: "):
-                    continue
-                data = line[6:]
-                if data == "[DONE]":
-                    break
-                chunk = json.loads(data)
-                text = chunk["choices"][0].get("text", "")
-                ntoks = len(chunk["choices"][0].get("token_ids", [])) or 1
-                generated += text
-                tokens_seen += ntoks
-                await emit(text)
-
-                if probe_task is not None and probe_task.done():
-                    ptext, ans = probe_task.result()
-                    probe_texts.append(ptext)
-                    probe_answers.append(ans)
-                    probe_task = None
-                    if should_early_exit(probe_answers, probe_texts,
-                                         self.certainty_window):
-                        exited_early = True
+        # try/finally plays the reference's ``with_cancellation`` role
+        # (dynasor/util.py:28-69): a client disconnect cancels this
+        # handler mid-stream; the in-flight probe task must not leak.
+        try:
+            async with self.session().post(
+                    f"{self.backend}/v1/completions",
+                    json=backend_body) as r:
+                async for raw in r.content:
+                    line = raw.decode().strip()
+                    if not line.startswith("data: "):
+                        continue
+                    data = line[6:]
+                    if data == "[DONE]":
                         break
-                if tokens_seen >= next_probe_at and probe_task is None:
-                    next_probe_at = tokens_seen + self.probe_interval
-                    probe_task = asyncio.ensure_future(
-                        self._probe(prompt_text + generated))
+                    chunk = json.loads(data)
+                    text = chunk["choices"][0].get("text", "")
+                    ntoks = len(
+                        chunk["choices"][0].get("token_ids", [])) or 1
+                    generated += text
+                    tokens_seen += ntoks
+                    await emit(text)
 
-        if probe_task is not None:
-            probe_task.cancel()
+                    if probe_task is not None and probe_task.done():
+                        ptext, ans = probe_task.result()
+                        probe_texts.append(ptext)
+                        probe_answers.append(ans)
+                        probe_task = None
+                        if should_early_exit(probe_answers, probe_texts,
+                                             self.certainty_window):
+                            exited_early = True
+                            break
+                    if tokens_seen >= next_probe_at and probe_task is None:
+                        next_probe_at = tokens_seen + self.probe_interval
+                        probe_task = asyncio.ensure_future(
+                            self._probe(prompt_text + generated))
+        finally:
+            if probe_task is not None:
+                probe_task.cancel()
 
         final_answer = probe_answers[-1] if exited_early else None
         if exited_early and final_answer:

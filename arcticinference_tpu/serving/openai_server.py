@@ -303,12 +303,20 @@ class OpenAIServer:
         token_ids: list[int] = []
         finish = None
         logprobs = None
-        async for chunk in self.engine.generate(prompt_ids, sampling, rid):
-            token_ids.extend(chunk.new_token_ids)
-            if chunk.finished:
-                finish = chunk.finish_reason
-                if chunk.logprobs is not None:
-                    logprobs = chunk.logprobs
+        try:
+            async for chunk in self.engine.generate(prompt_ids, sampling,
+                                                    rid):
+                token_ids.extend(chunk.new_token_ids)
+                if chunk.finished:
+                    finish = chunk.finish_reason
+                    if chunk.logprobs is not None:
+                        logprobs = chunk.logprobs
+        except asyncio.CancelledError:
+            # Client disconnected mid-request (aiohttp cancels the
+            # handler): stop the engine-side request too — the
+            # reference's ``with_cancellation`` (dynasor/util.py:28-69).
+            await self.engine.abort(rid)
+            raise
         return token_ids, finish, logprobs
 
     async def _stream_completion(self, request, rid, prompt_ids, sampling,

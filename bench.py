@@ -48,9 +48,11 @@ def main():
                          num_key_value_heads=8, head_dim=32,
                          vocab_size=1024)
 
-    batch = 64 if on_tpu else 4
-    prompt_len = 128 if on_tpu else 16
-    gen_len = 64 if on_tpu else 8
+    # Sweep knobs for perf exploration (defaults are the recorded config).
+    batch = int(os.environ.get("ARCTIC_BENCH_BATCH", 64 if on_tpu else 4))
+    prompt_len = int(os.environ.get("ARCTIC_BENCH_PROMPT",
+                                    128 if on_tpu else 16))
+    gen_len = int(os.environ.get("ARCTIC_BENCH_GEN", 64 if on_tpu else 8))
 
     cfg = EngineConfig(
         model=ModelConfig(model="llama", hf_overrides=overrides,

@@ -317,3 +317,31 @@ class TestEmbeddingsEndpoint:
                 assert r.status == 400
 
         loop.run_until_complete(run())
+
+
+def test_disconnect_aborts_engine_request(server, loop):
+    """A cancelled (client-disconnected) non-streaming request must abort
+    the engine-side request (reference with_cancellation semantics)."""
+    async def run():
+        eng = server.engine
+        aborted = []
+        orig_abort = eng.abort
+
+        async def spy_abort(rid):
+            aborted.append(rid)
+            await orig_abort(rid)
+
+        eng.abort = spy_abort
+        try:
+            task = asyncio.ensure_future(server._collect(
+                [1, 2, 3, 4],
+                server._sampling_from({"max_tokens": 64}), "cmpl-dc"))
+            await asyncio.sleep(0.05)   # let the request enter the engine
+            task.cancel()
+            with pytest.raises(asyncio.CancelledError):
+                await task
+            assert aborted == ["cmpl-dc"]
+        finally:
+            eng.abort = orig_abort
+
+    loop.run_until_complete(run())
