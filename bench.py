@@ -91,6 +91,11 @@ def main():
     gen_tokens = sum(len(o.token_ids) for o in outs)
     toks_per_s = gen_tokens / dt
 
+    if os.environ.get("ARCTIC_BENCH_STEP_TIMES"):
+        import sys
+        print("step times:", llm.engine.step_times.summary(),
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "llama8b_fp8_greedy_decode_tokens_per_s_per_chip"
                   if on_tpu else "cpu_smoke_tokens_per_s",

@@ -132,9 +132,61 @@ def run_remote(args) -> None:
         }), flush=True)
 
 
+def run_http(args) -> None:
+    """HTTP load generator against the OpenAI ``/v1/embeddings`` endpoint
+    (mirror of reference ``benchmark/embedding/benchmark_http.py``)."""
+    import urllib.request
+
+    rng = np.random.default_rng(0)
+    url = args.target if args.target.startswith("http") else \
+        f"http://{args.target}"
+    for batch in args.batch_sizes:
+        lens = gen_lengths(args.len_dist, batch, rng)
+        inputs = [[int(x) for x in rng.integers(1, 30000, L)]
+                  for L in lens]
+        body = json.dumps({"input": inputs, "model": "bench"}).encode()
+        results = []
+        lock = threading.Lock()
+
+        def worker():
+            for _ in range(args.iters):
+                req = urllib.request.Request(
+                    f"{url}/v1/embeddings", data=body,
+                    headers={"Content-Type": "application/json"})
+                t1 = time.perf_counter()
+                resp = json.loads(urllib.request.urlopen(
+                    req, timeout=600).read())
+                assert len(resp["data"]) == batch
+                with lock:
+                    results.append(time.perf_counter() - t1)
+
+        threads = [threading.Thread(target=worker)
+                   for _ in range(args.concurrency)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        total_tokens = sum(lens) * args.iters * args.concurrency
+        print(json.dumps({
+            "mode": "http", "batch": batch,
+            "concurrency": args.concurrency, "len_dist": args.len_dist,
+            "ktok_per_s": round(total_tokens / dt / 1e3, 1),
+            "latency_p50_ms": round(
+                float(np.percentile(results, 50)) * 1e3, 1),
+            "latency_p99_ms": round(
+                float(np.percentile(results, 99)) * 1e3, 1),
+        }), flush=True)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--local", action="store_true")
+    parser.add_argument("--http", action="store_true",
+                        help="drive /v1/embeddings over HTTP instead of "
+                             "gRPC (--target is then host:port of the "
+                             "OpenAI server)")
     parser.add_argument("--target", default="localhost:50050")
     parser.add_argument("--batch-sizes", type=int, nargs="+",
                         default=[16, 64])
@@ -146,6 +198,8 @@ def main() -> None:
     args = parser.parse_args()
     if args.local:
         run_local(args)
+    elif args.http:
+        run_http(args)
     else:
         run_remote(args)
 
