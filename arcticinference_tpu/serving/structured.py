@@ -440,11 +440,20 @@ class ChoiceGuidedDecoder(_TokenTextDecoder):
 
 
 class JsonSchemaGuidedDecoder(JsonGuidedDecoder):
-    """JSON-schema mode: syntactic JSON validity is enforced per token
-    (inherited); the completed document is validated against the schema
-    (``schema_ok``).  Schema-aware per-token masking beyond the root
-    type is future work — the reference delegates the same job to
-    vLLM's guided decoding backends."""
+    """JSON-schema mode with per-token schema enforcement.
+
+    The schema is compiled to a regex (``schema_regex.schema_to_regex``,
+    outlines-style) and enforced per token through partial matching, so
+    conforming output is *guaranteed* for the supported keyword subset —
+    parity with vLLM's guided-decoding backends (reference
+    ``test_json_mode``, ``tests/benchmarks/test_benchmarks.py:46-76``).
+    Schemas outside the subset fall back to syntactic-JSON guidance with
+    post-hoc validation; either way the completed document's conformance
+    is recorded in ``schema_ok``.  If tokens are force-fed past the
+    compiled grammar (``advance_token`` with a disallowed token), the
+    regex goes dead and filtering degrades to the syntactic fallback
+    rather than wedging the request.
+    """
 
     def __init__(self, tokenizer, schema: dict) -> None:
         super().__init__(tokenizer)
@@ -453,24 +462,75 @@ class JsonSchemaGuidedDecoder(JsonGuidedDecoder):
         root = self.schema.get("type")
         self._root_first = {"object": "{", "array": "[",
                             "string": '"'}.get(root)
+        self._re = None
+        self._retext = ""
+        try:
+            from arcticinference_tpu.serving.schema_regex import (
+                schema_to_regex)
+            import regex as _regex
+
+            self._re = _regex.compile(schema_to_regex(self.schema))
+        except Exception:
+            self._re = None   # unsupported subset: post-hoc validation only
+
+    # -- compiled-grammar layer ------------------------------------------
+
+    def _re_ok(self, text: str) -> bool:
+        return bool(self._re.fullmatch(text, partial=True))
+
+    def _re_complete(self) -> bool:
+        m = self._re.fullmatch(self._retext)
+        return bool(m) and not m.partial
 
     def allows_token(self, token_id: int) -> bool:
+        if self._re is not None:
+            if self._re_complete():
+                return False
+            return self._re_ok(self._retext + self._text(token_id))
         if self._root_first and not self.validator.started:
             txt = self._text(token_id).lstrip(_WS)
             if txt and not txt.startswith(self._root_first):
                 return False
         return super().allows_token(token_id)
 
+    def advance_token(self, token_id: int) -> None:
+        if self._re is not None:
+            new = self._retext + self._text(token_id)
+            if self._re_ok(new):
+                self._retext = new
+            else:
+                self._re = None   # force-fed off-grammar: degrade
+        super().advance_token(token_id)
+
+    def fallback_token(self) -> Optional[int]:
+        if self._re is not None:
+            for code in list(range(32, 127)) + [10, 9]:
+                ch = chr(code)
+                if self._re_ok(self._retext + ch):
+                    ids = self.tokenizer.encode(ch,
+                                                add_special_tokens=False)
+                    if ids:
+                        return ids[0]
+            return None
+        return super().fallback_token()
+
     def finished(self) -> bool:
-        done = super().finished()
+        # With a live compiled grammar, completion is regex completion
+        # (the syntactic validator can't know a root-level number ended);
+        # otherwise fall back to syntactic completion.
+        if self._re is not None:
+            done = self._re_complete()
+            text = self._retext
+        else:
+            done = super().finished()
+            text = self.validator.text
         if done and self.schema_ok is None:
             try:
                 import json as _json
 
                 import jsonschema
 
-                jsonschema.validate(_json.loads(self.validator.text),
-                                    self.schema)
+                jsonschema.validate(_json.loads(text), self.schema)
                 self.schema_ok = True
             except Exception:
                 self.schema_ok = False

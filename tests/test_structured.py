@@ -210,6 +210,167 @@ class TestJsonSchemaGuided:
         assert d.schema_ok is True
 
 
+class TestSchemaRegex:
+    """schema_to_regex compiler: language must equal the conforming set."""
+
+    def _pat(self, schema):
+        import regex
+        from arcticinference_tpu.serving.schema_regex import schema_to_regex
+        return regex.compile(schema_to_regex(schema))
+
+    @pytest.mark.parametrize("schema,pos,neg", [
+        ({"type": "object",
+          "properties": {"name": {"type": "string"},
+                         "age": {"type": "integer"}},
+          "required": ["name", "age"]},
+         ['{"name": "bob", "age": 3}', '{ "name": "x",\n"age": 42 }'],
+         ['{"age": 3, "name": "bob"}', '{"name": "bob"}',
+          '{"name": 1, "age": 3}']),
+        # optional property before a required one
+        ({"type": "object",
+          "properties": {"a": {"type": "integer"},
+                         "b": {"type": "boolean"}},
+          "required": ["b"]},
+         ['{"b": true}', '{"a": 1, "b": false}'],
+         ['{"a": 1}', '{}', '{"b": 1}']),
+        # everything optional (empty object legal)
+        ({"type": "object",
+          "properties": {"a": {"type": "integer"},
+                         "b": {"type": "boolean"}},
+          "required": []},
+         ['{}', '{"a": 1}', '{"b": true}', '{"a": 2, "b": false}'],
+         ['{"b": true, "a": 1}', '{"a": true}']),
+        ({"enum": ["red", "green", 3, None]},
+         ['"red"', '"green"', '3', 'null'], ['"blue"', '4']),
+        ({"type": "array", "items": {"type": "integer"},
+          "minItems": 2, "maxItems": 3},
+         ['[1, 2]', '[1,2,3]'], ['[1]', '[1,2,3,4]', '["a","b"]']),
+        ({"type": "string", "minLength": 2, "maxLength": 4},
+         ['"ab"', '"abcd"'], ['"a"', '"abcde"']),
+        ({"type": "string", "pattern": "^[A-Z]{2}-\\d+$"},
+         ['"AB-12"'], ['"ab-12"', '"AB-"']),
+        ({"anyOf": [{"type": "integer"}, {"type": "null"}]},
+         ['7', 'null'], ['"x"', 'true']),
+        ({"type": ["integer", "boolean"]}, ['5', 'true'], ['null', '"x"']),
+        # $defs reference, nested objects
+        ({"type": "object", "properties": {"p": {"$ref": "#/$defs/pt"}},
+          "required": ["p"],
+          "$defs": {"pt": {"type": "object",
+                           "properties": {"x": {"type": "number"}},
+                           "required": ["x"]}}},
+         ['{"p": {"x": 1.5}}'], ['{"p": {"x": "a"}}', '{"p": {}}']),
+        ({"type": "object",
+          "properties": {"t": {"const": "fixed"},
+                         "v": {"type": "number"}}},
+         ['{"t": "fixed", "v": -2.5e3}'], ['{"t": "other", "v": 1}']),
+        # free-form object
+        ({"type": "object"},
+         ['{}', '{"k": [1, {"z": null}]}'], ['[]']),
+        ({"type": "object",
+          "properties": {"a": {"prefixItems": [{"type": "integer"},
+                                               {"type": "boolean"}]}},
+          "required": ["a"]},
+         ['{"a": [1, true]}'], ['{"a": [1]}', '{"a": [true, 1]}']),
+    ])
+    def test_language(self, schema, pos, neg):
+        pat = self._pat(schema)
+        for p in pos:
+            assert pat.fullmatch(p), (schema, p)
+            # every prefix must stay partial-matchable (decodability)
+            for i in range(1, len(p)):
+                assert pat.fullmatch(p[:i], partial=True), (schema, p[:i])
+        for n in neg:
+            assert not pat.fullmatch(n), (schema, n)
+
+    def test_unsupported_raises(self):
+        from arcticinference_tpu.serving.schema_regex import (
+            UnsupportedSchema, schema_to_regex)
+        with pytest.raises(UnsupportedSchema):
+            schema_to_regex({"type": "object", "required": ["ghost"]})
+        with pytest.raises(UnsupportedSchema):
+            schema_to_regex({"allOf": [{"type": "integer"},
+                                       {"minimum": 3}]})
+
+
+class TestSchemaEnforcement:
+    """Per-token schema enforcement in the engine (vLLM guided-json /
+    reference test_json_mode parity)."""
+
+    SCHEMA = {"type": "object",
+              "properties": {"name": {"type": "string", "maxLength": 8},
+                             "score": {"type": "integer"},
+                             "tag": {"enum": ["x", "y"]}},
+              "required": ["name", "score", "tag"]}
+
+    def test_engine_emits_conforming_doc(self):
+        from arcticinference_tpu.serving.structured import (
+            JsonSchemaGuidedDecoder)
+        cfg = tiny_config(hf=dict(vocab_size=128))
+        llm = LLM(cfg)
+        d = JsonSchemaGuidedDecoder(CharTokenizer(), self.SCHEMA)
+        assert d._re is not None   # schema compiled
+        out = llm.generate(
+            prompt_token_ids=[[3, 14, 15]],
+            sampling_params=SamplingParams(max_tokens=100, guided=d))
+        text = "".join(chr(t) for t in out[0].token_ids)
+        assert d.finished(), text
+        assert d.schema_ok is True
+        import jsonschema
+        jsonschema.validate(json.loads(text), self.SCHEMA)
+
+    def test_per_token_filtering(self):
+        from arcticinference_tpu.serving.structured import (
+            JsonSchemaGuidedDecoder)
+        d = JsonSchemaGuidedDecoder(CharTokenizer(), self.SCHEMA)
+        # Only tokens on the grammar are allowed at each point.
+        assert d.allows_token(ord("{"))
+        assert not d.allows_token(ord("["))
+        d.advance_token(ord("{"))
+        assert d.allows_token(ord('"'))
+        assert not d.allows_token(ord("}"))   # required props missing
+        for ch in '"name": "a", "score": -12, "tag": "':
+            assert d.allows_token(ord(ch)), ch
+            d.advance_token(ord(ch))
+        assert d.allows_token(ord("x")) and d.allows_token(ord("y"))
+        assert not d.allows_token(ord("z"))
+        for ch in 'x"}':
+            d.advance_token(ord(ch))
+        assert d.finished()
+        assert d.schema_ok is True
+        assert not d.allows_token(ord(" "))   # doc complete: nothing more
+
+    def test_force_feed_degrades_not_wedges(self):
+        from arcticinference_tpu.serving.structured import (
+            JsonSchemaGuidedDecoder)
+        d = JsonSchemaGuidedDecoder(CharTokenizer(), self.SCHEMA)
+        for ch in '{"a": 1}':    # off-grammar tokens forced in
+            d.advance_token(ord(ch))
+        assert d.finished()
+        assert d.schema_ok is False
+
+    def test_root_scalar_completion(self):
+        from arcticinference_tpu.serving.structured import (
+            JsonSchemaGuidedDecoder)
+        d = JsonSchemaGuidedDecoder(CharTokenizer(), {"type": "integer"})
+        d.advance_token(ord("4"))
+        d.advance_token(ord("2"))
+        # "42" fully matches (and could extend) — completion must be
+        # detected even though a syntactic validator can't know.
+        assert d.finished()
+        assert d.schema_ok is True
+
+    def test_fallback_token_stays_on_grammar(self):
+        from arcticinference_tpu.serving.structured import (
+            JsonSchemaGuidedDecoder)
+        d = JsonSchemaGuidedDecoder(CharTokenizer(), self.SCHEMA)
+        while not d.finished():
+            tok = d.fallback_token()
+            assert tok is not None
+            assert d.allows_token(tok)
+            d.advance_token(tok)
+        assert d.schema_ok is True
+
+
 class TestFactory:
 
     def test_make_guided_decoder(self):
