@@ -78,6 +78,10 @@ class LLMEngine:
         self._pipeline_depth = config.scheduler.pipeline_depth
         self._inflight: list = []
         self._pending_ref: dict = {}
+        # Optional distillation hook (spec/distill.py HiddenCapture):
+        # called from the synchronous step with (rows, [(req_id, row,
+        # emitted_token)]) so drafters can be trained on target outputs.
+        self.hidden_capture = None
 
         self.spec_config = config.speculative
         self._suffix_cache = None
@@ -95,7 +99,9 @@ class LLMEngine:
                 # spec/proposer.py), so the follower mirror never sees a
                 # second device program.
                 from arcticinference_tpu.spec.proposer import ArcticProposer
-                self._drafter = ArcticProposer(self.spec_config, arch)
+                self._drafter = ArcticProposer(
+                    self.spec_config, arch,
+                    target_params=self.runner.params)
             if self.spec_config.enable_fused_decode:
                 from arcticinference_tpu.engine.fused_decode import (
                     FusedDecodeLoop)
@@ -361,6 +367,7 @@ class LLMEngine:
 
         finished: list[Request] = []
         accepted_row: dict[str, int] = {}
+        capture_items: list = []
         for r, s in enumerate(sched_out.scheduled):
             req = s.request
             lo = step_inputs.sample_row_start[r]
@@ -434,6 +441,9 @@ class LLMEngine:
                         zip(topk[row][:n], topk_logp[row][:n])})
             self.scheduler.update_after_step(s, new_tokens, n_acc)
             self._update_suffix_cache(req, new_tokens)
+            if self.hidden_capture is not None:
+                capture_items.append(
+                    (req.req_id, lo + n_acc, new_tokens[-1]))
 
             stop = req.check_stop(self.eos_token_id,
                                   self.config.model.max_model_len)
@@ -443,6 +453,8 @@ class LLMEngine:
                 self._evict_spec_state(req)
                 finished.append(req)
 
+        if self.hidden_capture is not None and capture_items:
+            self.hidden_capture(rows, capture_items)
         self._propose_drafts(sched_out, step_inputs, rows, accepted_row)
         self.engine_stats.num_steps += 1
         self.engine_stats.num_finished += len(finished)

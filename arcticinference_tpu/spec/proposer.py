@@ -27,13 +27,29 @@ from arcticinference_tpu.utils import pad_to_bucket
 class ArcticProposer:
 
     def __init__(self, spec_config: SpeculativeConfig, base_arch,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, target_params=None):
         self.config = spec_config
         hidden = base_arch.hidden_size
         cfg_dict = self._load_config(spec_config.model)
         method = (cfg_dict or {}).get("method", "sum_rnn")
         archs = (cfg_dict or {}).get("architectures") or []
         is_lstm = method == "sum_lstm" or any("LSTM" in a for a in archs)
+
+        if (cfg_dict or {}).get("distilled_tied"):
+            # In-env distilled drafter (spec/distill.py): the projection
+            # weights come from the checkpoint; embedding + LM head are
+            # the TARGET model's own tables, resolved live.
+            if target_params is None:
+                raise ValueError(
+                    "distilled_tied drafter needs the target params")
+            from arcticinference_tpu.spec.distill import load_distilled
+            self.kind = "mlp"
+            self.params, self.arch = load_distilled(
+                spec_config.model, cfg_dict, target_params)
+            self.n_predict = min(self.arch.n_predict,
+                                 spec_config.num_speculative_tokens)
+            self._jitted = {}
+            return
 
         if is_lstm:
             self.kind = "lstm"

@@ -1,19 +1,29 @@
-"""Headline benchmark: Llama-3.1-8B FP8 greedy decode tokens/s on one chip.
+"""Headline benchmark: Llama-3.1-8B FP8 on one TPU chip.
 
-Runs the full engine (continuous batching, paged KV cache, Pallas ragged
-attention, fused FP8 matmuls) with randomly-initialised 8B weights (token
-throughput does not depend on weight values; no checkpoint egress in this
-environment).
+Measures, honestly and separately (all decode-only via the subtraction
+method: t(gen=N+1) - t(gen=1) so prefill never pollutes the number):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
-vs_baseline compares against the reference's published no-spec greedy
-decode rate (76.0 tok/s, ShareGPT table, reference
-docs/arctic-speculator.rst:89-94).
+- batch-64 greedy decode tokens/s (the headline),
+- single-sequence greedy decode tokens/s (BASELINE.json config #1),
+- device step time + achieved HBM GB/s + % of the live-measured DMA
+  roofline (north star: speed-of-light accounting per chip),
+- Arctic-speculator decode tokens/s vs the same-batch greedy baseline
+  (north star: >= 1.7x), with measured draft acceptance.  The drafter is
+  distilled in-environment against the target model itself
+  (benchmarks/distill_drafter.py) the first time the bench runs; the
+  checkpoint is cached under checkpoints/.
+
+Prints ONE JSON line with the required keys (metric/value/unit/
+vs_baseline = the reference's published 76 tok/s greedy decode,
+docs/arctic-speculator.rst:89-94) plus the extra measurements.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -25,18 +35,126 @@ LLAMA_8B = dict(
     head_dim=128, rope_theta=500000.0, max_position_embeddings=131072,
 )
 
+REPO = Path(__file__).resolve().parent
+
+
+def make_prompts(seed, batch, prompt_len, vocab):
+    r = np.random.default_rng(seed)
+    return [[int(x) for x in r.integers(1, vocab - 1, prompt_len)]
+            for _ in range(batch)]
+
+
+def measure_hbm_roofline(jnp, jax) -> float:
+    """Live DMA ceiling: stream a ~2 GiB buffer through a copy kernel."""
+    n = (1 << 31) if jax.default_backend() == "tpu" else (1 << 24)
+    x = jnp.zeros(n, jnp.int8)
+    f = jax.jit(lambda x: x ^ 1)
+    y = f(x)
+    # block_until_ready does not sync on the axon tunnel backend; a tiny
+    # dependent transfer is the reliable fence.
+    np.asarray(y[:1])
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(y)
+    np.asarray(y[:1])
+    dt = time.perf_counter() - t0
+    return 2 * n * iters / dt  # read + write
+
+
+def decode_tokens_per_s(llm, sp_cls, prompts_a, prompts_b, gen: int):
+    """Decode-only throughput: time(gen tokens) - time(1 token)."""
+    t0 = time.perf_counter()
+    llm.generate(prompt_token_ids=prompts_a,
+                 sampling_params=sp_cls(max_tokens=1, ignore_eos=True))
+    t_prefill = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = llm.generate(prompt_token_ids=prompts_b,
+                        sampling_params=sp_cls(max_tokens=gen + 1,
+                                               ignore_eos=True))
+    t_full = time.perf_counter() - t0
+    n_decode = sum(len(o.token_ids) - 1 for o in outs)
+    dt = max(t_full - t_prefill, 1e-9)
+    return n_decode / dt, dt, outs
+
+
+def measure_device_step(llm, batch: int, ctx: int, iters: int = 30):
+    """Pure device decode-step time at (batch, ctx): dispatch the same
+    step repeatedly (KV donation serialises them) and sync once."""
+    import jax
+
+    from arcticinference_tpu.engine.request import Request, SamplingParams
+    from arcticinference_tpu.engine.scheduler import (ScheduledRequest,
+                                                      SchedulerOutput)
+
+    eng = llm.engine
+    runner = eng.runner
+    bm = eng.scheduler.block_manager
+    rng_np = np.random.default_rng(7)
+    sched = SchedulerOutput()
+    reqs = []
+    try:
+        for i in range(batch):
+            ids = [int(x) for x in
+                   rng_np.integers(1, runner.arch.vocab_size - 1, ctx)]
+            req = Request(req_id=f"dev{i}", prompt_token_ids=ids,
+                          sampling=SamplingParams(max_tokens=4))
+            req.num_computed_tokens = ctx - 1
+            bm.grow_to(req.block_ids, ctx)
+            reqs.append(req)
+            sched.scheduled.append(ScheduledRequest(req, 1, []))
+        si = runner.prepare_inputs(sched)
+        rng = jax.random.PRNGKey(0)
+        for _ in range(3):
+            tokens, _ = runner.dispatch(si, rng)
+        np.asarray(tokens)  # fence (block_until_ready is a no-op on axon)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tokens, _ = runner.dispatch(si, rng)
+        np.asarray(tokens)
+        dt = time.perf_counter() - t0
+    finally:
+        for req in reqs:
+            bm.free(req.block_ids)
+    return dt / iters
+
+
+def step_bytes(llm, batch: int, ctx: int) -> float:
+    """HBM bytes one decode step must stream: weights (minus the embedding
+    table, which is row-gathered) + KV reads."""
+    import jax
+    import jax.numpy as jnp
+
+    runner = llm.engine.runner
+    params = dict(runner.params)
+    embed = params.pop("embed", None)
+
+    def nbytes(x):
+        return int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
+
+    weight_bytes = sum(nbytes(x) for x in jax.tree.leaves(params))
+    arch = runner.arch
+    kv_itemsize = jnp.dtype(runner.kv.dtype).itemsize
+    kv_bytes = (batch * ctx * arch.num_layers * 2
+                * arch.num_kv_heads * arch.head_dim * kv_itemsize)
+    return weight_bytes + kv_bytes
+
 
 def main():
-    import os
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/arctic_tpu_jax_cache")
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("JAX_PLATFORMS"):
+        # The axon TPU plugin prepends itself to jax_platforms even when
+        # JAX_PLATFORMS is exported; re-pin explicitly (CPU smoke runs).
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from arcticinference_tpu.config import (CacheConfig, EngineConfig,
-                                            ModelConfig, SchedulerConfig)
+                                            ModelConfig, SchedulerConfig,
+                                            SpeculativeConfig)
     from arcticinference_tpu.engine.llm import LLM
     from arcticinference_tpu.engine.request import SamplingParams
 
@@ -47,62 +165,127 @@ def main():
                          num_hidden_layers=2, num_attention_heads=8,
                          num_key_value_heads=8, head_dim=32,
                          vocab_size=1024)
+    vocab = overrides["vocab_size"]
 
-    # Sweep knobs for perf exploration (defaults are the recorded config).
     batch = int(os.environ.get("ARCTIC_BENCH_BATCH", 64 if on_tpu else 4))
     prompt_len = int(os.environ.get("ARCTIC_BENCH_PROMPT",
                                     128 if on_tpu else 16))
     gen_len = int(os.environ.get("ARCTIC_BENCH_GEN", 64 if on_tpu else 8))
+    spec_batch = int(os.environ.get("ARCTIC_BENCH_SPEC_BATCH",
+                                    32 if on_tpu else 4))
 
-    cfg = EngineConfig(
-        model=ModelConfig(model="llama", hf_overrides=overrides,
-                          quantization="fp8" if on_tpu else None,
-                          max_model_len=4096 if on_tpu else 256),
-        cache=CacheConfig(block_size=32,
-                          num_blocks=900 if on_tpu else 64),
-        scheduler=SchedulerConfig(max_num_seqs=batch,
-                                  max_num_batched_tokens=2048
-                                  if on_tpu else 64),
-    )
-    llm = LLM(cfg)
+    def engine_cfg(max_seqs, speculative=None):
+        return EngineConfig(
+            model=ModelConfig(model="llama", hf_overrides=overrides,
+                              quantization="fp8" if on_tpu else None,
+                              max_model_len=4096 if on_tpu else 256),
+            cache=CacheConfig(block_size=32,
+                              num_blocks=900 if on_tpu else 64),
+            scheduler=SchedulerConfig(max_num_seqs=max_seqs,
+                                      max_num_batched_tokens=2048
+                                      if on_tpu else 64),
+            speculative=speculative,
+        )
 
-    rng = np.random.default_rng(0)
+    roofline_bps = measure_hbm_roofline(jax.numpy, jax)
 
-    def make_prompts(seed):
-        r = np.random.default_rng(seed)
-        return [[int(x) for x in
-                 r.integers(1, overrides["vocab_size"] - 1, prompt_len)]
-                for _ in range(batch)]
+    llm = LLM(engine_cfg(batch))
 
-    sp = SamplingParams(max_tokens=gen_len, ignore_eos=True)
+    # Warmup covers every measured shape bucket (prefill bucket + decode
+    # buckets at batch, spec_batch and 1); measured passes use FRESH
+    # prompts so the default-on prefix cache cannot skip their prefill.
+    for wb in {batch, spec_batch, 1}:
+        llm.generate(prompt_token_ids=make_prompts(0, wb, prompt_len,
+                                                   vocab),
+                     sampling_params=SamplingParams(max_tokens=2,
+                                                    ignore_eos=True))
 
-    # Warmup covers the same shape buckets as the measured run (prefill
-    # bucket + decode bucket) so compile time stays out of the timing.
-    # The measured pass uses FRESH prompts so the default-on prefix
-    # cache cannot skip its prefill (keeps the metric comparable).
-    llm.generate(prompt_token_ids=make_prompts(0),
-                 sampling_params=SamplingParams(max_tokens=2,
-                                                ignore_eos=True))
-    prompts = make_prompts(1)
+    # -- batch greedy decode (headline) --------------------------------
+    toks_s, decode_dt, _ = decode_tokens_per_s(
+        llm, SamplingParams, make_prompts(1, batch, prompt_len, vocab),
+        make_prompts(11, batch, prompt_len, vocab), gen_len)
+    wall_ms_step = decode_dt / gen_len * 1000
 
-    t0 = time.perf_counter()
-    outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
-    dt = time.perf_counter() - t0
-    gen_tokens = sum(len(o.token_ids) for o in outs)
-    toks_per_s = gen_tokens / dt
+    # -- single-sequence decode (BASELINE.json config #1) ----------------
+    single_gen = gen_len * 2
+    single_toks_s, _, _ = decode_tokens_per_s(
+        llm, SamplingParams, make_prompts(3, 1, prompt_len, vocab),
+        make_prompts(13, 1, prompt_len, vocab), single_gen)
 
-    if os.environ.get("ARCTIC_BENCH_STEP_TIMES"):
-        import sys
-        print("step times:", llm.engine.step_times.summary(),
-              file=sys.stderr)
+    # -- device step time + roofline ------------------------------------
+    ctx = prompt_len + gen_len // 2
+    device_s = measure_device_step(llm, batch, ctx)
+    bytes_per_step = step_bytes(llm, batch, ctx)
+    achieved_bps = bytes_per_step / device_s
+    greedy_comparator = None
+    if spec_batch != batch:
+        greedy_comparator, _, _ = decode_tokens_per_s(
+            llm, SamplingParams,
+            make_prompts(5, spec_batch, prompt_len, vocab),
+            make_prompts(15, spec_batch, prompt_len, vocab), gen_len)
+    else:
+        greedy_comparator = toks_s
+    del llm
 
-    print(json.dumps({
+    # -- Arctic speculator phase (north star: >= 1.7x greedy) -----------
+    spec_result = {}
+    if not os.environ.get("ARCTIC_BENCH_SKIP_SPEC"):
+        drafter = Path(os.environ.get(
+            "ARCTIC_BENCH_DRAFTER",
+            REPO / ("checkpoints/drafter-llama8b-fp8" if on_tpu
+                    else "checkpoints/drafter-cpu-smoke")))
+        if not (drafter / "config.json").exists():
+            print(f"[bench] distilling drafter -> {drafter}",
+                  file=sys.stderr)
+            subprocess.run(
+                [sys.executable,
+                 str(REPO / "benchmarks/distill_drafter.py"),
+                 "--out", str(drafter), "--batch", str(spec_batch),
+                 "--prompt-len", str(prompt_len), "--gen", str(gen_len),
+                 "--seed", "2"],
+                check=True, cwd=str(REPO))
+        spec_cfg = SpeculativeConfig(method="arctic", model=str(drafter),
+                                     num_speculative_tokens=3)
+        sllm = LLM(engine_cfg(spec_batch, speculative=spec_cfg))
+        spec_prompts = make_prompts(2, spec_batch, prompt_len, vocab)
+        # Warmup compiles the prefill bucket + the fused decode loop.
+        sllm.generate(prompt_token_ids=spec_prompts,
+                      sampling_params=SamplingParams(max_tokens=8,
+                                                     ignore_eos=True))
+        spec_toks_s, _, outs = decode_tokens_per_s(
+            sllm, SamplingParams, spec_prompts, spec_prompts, gen_len)
+        st = sllm.engine.spec_stats
+        spec_result = {
+            "spec_decode_tokens_per_s": round(spec_toks_s, 2),
+            "greedy_decode_tokens_per_s_same_batch":
+                round(greedy_comparator, 2),
+            "spec_speedup": round(spec_toks_s / greedy_comparator, 3),
+            "spec_acceptance_rate": round(st.acceptance_rate, 4)
+                if st.num_drafts else 0.0,
+            "spec_tokens_per_step": round(
+                1 + st.mean_accepted_per_draft, 3)
+                if st.num_drafts else 1.0,
+            "spec_batch": spec_batch,
+        }
+        del sllm
+
+    out = {
         "metric": "llama8b_fp8_greedy_decode_tokens_per_s_per_chip"
                   if on_tpu else "cpu_smoke_tokens_per_s",
-        "value": round(toks_per_s, 2),
+        "value": round(toks_s, 2),
         "unit": "tok/s",
-        "vs_baseline": round(toks_per_s / BASELINE_TOKS, 3),
-    }))
+        "vs_baseline": round(toks_s / BASELINE_TOKS, 3),
+        "decode_only": True,
+        "batch": batch,
+        "wall_ms_per_step": round(wall_ms_step, 3),
+        "device_ms_per_step": round(device_s * 1000, 3),
+        "hbm_gbps_achieved": round(achieved_bps / 1e9, 1),
+        "hbm_gbps_roofline_measured": round(roofline_bps / 1e9, 1),
+        "pct_roofline": round(100 * achieved_bps / roofline_bps, 1),
+        "single_seq_decode_tokens_per_s": round(single_toks_s, 2),
+        **spec_result,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,112 @@
+"""Drafter distillation end to end (spec/distill.py).
+
+The reference ships pre-distilled Arctic speculator checkpoints; here the
+capability is reproduced in-environment: capture (hidden, next-K-token)
+pairs from the running engine, train the tied-table MLP drafter on-chip,
+and verify that speculative decoding with the distilled drafter
+
+1. produces EXACTLY the greedy baseline output (verification invariance),
+2. achieves real, measured draft acceptance (the north-star mechanism:
+   >1 token per target step).
+"""
+
+import numpy as np
+import pytest
+
+from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                        ModelConfig, SchedulerConfig,
+                                        SpeculativeConfig)
+from arcticinference_tpu.engine.llm import LLM
+from arcticinference_tpu.engine.request import SamplingParams
+
+TINY = dict(
+    vocab_size=211, hidden_size=128, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    head_dim=32)
+
+
+def _config(speculative=None, sync=False) -> EngineConfig:
+    return EngineConfig(
+        model=ModelConfig(model="llama", hf_overrides=dict(TINY),
+                          max_model_len=256, dtype="float32"),
+        cache=CacheConfig(block_size=8, num_blocks=128),
+        scheduler=SchedulerConfig(max_num_seqs=4,
+                                  max_num_batched_tokens=64,
+                                  async_scheduling=not sync),
+        speculative=speculative,
+    )
+
+
+def _prompts(n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return [[int(x) for x in rng.integers(1, 200, 12)] for _ in range(n)]
+
+
+GEN = 24
+
+
+@pytest.fixture(scope="module")
+def distilled(tmp_path_factory):
+    from arcticinference_tpu.spec.distill import (capture_pairs,
+                                                  distill_mlp,
+                                                  save_distilled)
+
+    llm = LLM(_config(sync=True))
+    prompts = _prompts()
+    hidden, tok0, targets, mask = capture_pairs(
+        llm, prompts, gen_len=GEN, n_predict=3)
+    assert hidden.shape[0] == len(prompts) * (GEN - 1)
+    params, arch, acc = distill_mlp(
+        llm.engine.runner.params, hidden, tok0, targets, mask,
+        n_predict=3, steps=600, lr=3e-3, log_every=0)
+    out = tmp_path_factory.mktemp("drafter")
+    save_distilled(out, params, arch,
+                   metrics={"train_acc": [float(a) for a in acc]})
+    # Greedy baseline from the same engine (weights are seed-determined,
+    # so a fresh engine reproduces them bit-for-bit).
+    want = llm.generate(prompt_token_ids=prompts,
+                        sampling_params=SamplingParams(max_tokens=GEN,
+                                                       ignore_eos=True))
+    return out, prompts, [w.token_ids for w in want], acc
+
+
+class TestDistill:
+
+    def test_memorization_accuracy(self, distilled):
+        _, _, _, acc = distilled
+        # Head 1 must learn the target's next-token map almost exactly;
+        # later heads degrade gracefully.
+        assert acc[0] > 0.9, acc
+        assert acc[1] > 0.5, acc
+
+    def test_spec_matches_greedy_with_real_acceptance(self, distilled):
+        out, prompts, want, _ = distilled
+        spec = SpeculativeConfig(method="arctic", model=str(out),
+                                 num_speculative_tokens=3)
+        llm = LLM(_config(speculative=spec))
+        got = llm.generate(prompt_token_ids=prompts,
+                           sampling_params=SamplingParams(max_tokens=GEN,
+                                                          ignore_eos=True))
+        for g, w in zip(got, want):
+            assert g.token_ids == w
+        stats = llm.engine.spec_stats
+        assert stats.num_drafts > 0
+        assert stats.acceptance_rate > 0.5, stats.acceptance_rate
+        # The whole point: >1 token per verified step on average.
+        per_req = [(len(g.token_ids), g.num_draft_tokens,
+                    g.num_accepted_draft_tokens) for g in got]
+        total_acc = sum(a for _, _, a in per_req)
+        assert total_acc > 0, per_req
+
+    def test_sync_path_matches_too(self, distilled):
+        out, prompts, want, _ = distilled
+        spec = SpeculativeConfig(method="arctic", model=str(out),
+                                 num_speculative_tokens=3,
+                                 enable_fused_decode=False)
+        llm = LLM(_config(speculative=spec))
+        got = llm.generate(prompt_token_ids=prompts,
+                           sampling_params=SamplingParams(max_tokens=GEN,
+                                                          ignore_eos=True))
+        for g, w in zip(got, want):
+            assert g.token_ids == w
+        assert llm.engine.spec_stats.acceptance_rate > 0.5
