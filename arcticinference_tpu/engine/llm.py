@@ -44,9 +44,10 @@ class LLM:
         else:
             self.engine = LLMEngine(config)
         self.tokenizer = self._load_tokenizer()
-        if self.engine is not None and self.engine.eos_token_id is None \
-                and self.tokenizer is not None:
-            self.engine.eos_token_id = self.tokenizer.eos_token_id
+        if self.engine is not None and self.tokenizer is not None:
+            self.engine.tokenizer = self.tokenizer
+            if self.engine.eos_token_id is None:
+                self.engine.eos_token_id = self.tokenizer.eos_token_id
         self._next_id = 0
 
     def _load_tokenizer(self):
@@ -82,10 +83,19 @@ class LLM:
 
         requests: list[Request] = []
         for ids, sp in zip(prompt_token_ids, sampling_params):
-            rid = f"req-{self._next_id}"
-            self._next_id += 1
-            requests.append(
-                self.engine.add_request(rid, list(ids), sp))
+            # n > 1: one engine request per completion (vLLM V1 fans n
+            # out to n sequences the same way).
+            for i in range(sp.n):
+                rid = f"req-{self._next_id}"
+                self._next_id += 1
+                sub = sp
+                if sp.n > 1:
+                    import dataclasses
+                    sub = dataclasses.replace(
+                        sp, n=1,
+                        seed=sp.seed + i if sp.seed is not None else None)
+                requests.append(
+                    self.engine.add_request(rid, list(ids), sub))
 
         done: dict[str, Request] = {}
         while self.engine.has_unfinished:
@@ -95,8 +105,9 @@ class LLM:
         outputs = []
         for req in requests:
             fin = done.get(req.req_id, req)
-            text = (self.tokenizer.decode(fin.output_token_ids)
-                    if self.tokenizer is not None else None)
+            text = fin.final_text  # set when a string stop truncated
+            if text is None and self.tokenizer is not None:
+                text = self.tokenizer.decode(fin.output_token_ids)
             outputs.append(RequestOutput(
                 req_id=fin.req_id,
                 prompt_token_ids=fin.prompt_token_ids,

@@ -13,7 +13,21 @@ class SamplingParams:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    #: min-p filtering: drop tokens with prob < min_p * max_prob (0 = off).
+    min_p: float = 0.0
+    #: Per-request sampling seed: a seeded request reproduces its output
+    #: regardless of co-scheduling (None = engine step rng).
+    seed: Optional[int] = None
+    #: vLLM-semantics penalties (1.0 / 0.0 / 0.0 = no-op).
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
     stop_token_ids: tuple[int, ...] = ()
+    #: String stop sequences (OpenAI ``stop``): generation ends when one
+    #: appears in the decoded output; the stop text is excluded.
+    stop: tuple[str, ...] = ()
+    #: Number of completions per prompt (fanned out at the API layer).
+    n: int = 1
     ignore_eos: bool = False
     # Grammar-guided decoding (e.g. serving.structured.JsonGuidedDecoder);
     # compared by identity, not value.
@@ -26,8 +40,24 @@ class SamplingParams:
             raise ValueError("max_tokens must be positive")
         if self.temperature < 0:
             raise ValueError("temperature must be >= 0")
+        if not 0.0 <= self.min_p <= 1.0:
+            raise ValueError("min_p must be in [0, 1]")
+        if self.repetition_penalty <= 0:
+            raise ValueError("repetition_penalty must be > 0")
+        if self.n < 1:
+            raise ValueError("n must be >= 1")
+        if isinstance(self.stop, str):
+            self.stop = (self.stop,)
+        else:
+            self.stop = tuple(self.stop)
         if self.logprobs is not None and not 0 < self.logprobs <= 16:
             raise ValueError("logprobs must be in 1..16")
+
+    @property
+    def needs_penalties(self) -> bool:
+        return (self.repetition_penalty != 1.0
+                or self.presence_penalty != 0.0
+                or self.frequency_penalty != 0.0)
 
 
 class RequestStatus(enum.Enum):
@@ -58,6 +88,9 @@ class Request:
     num_computed_tokens: int = 0
     # Draft tokens proposed for the NEXT step (speculative decoding).
     spec_token_ids: list[int] = field(default_factory=list)
+    # Token-tree speculation: parents[i] = index of draft i's parent in
+    # spec_token_ids (-1 = child of the frontier).  None = linear chain.
+    spec_parents: Optional[list[int]] = None
     block_ids: list[int] = field(default_factory=list)
     # Prefix-cache registration watermark: leading full blocks whose
     # chain hashes are registered with the BlockManager.
@@ -65,6 +98,9 @@ class Request:
     # Per generated token: list of {token_id: logprob} dicts (when
     # sampling.logprobs is set).
     output_logprobs: list = field(default_factory=list)
+    # Stop-string truncation: when a string stop fired, the user-visible
+    # text (decoded output cut just before the stop sequence).
+    final_text: Optional[str] = None
     # Telemetry
     first_token_time: Optional[float] = None
     finish_time: Optional[float] = None

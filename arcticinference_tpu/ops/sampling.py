@@ -25,11 +25,20 @@ NO_TOKEN = -1
 
 
 def sample(logits: jax.Array, temperature: jax.Array, top_k: jax.Array,
-           top_p: jax.Array, rng: jax.Array) -> jax.Array:
+           top_p: jax.Array, rng: jax.Array,
+           min_p: jax.Array | None = None,
+           seeds: jax.Array | None = None,
+           counters: jax.Array | None = None) -> jax.Array:
     """Sample one token per row.
 
     logits: [N, V] fp32; temperature/top_k/top_p: [N] (temperature 0 =>
     greedy; top_k 0 => disabled; top_p 1 => disabled); rng: PRNG key.
+    min_p: [N] (0 => disabled): drop tokens whose probability is below
+    min_p * max-probability (after temperature), vLLM semantics.
+    seeds/counters: [N] per-request seeded sampling — rows with seed >= 0
+    draw from PRNGKey(seed) folded with the row's token position, so a
+    request with a fixed seed reproduces its output regardless of how it
+    was co-scheduled; rows with seed < 0 use the engine step key.
     Returns [N] int32.
     """
     n, v = logits.shape
@@ -38,6 +47,14 @@ def sample(logits: jax.Array, temperature: jax.Array, top_k: jax.Array,
     # Temperature scale (guard zero).
     t = jnp.where(temperature > 0, temperature, 1.0)[:, None]
     scaled = logits / t
+
+    # min-p mask: prob < min_p * max_prob (on the temperature-scaled
+    # distribution) is filtered before top-k/top-p.
+    if min_p is not None:
+        probs = jax.nn.softmax(scaled, axis=-1)
+        cutoff = min_p[:, None] * jnp.max(probs, axis=-1, keepdims=True)
+        scaled = jnp.where((probs < cutoff) & (min_p[:, None] > 0),
+                           -jnp.inf, scaled)
 
     # Top-k mask.
     sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
@@ -55,8 +72,65 @@ def sample(logits: jax.Array, temperature: jax.Array, top_k: jax.Array,
     thresh = jnp.min(jnp.where(cutoff_mask, sorted_desc, jnp.inf), axis=-1)
     scaled = jnp.where(scaled < thresh[:, None], -jnp.inf, scaled)
 
-    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+    if seeds is None:
+        sampled = jax.random.categorical(rng, scaled,
+                                         axis=-1).astype(jnp.int32)
+    else:
+        # Per-row keys via the Gumbel trick (categorical == argmax of
+        # logits + Gumbel noise): seeded rows get a deterministic
+        # per-(seed, position) stream, unseeded rows ride the step key.
+        if counters is None:
+            counters = jnp.zeros((n,), jnp.int32)
+
+        def row_key(seed, counter, i):
+            seeded = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(
+                    jnp.maximum(seed, 0)), counter), 7)
+            unseeded = jax.random.fold_in(rng, i)
+            return jax.lax.select(seed >= 0, seeded, unseeded)
+
+        keys = jax.vmap(row_key)(seeds, counters,
+                                 jnp.arange(n, dtype=jnp.int32))
+        gumbel = jax.vmap(
+            lambda kk: jax.random.gumbel(kk, (v,), jnp.float32))(keys)
+        sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
     return jnp.where(temperature == 0, greedy, sampled)
+
+
+def apply_penalties(logits: jax.Array, output_tokens: jax.Array,
+                    all_tokens: jax.Array, repetition_penalty: jax.Array,
+                    presence_penalty: jax.Array,
+                    frequency_penalty: jax.Array) -> jax.Array:
+    """Repetition / presence / frequency penalties (vLLM semantics, which
+    the reference inherits from vLLM's sampler).
+
+    logits: [N, V]; output_tokens: [N, Lo] this request's generated
+    tokens (-1 padded); all_tokens: [N, La] prompt + generated (-1
+    padded); penalties: [N] (repetition 1.0 / presence 0.0 / frequency
+    0.0 => no-op).  Frequency/presence act on output counts; repetition
+    divides positive (multiplies negative) logits of any token present in
+    prompt or output.
+    """
+    n, v = logits.shape
+    rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+
+    out_valid = output_tokens >= 0
+    out_idx = jnp.clip(output_tokens, 0, v - 1)
+    counts = jnp.zeros((n, v), jnp.float32).at[
+        jnp.broadcast_to(rows, output_tokens.shape), out_idx].add(
+        out_valid.astype(jnp.float32))
+
+    all_valid = all_tokens >= 0
+    all_idx = jnp.clip(all_tokens, 0, v - 1)
+    seen = jnp.zeros((n, v), jnp.float32).at[
+        jnp.broadcast_to(rows, all_tokens.shape), all_idx].max(
+        all_valid.astype(jnp.float32))
+
+    logits = logits - frequency_penalty[:, None] * counts
+    logits = logits - presence_penalty[:, None] * (counts > 0)
+    rp = repetition_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+    return jnp.where(seen > 0, penalized, logits)
 
 
 def verify_greedy(

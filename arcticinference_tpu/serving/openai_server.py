@@ -47,6 +47,9 @@ class OpenAIServer:
             self.engine = AsyncLLMEngine(config)
         self.model_name = served_model_name or config.model.model
         self.tokenizer = self._load_tokenizer()
+        if self.engine is not None and self.tokenizer is not None:
+            # String stop sequences are detected inside the engine loop.
+            self.engine.engine.tokenizer = self.tokenizer
         self.app = web.Application()
         self.app.add_routes([
             web.post("/v1/completions", self.completions),
@@ -96,16 +99,35 @@ class OpenAIServer:
                 make_guided_decoder)
             guided = make_guided_decoder(self.tokenizer, spec)
         logprobs = body.get("logprobs")
+        stop = body.get("stop") or ()
+        if isinstance(stop, str):
+            stop = (stop,)
+        seed = body.get("seed")
         return SamplingParams(
             max_tokens=int(body.get("max_tokens", 128)),
             temperature=float(body.get("temperature", 0.0)),
             top_p=float(body.get("top_p", 1.0)),
             top_k=int(body.get("top_k", 0)),
+            min_p=float(body.get("min_p", 0.0)),
+            seed=int(seed) if seed is not None else None,
+            repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+            presence_penalty=float(body.get("presence_penalty", 0.0)),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0)),
             ignore_eos=eos_ignore,
             stop_token_ids=tuple(body.get("stop_token_ids", ())),
+            stop=tuple(str(s) for s in stop),
+            n=int(body.get("n", 1)),
             guided=guided,
             logprobs=int(logprobs) if logprobs else None,
         )
+
+    @staticmethod
+    def _trim_stops(text: str, stops) -> tuple[str, bool]:
+        """Cut the completion text just before the first stop sequence
+        (OpenAI excludes the stop text from the response)."""
+        cut = min((i for i in (text.find(s) for s in stops) if i != -1),
+                  default=-1)
+        return (text[:cut], True) if cut >= 0 else (text, False)
 
     def _encode(self, text: str) -> list[int]:
         if self.tokenizer is None:
@@ -235,31 +257,62 @@ class OpenAIServer:
         sampling = self._sampling_from(body)
         rid = f"cmpl-{uuid.uuid4().hex[:16]}"
         if body.get("stream"):
+            if sampling.n > 1:
+                raise web.HTTPBadRequest(text="stream with n>1 unsupported")
             return await self._stream_completion(
                 request, rid, prompt_ids, sampling, chat=False)
-        token_ids, finish, logprobs = await self._collect(
-            prompt_ids, sampling, rid)
-        choice = {
-            "index": 0,
-            "text": self._decode(token_ids),
-            "token_ids": token_ids,
-            "finish_reason": _reason(finish),
-        }
-        if logprobs is not None:
-            choice["logprobs"] = {
-                "tokens": [self._decode([t]) for t in token_ids],
-                "token_logprobs": [lp.get(t) for t, lp in
-                                   zip(token_ids, logprobs)],
-                "top_logprobs": [
-                    {self._decode([t]): v for t, v in lp.items()}
-                    for lp in logprobs],
+        fans = self._fan_out(body, sampling, rid)
+        results = await asyncio.gather(*[
+            self._collect(prompt_ids, sp, sub_rid)
+            for sub_rid, sp in fans])
+        choices = []
+        all_ids = []
+        for i, (token_ids, finish, logprobs) in enumerate(results):
+            all_ids.extend(token_ids)
+            text = self._decode(token_ids)
+            if sampling.stop:
+                text, hit = self._trim_stops(text, sampling.stop)
+                if hit:
+                    finish = "finished_stopped"
+            choice = {
+                "index": i,
+                "text": text,
+                "token_ids": token_ids,
+                "finish_reason": _reason(finish),
             }
+            if logprobs is not None:
+                choice["logprobs"] = {
+                    "tokens": [self._decode([t]) for t in token_ids],
+                    "token_logprobs": [lp.get(t) for t, lp in
+                                       zip(token_ids, logprobs)],
+                    "top_logprobs": [
+                        {self._decode([t]): v for t, v in lp.items()}
+                        for lp in logprobs],
+                }
+            choices.append(choice)
         return web.json_response({
             "id": rid, "object": "text_completion",
             "created": int(time.time()), "model": self.model_name,
-            "choices": [choice],
-            "usage": _usage(prompt_ids, token_ids),
+            "choices": choices,
+            "usage": _usage(prompt_ids, all_ids),
         })
+
+    def _fan_out(self, body, sampling, rid):
+        """n>1: one engine request per choice.  Each choice gets its own
+        guided decoder (stateful) and a distinct derived seed."""
+        import dataclasses as _dc
+        if sampling.n <= 1:
+            return [(rid, sampling)]
+        fans = []
+        for i in range(sampling.n):
+            sp = (self._sampling_from(body) if sampling.guided is not None
+                  else _dc.replace(sampling))
+            if sp.seed is not None:
+                sp.seed = sp.seed + i
+            elif sp.temperature == 0:
+                pass  # greedy: identical choices, OpenAI semantics
+            fans.append((f"{rid}-{i}", sp))
+        return fans
 
     async def chat_completions(self, request: web.Request) -> web.Response:
         if self.engine is None:
@@ -274,20 +327,33 @@ class OpenAIServer:
         sampling = self._sampling_from(body)
         rid = f"chatcmpl-{uuid.uuid4().hex[:16]}"
         if body.get("stream"):
+            if sampling.n > 1:
+                raise web.HTTPBadRequest(text="stream with n>1 unsupported")
             return await self._stream_completion(
                 request, rid, prompt_ids, sampling, chat=True)
-        token_ids, finish, _ = await self._collect(
-            prompt_ids, sampling, rid)
+        fans = self._fan_out(body, sampling, rid)
+        results = await asyncio.gather(*[
+            self._collect(prompt_ids, sp, sub_rid)
+            for sub_rid, sp in fans])
+        choices = []
+        all_ids = []
+        for i, (token_ids, finish, _) in enumerate(results):
+            all_ids.extend(token_ids)
+            text = self._decode(token_ids)
+            if sampling.stop:
+                text, hit = self._trim_stops(text, sampling.stop)
+                if hit:
+                    finish = "finished_stopped"
+            choices.append({
+                "index": i,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": _reason(finish),
+            })
         return web.json_response({
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": self.model_name,
-            "choices": [{
-                "index": 0,
-                "message": {"role": "assistant",
-                            "content": self._decode(token_ids)},
-                "finish_reason": _reason(finish),
-            }],
-            "usage": _usage(prompt_ids, token_ids),
+            "choices": choices,
+            "usage": _usage(prompt_ids, all_ids),
         })
 
     def _chat_prompt_ids(self, messages: list[dict]) -> list[int]:
@@ -334,6 +400,8 @@ class OpenAIServer:
                                                     rid):
                 all_ids.extend(chunk.new_token_ids)
                 full = self._decode(all_ids)
+                if sampling.stop:
+                    full, _stop_hit = self._trim_stops(full, sampling.stop)
                 delta_text = full[len(sent_text):]
                 # Hold back partial unicode tails.
                 if delta_text.endswith("�"):
