@@ -178,6 +178,13 @@ class SpeculativeConfig:
     # ``Fp8ConfigWithEmbedding``).  The draft LM head [hidden, vocab]
     # dominates draft latency, so halving its HBM traffic matters.
     quantization: Optional[str] = None       # None | "fp8" | "int8"
+    # Token-tree speculation (reference suffix_tree.cc:245-274 emits
+    # best-first parent-linked trees): verify a branching draft tree in
+    # one target pass via ancestor-masked attention.  Runs on the
+    # synchronous engine path (accepted tokens are re-fed next step, so
+    # the device-resident fused loop is disabled); single-chip,
+    # non-SwiftKV models.
+    use_tree_spec: bool = False
     # Suffix decoding knobs (reference config.py:56-62):
     enable_suffix_decoding: bool = False
     suffix_cache_max_depth: int = 64
@@ -193,6 +200,15 @@ class SpeculativeConfig:
             self.enable_suffix_decoding = True
             # Suffix drafts are variable-length up to tree depth.
             self.num_speculative_tokens = self.suffix_cache_max_depth
+        if self.use_tree_spec:
+            if self.method != "suffix":
+                raise ValueError(
+                    "use_tree_spec requires method='suffix' (the MLP/"
+                    "LSTM drafters emit linear chains)")
+            # Tree verify runs on the synchronous path: accepted tokens'
+            # KV lives at scratch slots and is re-fed next step, which
+            # the device-resident loop cannot mirror.
+            self.enable_fused_decode = False
         if self.quantization not in (None, "fp8", "int8"):
             raise ValueError(
                 f"Unknown speculator quantization {self.quantization!r} "

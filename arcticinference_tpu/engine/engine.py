@@ -60,6 +60,9 @@ class LLMEngine:
         self.arch = arch
         self.eos_token_id: Optional[int] = getattr(arch, "eos_token_id",
                                                    None)
+        # Detokenizer for string stop sequences (set by LLM / the server;
+        # requests with sampling.stop are rejected without one).
+        self.tokenizer = None
         self.runner = ModelRunner(config, module, arch, params, mesh=mesh)
         self.scheduler = Scheduler(config.scheduler, config.cache,
                                    self.runner.num_blocks)
@@ -88,6 +91,12 @@ class LLMEngine:
         self._drafter = None
         self._fused = None
         if self.spec_config is not None:
+            if self.spec_config.use_tree_spec and (
+                    self.runner.mesh is not None or self.runner.swift):
+                raise NotImplementedError(
+                    "use_tree_spec is single-chip, non-SwiftKV for now "
+                    "(the tree attention mask rides the standard ragged "
+                    "schedule only)")
             if self.spec_config.enable_suffix_decoding:
                 from arcticinference_tpu.spec.suffix_cache import SuffixCache
                 self._suffix_cache = SuffixCache(
@@ -119,6 +128,11 @@ class LLMEngine:
                     sampling: Optional[SamplingParams] = None) -> Request:
         if not prompt_token_ids:
             raise ValueError("prompt must not be empty")
+        if sampling is not None and sampling.stop and \
+                self.tokenizer is None:
+            raise ValueError(
+                "string stop sequences need a tokenizer (none is "
+                "configured for this engine)")
         if len(prompt_token_ids) >= self.config.model.max_model_len:
             raise ValueError(
                 f"prompt length {len(prompt_token_ids)} >= max_model_len "
@@ -201,7 +215,11 @@ class LLMEngine:
             self._profiling = False
 
     def _any_guided(self) -> bool:
+        # Guided / logprobs need top-k rows; penalties need host-known
+        # token histories at dispatch time (pipelined steps would upload
+        # PENDING placeholders) — all force the synchronous path.
         return any(r.sampling.guided is not None or r.sampling.logprobs
+                   or r.sampling.needs_penalties
                    for r in (*self.scheduler.running,
                              *self.scheduler.waiting))
 
@@ -327,6 +345,9 @@ class LLMEngine:
                     tok in sp.stop_token_ids:
                 del out[i + 1:]
                 return RequestStatus.FINISHED_STOPPED
+        if self._check_stop_strings(req, prefix):
+            del out[prefix:]
+            return RequestStatus.FINISHED_STOPPED
         if prefix >= sp.max_tokens:
             del out[sp.max_tokens:]
             return RequestStatus.FINISHED_LENGTH
@@ -335,6 +356,35 @@ class LLMEngine:
             del out[prefix:]
             return RequestStatus.FINISHED_LENGTH
         return None
+
+    def _check_stop_strings(self, req: Request,
+                            known: Optional[int] = None) -> bool:
+        """OpenAI ``stop`` string sequences: finish when one appears in
+        the decoded output; ``req.final_text`` records the user-visible
+        text cut just before the stop (vLLM's default
+        include_stop_str_in_output=False semantics)."""
+        sp = req.sampling
+        if not sp.stop or self.tokenizer is None:
+            return False
+        out = req.output_token_ids
+        if known is None:
+            known = len(out)
+        # Bounded re-decode window: stop sequences are short; the slack
+        # covers multi-token renderings and BPE boundary effects.
+        win = 16 + max(len(s) for s in sp.stop)
+        text = self.tokenizer.decode(out[max(0, known - win):known])
+        if not any(s in text for s in sp.stop):
+            return False
+        full = self.tokenizer.decode(out[:known])
+        cut = min((idx for idx in (full.find(s) for s in sp.stop)
+                   if idx != -1), default=-1)
+        req.final_text = full[:cut] if cut >= 0 else full
+        return True
+
+    def _stop_with_strings(self, req: Request, stop):
+        if stop is None and self._check_stop_strings(req):
+            return RequestStatus.FINISHED_STOPPED
+        return stop
 
     def _flush_inflight(self) -> list[Request]:
         out: list[Request] = []
@@ -398,8 +448,9 @@ class LLMEngine:
                 accepted_row[req.req_id] = lo
                 if req.first_token_time is None:
                     req.first_token_time = time.time()
-                stop = req.check_stop(self.eos_token_id,
-                                      self.config.model.max_model_len)
+                stop = self._stop_with_strings(
+                    req, req.check_stop(self.eos_token_id,
+                                        self.config.model.max_model_len))
                 if stop is None and guided.finished():
                     stop = RequestStatus.FINISHED_STOPPED
                 if stop is not None:
@@ -416,19 +467,49 @@ class LLMEngine:
             drafts = s.spec_token_ids
             use_sampler = req.sampling.temperature > 0
             rowvals = (sampled if use_sampler else argmax)[lo:lo + k]
-            n_acc = 0
-            for i, d in enumerate(drafts):
-                if rowvals[i] == d:
-                    n_acc += 1
-                else:
-                    break
-            new_tokens = [int(x) for x in drafts[:n_acc]] + \
-                [int(rowvals[n_acc])]
-            if drafts:
-                self.spec_stats.observe(len(drafts), n_acc)
+            if s.spec_parents is not None and drafts:
+                # Token-tree verification: walk the tree from the
+                # frontier, at each node following the child whose token
+                # matches the target's next-token choice at that node's
+                # verify row (longest root-path match + bonus).  Accepted
+                # tokens' KV sits at scratch slots, so commit with
+                # num_accepted=0 — the scheduler re-feeds them next step.
+                childs: dict[int, list[int]] = {}
+                for i, p in enumerate(s.spec_parents):
+                    childs.setdefault(p, []).append(i)
+                cur = -1
+                path: list[int] = []
+                while True:
+                    prow = 0 if cur < 0 else 1 + cur
+                    want = int(rowvals[prow])
+                    nxt = next((c for c in childs.get(cur, ())
+                                if drafts[c] == want), None)
+                    if nxt is None:
+                        bonus = want
+                        break
+                    path.append(nxt)
+                    cur = nxt
+                new_tokens = [int(drafts[c]) for c in path] + [bonus]
+                n_acc = 0
+                self.spec_stats.observe(len(drafts), len(path))
                 req.num_draft_tokens += len(drafts)
-                req.num_accepted_draft_tokens += n_acc
-            accepted_row[req.req_id] = lo + n_acc
+                req.num_accepted_draft_tokens += len(path)
+                accepted_row[req.req_id] = lo + (0 if cur < 0
+                                                 else 1 + cur)
+            else:
+                n_acc = 0
+                for i, d in enumerate(drafts):
+                    if rowvals[i] == d:
+                        n_acc += 1
+                    else:
+                        break
+                new_tokens = [int(x) for x in drafts[:n_acc]] + \
+                    [int(rowvals[n_acc])]
+                if drafts:
+                    self.spec_stats.observe(len(drafts), n_acc)
+                    req.num_draft_tokens += len(drafts)
+                    req.num_accepted_draft_tokens += n_acc
+                accepted_row[req.req_id] = lo + n_acc
 
             if req.first_token_time is None:
                 req.first_token_time = time.time()
@@ -445,8 +526,9 @@ class LLMEngine:
                 capture_items.append(
                     (req.req_id, lo + n_acc, new_tokens[-1]))
 
-            stop = req.check_stop(self.eos_token_id,
-                                  self.config.model.max_model_len)
+            stop = self._stop_with_strings(
+                req, req.check_stop(self.eos_token_id,
+                                    self.config.model.max_model_len))
             if stop is not None:
                 req.finish_time = time.time()
                 self.scheduler.finish_request(req, stop)
@@ -511,19 +593,32 @@ class LLMEngine:
             # of transients at 8B/128k-vocab scale).
             return
         sc = self.spec_config
+        tree = bool(sc.use_tree_spec)
+
+        def proposable(req):
+            if req.status.is_finished or \
+                    req.sampling.guided is not None or \
+                    req.sampling.needs_penalties:
+                return False
+            if req.num_computed_tokens >= req.num_tokens - 1:
+                return True          # at the decode frontier
+            # Tree mode re-verifies accepted tokens next step, so the
+            # request is draftable as soon as its prompt is computed.
+            return tree and \
+                req.num_computed_tokens >= len(req.prompt_token_ids)
 
         suffix_results = {}
         if self._suffix_cache is not None:
             for s in sched_out.scheduled:
                 req = s.request
-                if req.status.is_finished or \
-                        req.num_computed_tokens < req.num_tokens - 1 or \
-                        req.sampling.guided is not None:
+                if not proposable(req):
                     continue
                 pattern = req.all_token_ids[-sc.suffix_cache_max_depth:]
                 cap = min(sc.num_speculative_tokens,
                           self.config.model.max_model_len
                           - req.num_tokens - 1)
+                if tree:
+                    cap = min(cap, 30)   # ancestor bitmask width
                 if not pattern or cap <= 0:
                     continue
                 res = self._suffix_cache.speculate(
@@ -532,6 +627,7 @@ class LLMEngine:
                     max_spec_factor=sc.suffix_max_spec_factor,
                     max_spec_offset=sc.suffix_max_spec_offset,
                     min_token_prob=sc.suffix_min_token_prob,
+                    use_tree_spec=tree,
                     use_cached_prompt=self._suffix_cache.has_cached_prompt(
                         req.req_id))
                 suffix_results[req.req_id] = res
@@ -543,14 +639,18 @@ class LLMEngine:
         drafter_reqs = []
         for s in sched_out.scheduled:
             req = s.request
-            if req.status.is_finished or \
-                    req.num_computed_tokens < req.num_tokens - 1 or \
-                    req.sampling.guided is not None:
+            if not proposable(req):
                 continue
             res = suffix_results.get(req.req_id)
             if res is not None and res.score >= min_score and res.token_ids:
                 req.spec_token_ids = [int(t) for t in res.token_ids]
-            elif self._drafter is not None:
+                parents = list(res.parents)
+                # A pure chain rides the cheaper linear path (its KV
+                # lands at the right slots, no re-feed needed).
+                is_chain = all(p == i - 1 for i, p in enumerate(parents))
+                req.spec_parents = None if is_chain else parents
+            elif self._drafter is not None and \
+                    req.num_computed_tokens >= req.num_tokens - 1:
                 drafter_reqs.append(s)
 
         if drafter_reqs and self._drafter is not None:

@@ -371,7 +371,10 @@ class FusedDecodeLoop:
             sp = req.sampling
             if (req.num_computed_tokens != req.num_tokens - 1
                     or sp.guided is not None or sp.logprobs
-                    or len(sp.stop_token_ids) > MAX_STOP_IDS):
+                    or len(sp.stop_token_ids) > MAX_STOP_IDS
+                    # Host-side semantics the device step can't mirror:
+                    or sp.needs_penalties or sp.stop
+                    or sp.min_p > 0 or sp.seed is not None):
                 return False
         return True
 

@@ -247,6 +247,8 @@ class ModelRunner:
         sample_rows: list[int] = []
         row_start: list[int] = []
         row_count: list[int] = []
+        row_tree_mask = None          # [t_pad] ancestor bitmasks
+        tree_start = None             # [B] frontier slot per request
 
         t = 0
         for r, s in enumerate(scheduled):
@@ -262,6 +264,30 @@ class ModelRunner:
                 toks = [0] + list(toks[1:])
             input_ids[t:t + n] = toks
             positions[t:t + n] = np.arange(ctx, ctx + n)
+            if s.spec_parents is not None and s.spec_token_ids:
+                # Token-tree drafts: RoPE positions are depth-based
+                # (siblings share a position); cache SLOTS stay linear
+                # (slot_mapping below indexes by arange), and attention
+                # sees ancestors only via the per-row bitmask.
+                nd = len(s.spec_token_ids)
+                assert nd <= 30, "tree drafts are capped at 30 nodes"
+                chunk = n - nd
+                frontier = ctx + chunk - 1   # slot == position (real)
+                if row_tree_mask is None:
+                    row_tree_mask = np.zeros(t_pad, np.int32)
+                    tree_start = np.full(b, -1, np.int32)
+                tree_start[r] = frontier
+                depth = np.zeros(nd, np.int32)
+                mask = np.zeros(nd, np.int32)
+                for i, p in enumerate(s.spec_parents):
+                    if p < 0:
+                        depth[i] = 0
+                        mask[i] = 1 | (1 << (i + 1))
+                    else:
+                        depth[i] = depth[p] + 1
+                        mask[i] = mask[p] | (1 << (i + 1))
+                positions[t + chunk:t + n] = frontier + 1 + depth
+                row_tree_mask[t + chunk:t + n] = mask
             req_idx[t:t + n] = r
             bt = req.block_ids
             block_tables[r, :len(bt)] = bt
@@ -288,12 +314,32 @@ class ModelRunner:
         temperature = np.zeros(s_pad, np.float32)
         top_k = np.zeros(s_pad, np.int32)
         top_p = np.ones(s_pad, np.float32)
+        min_p = np.zeros(s_pad, np.float32)
+        seeds = np.full(s_pad, -1, np.int32)
+        counters = np.zeros(s_pad, np.int32)
+        rep_pen = np.ones(s_pad, np.float32)
+        pres_pen = np.zeros(s_pad, np.float32)
+        freq_pen = np.zeros(s_pad, np.float32)
+        any_penalties = False
         for r, s in enumerate(scheduled):
-            sp = s.request.sampling
+            req = s.request
+            sp = req.sampling
             lo, k = row_start[r], row_count[r]
             temperature[lo:lo + k] = sp.temperature
             top_k[lo:lo + k] = sp.top_k
             top_p[lo:lo + k] = sp.top_p
+            min_p[lo:lo + k] = sp.min_p
+            if sp.seed is not None:
+                seeds[lo:lo + k] = sp.seed
+                # Counter = absolute position of the token being sampled,
+                # so a seeded request's stream is schedule-invariant.
+                end = req.num_computed_tokens + s.num_new_tokens
+                counters[lo:lo + k] = np.arange(end - k + 1, end + 1)
+            if sp.needs_penalties:
+                rep_pen[lo:lo + k] = sp.repetition_penalty
+                pres_pen[lo:lo + k] = sp.presence_penalty
+                freq_pen[lo:lo + k] = sp.frequency_penalty
+                any_penalties = True
 
         # Attention work-item schedule.
         attn_qb = 8 if int(query_lens.max(initial=1)) <= 8 else 32
@@ -304,17 +350,59 @@ class ModelRunner:
         (item_req, item_qstart, item_qlen, item_pages, item_pos_base,
          token_item, token_off) = schedule
 
+        tree_arrays = {}
+        if row_tree_mask is not None:
+            # Lower per-request tree data onto the work-item schedule:
+            # per-item frontier slot + per-window-row ancestor bitmasks
+            # (the kernel reads them from scalar prefetch).
+            qw = attn_qb + 8
+            it_ts = np.full(item_req.shape[0], -1, np.int32)
+            it_mask = np.zeros((item_req.shape[0], qw), np.int32)
+            for tt in np.nonzero(row_tree_mask)[0]:
+                it = token_item[tt]
+                it_mask[it, token_off[tt]] = row_tree_mask[tt]
+                it_ts[it] = tree_start[item_req[it]]
+            tree_arrays = dict(
+                attn_tree_start=tree_start,
+                attn_row_tree_mask=row_tree_mask,
+                attn_item_tree_start=it_ts,
+                attn_item_tree_mask=it_mask)
+
         arrays = dict(
             input_ids=input_ids, input_src=input_src,
             positions=positions, req_idx=req_idx,
             slot_mapping=slot_mapping, block_tables=block_tables,
             seq_lens=seq_lens, logits_indices=logits_indices,
             temperature=temperature, top_k=top_k, top_p=top_p,
+            min_p=min_p, seeds=seeds, counters=counters,
+            rep_pen=rep_pen, pres_pen=pres_pen, freq_pen=freq_pen,
             attn_item_req=item_req, attn_item_qstart=item_qstart,
             attn_item_qlen=item_qlen, attn_item_pages=item_pages,
             attn_item_pos_base=item_pos_base, attn_token_item=token_item,
             attn_token_off=token_off,
+            **tree_arrays,
         )
+        if any_penalties:
+            # Token-history matrices for the penalty op (only built when a
+            # scheduled request asks for penalties; their presence keys a
+            # separate compiled step variant).  -1 padded; bucketed length.
+            la = pad_to_bucket(
+                max(max((s.request.num_tokens for s in scheduled),
+                        default=1), 1), self.token_buckets + [
+                    self.config.model.max_model_len])
+            pen_out = np.full((s_pad, la), -1, np.int32)
+            pen_all = np.full((s_pad, la), -1, np.int32)
+            for r, s in enumerate(scheduled):
+                req = s.request
+                if not req.sampling.needs_penalties:
+                    continue
+                lo, k = row_start[r], row_count[r]
+                out_ids = req.output_token_ids
+                all_ids = req.all_token_ids
+                pen_out[lo:lo + k, :len(out_ids)] = out_ids
+                pen_all[lo:lo + k, :len(all_ids)] = all_ids
+            arrays["pen_out_tokens"] = pen_out
+            arrays["pen_all_tokens"] = pen_all
         if self.swift:
             # Second ragged-attention schedule over the surviving sample
             # rows (contiguous per request in the s_pad layout).
@@ -370,16 +458,25 @@ class ModelRunner:
     _I32_KEYS = ("input_ids", "input_src", "positions", "req_idx",
                  "slot_mapping",
                  "block_tables", "seq_lens", "logits_indices", "top_k",
+                 "seeds", "counters",
                  "attn_item_req", "attn_item_qstart", "attn_item_qlen",
                  "attn_item_pages", "attn_item_pos_base", "attn_token_item",
                  "attn_token_off")
-    _F32_KEYS = ("temperature", "top_p")
+    _F32_KEYS = ("temperature", "top_p", "min_p", "rep_pen", "pres_pen",
+                 "freq_pen")
+    # Present only on steps where a request asked for penalties, or a
+    # step carries tree drafts.
+    _PEN_KEYS = ("pen_out_tokens", "pen_all_tokens",
+                 "attn_tree_start", "attn_row_tree_mask",
+                 "attn_item_tree_start", "attn_item_tree_mask")
 
     def _pack(self, arrays: dict[str, np.ndarray]):
-        i32 = np.concatenate([arrays[k].ravel() for k in self._i32_keys])
+        i32_keys = self._i32_keys + tuple(
+            k for k in self._PEN_KEYS if k in arrays)
+        i32 = np.concatenate([arrays[k].ravel() for k in i32_keys])
         f32 = np.concatenate([arrays[k].ravel() for k in self._F32_KEYS])
         shapes = tuple((k, arrays[k].shape) for k in
-                       self._i32_keys + self._F32_KEYS)
+                       i32_keys + self._F32_KEYS)
         return i32, f32, shapes
 
     @staticmethod
@@ -482,13 +579,27 @@ class ModelRunner:
             temperature = inputs.pop("temperature")
             top_k = inputs.pop("top_k")
             top_p = inputs.pop("top_p")
+            min_p = inputs.pop("min_p")
+            seeds = inputs.pop("seeds")
+            counters = inputs.pop("counters")
+            rep_pen = inputs.pop("rep_pen")
+            pres_pen = inputs.pop("pres_pen")
+            freq_pen = inputs.pop("freq_pen")
+            pen_out = inputs.pop("pen_out_tokens", None)
+            pen_all = inputs.pop("pen_all_tokens", None)
             kv, h = fwd(params, kv, inputs)
             rows = h if returns_rows else h[logits_indices]
             logits = module.compute_logits(params, rows)
+            if pen_out is not None:
+                from arcticinference_tpu.ops.sampling import apply_penalties
+                logits = apply_penalties(logits, pen_out, pen_all,
+                                         rep_pen, pres_pen, freq_pen)
             argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if need_sampling:
                 from arcticinference_tpu.ops.sampling import sample
-                sampled = sample(logits, temperature, top_k, top_p, rng)
+                sampled = sample(logits, temperature, top_k, top_p, rng,
+                                 min_p=min_p, seeds=seeds,
+                                 counters=counters)
                 parts = [argmax, sampled]
             else:
                 parts = [argmax, argmax]

@@ -25,6 +25,9 @@ class ScheduledRequest:
     request: Request
     num_new_tokens: int          # tokens to run this step (incl. drafts)
     spec_token_ids: list[int]    # drafts being verified this step
+    # Tree drafts: parents[i] = index of draft i's parent (-1 = frontier
+    # child); None = linear chain (the common case).
+    spec_parents: Optional[list[int]] = None
 
 
 @dataclass
@@ -149,6 +152,7 @@ class Scheduler:
             if req.status is not RequestStatus.RUNNING:
                 continue  # preempted by an earlier request this step
             known_remaining = req.num_tokens - req.num_computed_tokens
+            parents = None
             if known_remaining > 1:
                 # Prefill, or catch-up after recompute-preemption: feed
                 # the known tokens (sampling happens only on the step
@@ -160,11 +164,22 @@ class Scheduler:
                     chunk = known_remaining
                 n = chunk
                 drafts: list[int] = []
+                if chunk == known_remaining and req.spec_token_ids:
+                    # Tree speculation re-verifies accepted tokens (their
+                    # KV was written at scratch slots), so drafts attach
+                    # to the catch-up chunk that reaches the frontier.
+                    drafts = req.spec_token_ids[:budget - chunk]
+                    parents = (req.spec_parents[:len(drafts)]
+                               if req.spec_parents is not None else None)
+                    n = chunk + len(drafts)
             else:
                 drafts = req.spec_token_ids
+                parents = req.spec_parents
                 n = 1 + len(drafts)
                 if n > budget:
                     drafts = drafts[:budget - 1]
+                    if parents is not None:
+                        parents = parents[:len(drafts)]
                     n = 1 + len(drafts)
             try:
                 self.block_manager.grow_to(
@@ -179,7 +194,8 @@ class Scheduler:
                         req.block_ids, req.num_computed_tokens + n)
                 except NoFreeBlocksError:
                     continue
-            out.scheduled.append(ScheduledRequest(req, n, drafts))
+            out.scheduled.append(ScheduledRequest(req, n, drafts,
+                                                  parents))
             budget -= n
 
         # --- admit waiting requests (new or preempted prefills) -----------
@@ -224,6 +240,7 @@ class Scheduler:
             req.status = RequestStatus.WAITING
             req.num_computed_tokens = 0
             req.spec_token_ids = []
+            req.spec_parents = None
             self.waiting.appendleft(req)
             if out is not None:
                 out.scheduled = [s for s in out.scheduled
@@ -248,4 +265,5 @@ class Scheduler:
             req.num_computed_tokens -= rejected
         req.output_token_ids.extend(new_token_ids)
         req.spec_token_ids = []
+        req.spec_parents = None
         self.register_computed(req)

@@ -371,6 +371,9 @@ def make_attn_impl(attn_qb: int = 32):
                         inputs["attn_item_qlen"], inputs["attn_item_pages"],
                         inputs["attn_item_pos_base"],
                         inputs["attn_token_item"], inputs["attn_token_off"])
+            if "attn_item_tree_start" in inputs:
+                schedule = schedule + (inputs["attn_item_tree_start"],
+                                       inputs["attn_item_tree_mask"])
 
             def run():
                 return ragged_paged_attention_kernel(
@@ -395,7 +398,9 @@ def make_attn_impl(attn_qb: int = 32):
             row = ks[layer]
         return ragged_paged_attention_reference(
             q, kv_layer, inputs["positions"], inputs["req_idx"],
-            inputs["block_tables"], inputs["seq_lens"], kv_scale=row)
+            inputs["block_tables"], inputs["seq_lens"], kv_scale=row,
+            tree_start=inputs.get("attn_tree_start"),
+            row_tree_mask=inputs.get("attn_row_tree_mask"))
 
     return _attn
 

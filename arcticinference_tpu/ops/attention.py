@@ -49,6 +49,8 @@ def ragged_paged_attention_reference(
     seq_lens: jax.Array,
     scale: float | None = None,
     kv_scale=None,
+    tree_start: jax.Array | None = None,
+    row_tree_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Dense-gather oracle implementation.
 
@@ -58,6 +60,13 @@ def ragged_paged_attention_reference(
 
     ``kv_scale``: this layer's [k_scale, v_scale] dequant pair (or a
     scalar applied to both; None = no dequant scaling).
+
+    Tree-draft verification (token-tree speculation): ``tree_start`` [B]
+    is the frontier token's cache slot per request (-1 = none) and
+    ``row_tree_mask`` [T] a per-row ancestor bitmask — rows with a
+    non-zero mask attend kv slots past tree_start iff bit
+    (slot - tree_start) is set, so a draft row sees the real context plus
+    exactly its ancestor chain, never a sibling branch.
     """
     t_, hq, d = q.shape
     hkv = kv_cache.shape[3] // d
@@ -83,6 +92,15 @@ def ragged_paged_attention_reference(
     kv_pos = jnp.arange(s)[None, :]
     valid = (kv_pos <= positions[:, None]) & \
             (kv_pos < seq_lens[safe_req][:, None])
+    if row_tree_mask is not None and tree_start is not None:
+        ts_t = tree_start[safe_req][:, None]          # [T, 1]
+        rel = kv_pos - ts_t                           # [T, S]
+        override = (row_tree_mask[:, None] != 0) & (rel >= 1)
+        bit = jnp.right_shift(row_tree_mask[:, None],
+                              jnp.clip(rel, 0, 31)) & 1
+        tree_ok = (rel < 32) & (bit > 0) & \
+            (kv_pos < seq_lens[safe_req][:, None])
+        valid = jnp.where(override, tree_ok, valid)
     scores = jnp.where(valid[:, None, None, :], scores, -jnp.inf)
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("thgs,tshd->thgd", p, vf).reshape(t_, hq, d)

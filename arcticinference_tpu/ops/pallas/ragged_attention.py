@@ -51,7 +51,7 @@ CHUNK_PAGES = int(os.environ.get("ARCTIC_TPU_ATTN_CHUNK_PAGES", "8"))
 def _attn_kernel(
     # scalar prefetch
     layer_smem, item_req, item_qstart, item_qlen, item_pages,
-    item_pos_base, block_tables,
+    item_pos_base, block_tables, item_tree_start, item_tree_mask,
     # inputs
     q_hbm, kv_hbm, kv_scale_smem,
     # output
@@ -59,7 +59,7 @@ def _attn_kernel(
     # scratch
     qbuf, kvbuf, qsem, kvsems,
     *, qw: int, group: int, hkv: int, bs: int, head_dim: int, scale: float,
-    kv_bf16: bool,
+    kv_bf16: bool, use_tree: bool,
 ):
     item = pl.program_id(0)
     qlen = item_qlen[item]
@@ -145,6 +145,21 @@ def _attn_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0), qw)
         pos_row = item_pos_base[item] + t_off
 
+        if use_tree:
+            # Tree-draft verification (token-tree speculation): rows with
+            # a non-zero ancestor bitmask override causality for kv slots
+            # PAST the tree start `ts` (the frontier token's slot): slot
+            # ts + r is attended iff bit r of the row's mask is set —
+            # i.e. each draft row sees the real context plus exactly its
+            # ancestor chain, never a sibling branch (the reference's
+            # token trees, csrc/suffix_cache/suffix_tree.cc:245-274,
+            # would otherwise be verified incorrectly).
+            ts = item_tree_start[item]
+            mvec = jnp.zeros((rows, 1), jnp.int32)
+            for j in range(qw):
+                mvec = jnp.where(t_off == j, item_tree_mask[item, j],
+                                 mvec)
+
         # Fold the per-layer kv dequant scales into q (k_scale) and the
         # output (v_scale): the inner loop then never multiplies a
         # [ck, d] tile by a scalar.
@@ -168,6 +183,13 @@ def _attn_kernel(
             kv_pos = (c * ck +
                       jax.lax.broadcasted_iota(jnp.int32, (rows, ck), 1))
             valid = kv_pos <= pos_row
+            if use_tree:
+                rel = kv_pos - ts
+                override = (mvec != 0) & (rel >= 1)
+                bit = jax.lax.shift_right_logical(
+                    jnp.broadcast_to(mvec, rel.shape),
+                    jnp.clip(rel, 0, 31)) & 1
+                valid = jnp.where(override, (rel < 32) & (bit > 0), valid)
             # Tokens of out-of-range pages sit in un-DMA'd buffer space;
             # their P entries are 0 but 0*NaN = NaN, so V must be zeroed.
             tok_real = (c * ck + jax.lax.broadcasted_iota(
@@ -224,11 +246,13 @@ def _attn_kernel(
         out_vmem[...] = jnp.zeros(out_vmem.shape, out_vmem.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("qb", "scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("qb", "scale", "use_tree"))
 def _ragged_attention_call(
     q, kv_cache, layer, item_req, item_qstart, item_qlen,
     item_pages, item_pos_base, block_tables, token_item, token_off,
-    kv_scale, qb: int, scale: float,
+    kv_scale, item_tree_start, item_tree_mask, qb: int, scale: float,
+    use_tree: bool = False,
 ):
     t, hq, d = q.shape
     num_layers, n_blocks, _, bs, hkv_d = kv_cache.shape
@@ -241,7 +265,7 @@ def _ragged_attention_call(
     q = q.reshape(t + qw, hkv, group, d).transpose(1, 2, 0, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=9,
         grid=(n_items,),
         in_specs=[
             # q is sliced at token granularity (8-aligned via the host
@@ -263,14 +287,16 @@ def _ragged_attention_call(
     )
     kernel = functools.partial(
         _attn_kernel, qw=qw, group=group, hkv=hkv, bs=bs, head_dim=d,
-        scale=scale, kv_bf16=kv_cache.dtype == jnp.bfloat16)
+        scale=scale, kv_bf16=kv_cache.dtype == jnp.bfloat16,
+        use_tree=use_tree)
     out_items = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_items, hkv, qw * group, d),
                                        q.dtype),
         grid_spec=grid_spec,
     )(layer.reshape(1), item_req, item_qstart, item_qlen, item_pages,
-      item_pos_base, block_tables, q, kv_cache, kv_scale)
+      item_pos_base, block_tables, item_tree_start, item_tree_mask,
+      q, kv_cache, kv_scale)
     # Rows are group-major: [items, hkv, group, qw, d] -> [items, qw, hq, d],
     # then map dense per-item rows back to the ragged token order.
     out_items = out_items.reshape(n_items, hkv, group, qw, d)
@@ -375,14 +401,24 @@ def ragged_paged_attention_kernel(
         schedule = build_work_items(
             qlens, last, qb, kv_cache.shape[3], num_items, t)
     (item_req, item_qstart, item_qlen, item_pages, item_pos_base,
-     token_item, token_off) = schedule
+     token_item, token_off) = schedule[:7]
+    if len(schedule) > 7:
+        # Tree-draft verification: (item_tree_start, item_tree_mask).
+        tree_start, tree_mask = schedule[7], schedule[8]
+        use_tree = True
+    else:
+        n_items = np.asarray(item_req).shape[0]
+        tree_start = jnp.full((n_items,), -1, jnp.int32)
+        tree_mask = jnp.zeros((n_items, qb + 8), jnp.int32)
+        use_tree = False
     return _ragged_attention_call(
         q, kv_cache, jnp.asarray(layer, jnp.int32),
         jnp.asarray(item_req), jnp.asarray(item_qstart),
         jnp.asarray(item_qlen), jnp.asarray(item_pages),
         jnp.asarray(item_pos_base),
         block_tables, jnp.asarray(token_item), jnp.asarray(token_off),
-        kv_scale, qb=qb, scale=float(scale))
+        kv_scale, jnp.asarray(tree_start), jnp.asarray(tree_mask),
+        qb=qb, scale=float(scale), use_tree=use_tree)
 
 
 # --------------------------------------------------------------------- #

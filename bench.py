@@ -18,6 +18,7 @@ vs_baseline = the reference's published 76 tok/s greedy decode,
 docs/arctic-speculator.rst:89-94) plus the extra measurements.
 """
 
+import gc
 import json
 import os
 import subprocess
@@ -174,18 +175,30 @@ def main():
     spec_batch = int(os.environ.get("ARCTIC_BENCH_SPEC_BATCH",
                                     32 if on_tpu else 4))
 
-    def engine_cfg(max_seqs, speculative=None):
+    def engine_cfg(max_seqs, speculative=None, blocks=None):
         return EngineConfig(
             model=ModelConfig(model="llama", hf_overrides=overrides,
                               quantization="fp8" if on_tpu else None,
                               max_model_len=4096 if on_tpu else 256),
             cache=CacheConfig(block_size=32,
-                              num_blocks=900 if on_tpu else 64),
+                              num_blocks=blocks
+                              or (900 if on_tpu else 64)),
             scheduler=SchedulerConfig(max_num_seqs=max_seqs,
                                       max_num_batched_tokens=2048
                                       if on_tpu else 64),
             speculative=speculative,
         )
+
+    def free_llm(llm):
+        """Release the engine's device memory NOW (the object graph has
+        back-references, so plain del waits for a gc cycle — too late
+        when the next engine is about to allocate 12 GB)."""
+        runner = llm.engine.runner
+        runner.kv = None
+        runner.params = None
+        runner._step_fns = {}
+        llm.engine = None
+        gc.collect()
 
     roofline_bps = measure_hbm_roofline(jax.numpy, jax)
 
@@ -225,28 +238,35 @@ def main():
             make_prompts(15, spec_batch, prompt_len, vocab), gen_len)
     else:
         greedy_comparator = toks_s
+    free_llm(llm)
     del llm
 
     # -- Arctic speculator phase (north star: >= 1.7x greedy) -----------
     spec_result = {}
     if not os.environ.get("ARCTIC_BENCH_SKIP_SPEC"):
-        drafter = Path(os.environ.get(
-            "ARCTIC_BENCH_DRAFTER",
-            REPO / ("checkpoints/drafter-llama8b-fp8" if on_tpu
-                    else "checkpoints/drafter-cpu-smoke")))
+        # Fingerprinted checkpoint dir: a drafter is only valid for the
+        # exact target config + prompt workload it was distilled against.
+        fp = (f"drafter-h{overrides['hidden_size']}"
+              f"-v{vocab}-b{spec_batch}-p{prompt_len}-g{gen_len}-s2")
+        drafter = Path(os.environ.get("ARCTIC_BENCH_DRAFTER",
+                                      REPO / "checkpoints" / fp))
         if not (drafter / "config.json").exists():
             print(f"[bench] distilling drafter -> {drafter}",
                   file=sys.stderr)
+            env = dict(os.environ)
+            if on_tpu:
+                env.pop("JAX_PLATFORMS", None)  # child must match parent
             subprocess.run(
                 [sys.executable,
                  str(REPO / "benchmarks/distill_drafter.py"),
                  "--out", str(drafter), "--batch", str(spec_batch),
                  "--prompt-len", str(prompt_len), "--gen", str(gen_len),
                  "--seed", "2"],
-                check=True, cwd=str(REPO))
+                check=True, cwd=str(REPO), env=env)
         spec_cfg = SpeculativeConfig(method="arctic", model=str(drafter),
                                      num_speculative_tokens=3)
-        sllm = LLM(engine_cfg(spec_batch, speculative=spec_cfg))
+        sllm = LLM(engine_cfg(spec_batch, speculative=spec_cfg,
+                              blocks=512 if on_tpu else None))
         spec_prompts = make_prompts(2, spec_batch, prompt_len, vocab)
         # Warmup compiles the prefill bucket + the fused decode loop.
         sllm.generate(prompt_token_ids=spec_prompts,
@@ -267,6 +287,7 @@ def main():
                 if st.num_drafts else 1.0,
             "spec_batch": spec_batch,
         }
+        free_llm(sllm)
         del sllm
 
     out = {

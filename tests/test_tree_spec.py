@@ -1,0 +1,217 @@
+"""Token-tree speculation end to end.
+
+The reference's C++ suffix tree emits best-first parent-linked token trees
+(reference ``csrc/suffix_cache/suffix_tree.cc:245-274``); verifying them
+needs ancestor-masked attention on the draft rows (a draft must attend the
+real context plus exactly its ancestor chain, never a sibling branch).
+Three layers of checks:
+
+1. the jnp reference attention's tree mask vs a by-hand oracle,
+2. the Pallas kernel (interpret mode) vs the jnp reference,
+3. the engine: tree-spec output identical to greedy, and a branching tree
+   beating the linear path on accepted tokens when the cache contains
+   conflicting continuations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from arcticinference_tpu.config import SpeculativeConfig
+from arcticinference_tpu.engine.llm import LLM
+from arcticinference_tpu.engine.request import SamplingParams
+from arcticinference_tpu.ops.attention import (
+    ragged_paged_attention_reference)
+from arcticinference_tpu.ops.pallas.ragged_attention import (
+    build_work_items, ragged_paged_attention_kernel)
+
+from tests.test_engine import tiny_config
+
+# One request: 10 computed tokens, then [frontier, 4 tree nodes].
+# parents[i] indexes into the node list; -1 = child of the frontier.
+PARENTS = [-1, 0, -1, 2]
+DEPTH = [0, 1, 0, 1]
+# mask[i] = parent_mask | 1 << (i+1); roots also carry bit 0.
+MASKS = [3, 7, 9, 25]
+CTX = 10
+TS = CTX          # frontier slot
+T = 1 + len(PARENTS)
+
+
+def _case(seed=0, D=128, Hq=4, Hkv=2, Bs=32):
+    rng = np.random.default_rng(seed)
+    nblocks = (CTX + T) // Bs + 2
+    block_tables = np.zeros((1, 4), np.int32)
+    block_tables[0, :nblocks] = np.arange(1, nblocks + 1)
+    kv_cache = jnp.asarray(
+        rng.standard_normal((nblocks + 2, 2, Bs, Hkv * D)), jnp.float32)
+    positions = np.array([TS] + [TS + 1 + d for d in DEPTH], np.int32)
+    req_idx = np.zeros(T, np.int32)
+    seq_lens = np.array([CTX + T], np.int32)
+    q = jnp.asarray(rng.standard_normal((T, Hq, D)), jnp.float32)
+    row_mask = np.array([0] + MASKS, np.int32)
+    tree_start = np.array([TS], np.int32)
+    return (q, kv_cache, jnp.asarray(positions), jnp.asarray(req_idx),
+            jnp.asarray(block_tables), jnp.asarray(seq_lens),
+            jnp.asarray(tree_start), jnp.asarray(row_mask))
+
+
+def _allowed_slots(row: int) -> set:
+    """Hand-derived allowed kv slot sets per query row."""
+    if row == 0:                       # frontier: causal through itself
+        return set(range(TS + 1))
+    mask = MASKS[row - 1]
+    allowed = set(range(TS + 1))       # full real context + frontier
+    for r in range(1, 32):
+        if (mask >> r) & 1:
+            allowed.add(TS + r)
+    return allowed
+
+
+def _manual_oracle(q, kv_cache, block_tables):
+    qn = np.asarray(q, np.float64)
+    kv = np.asarray(kv_cache, np.float64)
+    bt = np.asarray(block_tables)[0]
+    D = q.shape[-1]
+    Hq = q.shape[1]
+    Bs = kv.shape[2]
+    Hkv = kv.shape[3] // D
+    group = Hq // Hkv
+    S = CTX + T
+    k = np.zeros((S, Hkv, D))
+    v = np.zeros((S, Hkv, D))
+    for s in range(S):
+        page, off = bt[s // Bs], s % Bs
+        k[s] = kv[page, 0, off].reshape(Hkv, D)
+        v[s] = kv[page, 1, off].reshape(Hkv, D)
+    out = np.zeros((T, Hq, D))
+    scale = D ** -0.5
+    for t in range(T):
+        allowed = sorted(_allowed_slots(t))
+        for h in range(Hq):
+            hk = h // group
+            s_ = np.array([qn[t, h] @ k[j, hk] * scale for j in allowed])
+            p = np.exp(s_ - s_.max())
+            p /= p.sum()
+            out[t, h] = sum(pi * v[j, hk] for pi, j in zip(p, allowed))
+    return out
+
+
+class TestTreeMask:
+
+    def test_reference_matches_manual_oracle(self):
+        (q, kv, pos, req, bt, sl, ts, rm) = _case()
+        ref = np.asarray(ragged_paged_attention_reference(
+            q, kv, pos, req, bt, sl, tree_start=ts, row_tree_mask=rm))
+        manual = _manual_oracle(q, kv, bt)
+        assert np.max(np.abs(ref - manual)) < 1e-3
+
+    def test_kernel_interpret_matches_reference(self):
+        (q, kv, pos, req, bt, sl, ts, rm) = _case()
+        ref = ragged_paged_attention_reference(
+            q, kv, pos, req, bt, sl, tree_start=ts, row_tree_mask=rm)
+        # Build the slot-based schedule (positions_last = last SLOT).
+        qb = 8
+        sched = build_work_items(np.array([T], np.int64),
+                                 np.array([CTX + T - 1], np.int64),
+                                 qb, kv.shape[2], 4, T)
+        item_req, _, _, _, _, token_item, token_off = sched
+        it_ts = np.full(4, -1, np.int32)
+        it_mask = np.zeros((4, qb + 8), np.int32)
+        rm_np = np.asarray(rm)
+        for tt in np.nonzero(rm_np)[0]:
+            it_mask[token_item[tt], token_off[tt]] = rm_np[tt]
+            it_ts[token_item[tt]] = TS
+        schedule = sched + (jnp.asarray(it_ts), jnp.asarray(it_mask))
+        kv1 = kv[None]  # add layer dim
+        with pltpu.force_tpu_interpret_mode():
+            out = ragged_paged_attention_kernel(
+                q, kv1, pos, req, bt, sl, qb=qb, schedule=schedule,
+                layer=jnp.zeros((), jnp.int32))
+        diff = float(jnp.max(jnp.abs(out - ref)))
+        assert diff < 0.02, diff
+
+
+def _prompts(n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return [[int(x) for x in rng.integers(1, 90, 12)] for _ in range(n)]
+
+
+GEN = 24
+
+
+def _seed_cache(llm, prompts, baselines):
+    """Populate the global suffix tree with the true continuation plus a
+    double-weighted corrupted variant, so the path speculator follows the
+    wrong (more frequent) branch while the tree covers both."""
+    cache = llm.engine._suffix_cache
+    for i, (p, out) in enumerate(zip(prompts, baselines)):
+        seed_seq = p[-6:] + out
+        bad = list(seed_seq)
+        for flip in (9, 14, 19):
+            bad[flip] = (bad[flip] + 7) % 90 + 1
+        cache.update_response(f"warm-good-{i}", seed_seq)
+        cache.update_response(f"warm-bad-{i}", bad)
+        cache.update_response(f"warm-bad2-{i}", list(bad))
+
+
+class TestTreeSpecEngine:
+
+    @pytest.fixture(scope="class")
+    def baseline(self):
+        prompts = _prompts()
+        llm = LLM(tiny_config())
+        outs = llm.generate(prompt_token_ids=prompts,
+                            sampling_params=SamplingParams(
+                                max_tokens=GEN, ignore_eos=True))
+        return prompts, [o.token_ids for o in outs]
+
+    def _run(self, prompts, baselines, use_tree):
+        spec = SpeculativeConfig(
+            method="suffix", use_tree_spec=use_tree,
+            enable_fused_decode=False,
+            suffix_max_spec_factor=4.0, suffix_max_spec_offset=8.0,
+            suffix_min_token_prob=0.05)
+        llm = LLM(tiny_config(speculative=spec))
+        _seed_cache(llm, prompts, baselines)
+        outs = llm.generate(prompt_token_ids=prompts,
+                            sampling_params=SamplingParams(
+                                max_tokens=GEN, ignore_eos=True))
+        return llm, outs
+
+    def test_tree_output_matches_greedy(self, baseline):
+        prompts, base = baseline
+        llm, outs = self._run(prompts, base, use_tree=True)
+        for o, want in zip(outs, base):
+            assert o.token_ids == want
+        st = llm.engine.spec_stats
+        assert st.num_drafts > 0
+        assert st.num_accepted_tokens > 0
+
+    def test_tree_beats_path_on_acceptance(self, baseline):
+        """At a cache branch point where the wrong continuation is more
+        frequent, the linear path follows the wrong branch and dies
+        while the tree carries both: draft survival past the branch
+        must be strictly higher for the tree."""
+        prompts, base = baseline
+        tree_llm, touts = self._run(prompts, base, use_tree=True)
+        path_llm, pouts = self._run(prompts, base, use_tree=False)
+        for o, want in zip(pouts, base):
+            assert o.token_ids == want
+        t = tree_llm.engine.spec_stats
+        p = path_llm.engine.spec_stats
+        assert t.num_drafts > 0 and p.num_drafts > 0
+        # Survival fraction at draft position 3 (just past the first
+        # seeded corruption): tree keeps the true branch alive.
+        t_surv = t.num_accepted_tokens_per_pos[3] / t.num_drafts
+        p_surv = p.num_accepted_tokens_per_pos[3] / p.num_drafts
+        assert t_surv > p_surv, (t.summary(), p.summary())
+
+    def test_tree_rejects_mesh(self):
+        cfg = tiny_config(speculative=SpeculativeConfig(
+            method="suffix", use_tree_spec=True))
+        cfg.parallel.tensor_parallel_size = 2
+        with pytest.raises(NotImplementedError):
+            LLM(cfg)
