@@ -250,6 +250,80 @@ class EmbeddingMixin:
         return [np.asarray(pooled[i]) for i in range(len(batch))]
 
 
+class ScoringMixin:
+    """Teacher-forced per-token logprobs (OpenAI ``echo`` / lm_eval
+    ``loglikelihood``): the capability the reference's accuracy harness
+    uses to score multiple-choice tasks (reference
+    ``tests/benchmarks/test_benchmarks.py:115-151`` via lm_eval)."""
+
+    def score(self, prompt_token_ids):
+        """For each sequence, the logprob of token i+1 given tokens
+        [0..i] — an array of length len(seq) - 1 per sequence."""
+        eng = getattr(self, "engine", None) or self
+        runner = eng.runner
+        bm = eng.scheduler.block_manager
+        budget = self.config.scheduler.max_num_batched_tokens
+        out = []
+        batch: list[list[int]] = []
+        total = 0
+        for ids in prompt_token_ids:
+            if len(ids) > budget:
+                raise ValueError(
+                    f"sequence of {len(ids)} tokens exceeds "
+                    f"max_num_batched_tokens={budget}")
+            if (total + len(ids) > budget
+                    or len(batch) >= self.config.scheduler.max_num_seqs):
+                out.extend(self._score_batch(batch))
+                batch, total = [], 0
+            batch.append(list(ids))
+            total += len(ids)
+        if batch:
+            out.extend(self._score_batch(batch))
+        return out
+
+    def _score_batch(self, batch):
+        import numpy as np
+        from arcticinference_tpu.engine.request import (Request,
+                                                        SamplingParams)
+        from arcticinference_tpu.engine.scheduler import (ScheduledRequest,
+                                                          SchedulerOutput)
+
+        eng = getattr(self, "engine", None) or self
+        runner = eng.runner
+        bm = eng.scheduler.block_manager
+        reqs = []
+        sched = SchedulerOutput()
+        for i, ids in enumerate(batch):
+            req = Request(req_id=f"score-{i}", prompt_token_ids=ids,
+                          sampling=SamplingParams(max_tokens=1))
+            bm.grow_to(req.block_ids, len(ids))
+            reqs.append(req)
+            sched.scheduled.append(ScheduledRequest(req, len(ids), []))
+        try:
+            si = runner.prepare_inputs(sched)
+            targets = np.full(si.t_pad, -1, np.int32)
+            t = 0
+            spans = []
+            for ids in batch:
+                n = len(ids)
+                targets[t:t + n - 1] = ids[1:]
+                spans.append((t, n - 1))
+                t += n
+            lp = runner.execute_score(si, targets)
+        finally:
+            for req in reqs:
+                bm.free(req.block_ids)
+        return [np.asarray(lp[a:a + n], np.float64) for a, n in spans]
+
+
+LLM.score = ScoringMixin.score
+LLM._score_batch = ScoringMixin._score_batch
+# The bare engine scores too (used by the server's echo path).
+from arcticinference_tpu.engine.engine import LLMEngine as _Eng  # noqa: E402
+_Eng.score = ScoringMixin.score
+_Eng._score_batch = ScoringMixin._score_batch
+
+
 # Attach the embedding API to LLM.
 LLM.encode = EmbeddingMixin.encode
 LLM._encode_batch = EmbeddingMixin._encode_batch

@@ -756,3 +756,64 @@ def _attach_encode():
 
 
 _attach_encode()
+
+
+def _attach_score():
+    """Per-token logprob scoring (prompt logprobs / OpenAI ``echo``)."""
+
+    def _get_score_fn(self, attn_qb: int, shapes):
+        key = ("score", attn_qb, shapes)
+        fn = self._step_fns.get(key)
+        if fn is not None:
+            return fn
+        module, arch = self.module, self.arch
+
+        def score(params, kv, i32, f32, kv_scale, targets):
+            inputs = ModelRunner._unpack(i32, f32, shapes)
+            inputs["kv_scale"] = kv_scale
+            for k in ("temperature", "top_k", "top_p", "min_p", "seeds",
+                      "counters", "rep_pen", "pres_pen", "freq_pen",
+                      "input_src"):
+                inputs.pop(k, None)
+            kv, h = module.forward(
+                params, arch, kv, inputs,
+                attn_impl=_make_attn(module, attn_qb), unroll=False)
+            t = h.shape[0]
+            # Chunked LM head: full [T, V] fp32 logits at 128k vocab is
+            # GBs of transients; 256-row blocks keep peak memory flat.
+            cb = min(256, t)
+            pad = (-t) % cb
+            hp = jnp.pad(h, ((0, pad), (0, 0))).reshape(-1, cb, h.shape[1])
+            tp = jnp.pad(targets, (0, pad)).reshape(-1, cb)
+
+            def blk(args):
+                hb, tb = args
+                logits = module.compute_logits(params, hb)
+                lse = jax.scipy.special.logsumexp(logits, axis=-1)
+                tgt = jnp.take_along_axis(
+                    logits, jnp.clip(tb, 0, logits.shape[-1] - 1)[:, None],
+                    axis=1)[:, 0]
+                return tgt - lse
+
+            lp = jax.lax.map(blk, (hp, tp)).reshape(-1)[:t]
+            return kv, lp
+
+        fn = jax.jit(score, donate_argnums=(1,))
+        self._step_fns[key] = fn
+        return fn
+
+    def execute_score(self, step_inputs, targets: np.ndarray):
+        """Per-row logprob of ``targets`` (the next token at each fed
+        row); rows with target < 0 return garbage the caller ignores."""
+        i32, f32, shapes = self._pack(step_inputs.arrays)
+        fn = self._get_score_fn(step_inputs.attn_qb, shapes)
+        self.kv, lp = fn(self.params, self.kv, jnp.asarray(i32),
+                         jnp.asarray(f32), self.kv_scale,
+                         jnp.asarray(targets, jnp.int32))
+        return np.asarray(lp)
+
+    ModelRunner._get_score_fn = _get_score_fn
+    ModelRunner.execute_score = execute_score
+
+
+_attach_score()

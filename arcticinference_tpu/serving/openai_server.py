@@ -254,8 +254,27 @@ class OpenAIServer:
             if isinstance(prompt, list):
                 prompt = prompt[0]
             prompt_ids = self._encode(prompt)
-        sampling = self._sampling_from(body)
         rid = f"cmpl-{uuid.uuid4().hex[:16]}"
+        if body.get("echo") and int(body.get("max_tokens", 128)) == 0:
+            # Prompt-logprob scoring (lm_eval loglikelihood): no
+            # generation, teacher-forced per-token logprobs.
+            lp = await asyncio.to_thread(self._score_sync, prompt_ids)
+            return web.json_response({
+                "id": rid, "object": "text_completion",
+                "created": int(time.time()), "model": self.model_name,
+                "choices": [{
+                    "index": 0,
+                    "text": self._decode(prompt_ids),
+                    "token_ids": list(prompt_ids),
+                    "logprobs": {
+                        "tokens": [self._decode([t]) for t in prompt_ids],
+                        "token_logprobs": [None] + [float(x) for x in lp],
+                    },
+                    "finish_reason": "stop",
+                }],
+                "usage": _usage(prompt_ids, []),
+            })
+        sampling = self._sampling_from(body)
         if body.get("stream"):
             if sampling.n > 1:
                 raise web.HTTPBadRequest(text="stream with n>1 unsupported")
@@ -296,6 +315,11 @@ class OpenAIServer:
             "choices": choices,
             "usage": _usage(prompt_ids, all_ids),
         })
+
+    def _score_sync(self, prompt_ids):
+        """Engine-thread-safe scoring (shares the step lock)."""
+        with self.engine._engine_lock:
+            return self.engine.engine.score([list(prompt_ids)])[0]
 
     def _fan_out(self, body, sampling, rid):
         """n>1: one engine request per choice.  Each choice gets its own

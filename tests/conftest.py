@@ -30,3 +30,15 @@ def cpu_devices():
     devices = jax.devices()
     assert len(devices) >= 8, f"expected 8 virtual devices, got {devices}"
     return devices
+
+
+@pytest.fixture(scope="session")
+def trained_checkpoint(tmp_path_factory):
+    """A tiny TRAINED HF Llama checkpoint (weights + byte tokenizer) on a
+    structured Markov corpus — shared by the quality gate and the
+    accuracy harness; see tests/quality_utils.py."""
+    from tests.quality_utils import train_tiny_checkpoint
+
+    d = tmp_path_factory.mktemp("trained_ckpt")
+    train_ids, heldout = train_tiny_checkpoint(d, steps=300)
+    return str(d), heldout
