@@ -31,6 +31,12 @@ class AsyncLLMEngine:
 
     def __init__(self, config: EngineConfig):
         self.dead = False
+        self.dead_reason: Optional[str] = None
+        # Engine-loop liveness stamp: a wedged device step stops
+        # advancing it, which /health surfaces as "stalled" so routers
+        # pull the replica (reference analogue: vLLM's worker monitor).
+        self.last_progress = __import__("time").time()
+        self.stall_timeout_s = 60.0
         self.engine = LLMEngine(config)
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._queues: dict[str, asyncio.Queue] = {}
@@ -52,8 +58,35 @@ class AsyncLLMEngine:
 
     # -- background loop (engine thread) --------------------------------
 
+    def mark_dead(self, reason: str) -> None:
+        """Fail the engine from outside (e.g. the multihost watchdog):
+        reject new requests and error every live stream.  A step blocked
+        inside a collective cannot be cancelled, but clients see a clean
+        error instead of a silent hang."""
+        import logging
+
+        logging.getLogger("arcticinference_tpu").error(
+            "engine marked dead: %s", reason)
+        self.dead = True
+        self.dead_reason = reason
+        with self._lock:
+            for req_id, q in self._queues.items():
+                self._push(q, StreamChunk(req_id, [], True,
+                                          "engine_error"))
+            self._queues.clear()
+
+    @property
+    def stalled(self) -> bool:
+        import time as _t
+
+        return (self.engine.has_unfinished
+                and _t.time() - self.last_progress > self.stall_timeout_s)
+
     def _run(self) -> None:
+        import time as _t
+
         while not self._stop:
+            self.last_progress = _t.time()
             if not self.engine.has_unfinished:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()

@@ -88,7 +88,17 @@ def _recv_exact(conn: socket.socket, n: int) -> bytes:
 
 
 class LeaderChannel:
-    """Accepts one connection per follower; broadcast() fans out."""
+    """Accepts one connection per follower; broadcast() fans out.
+
+    Failure detection (the analogue of the worker monitor the reference
+    keeps from vLLM, reference ``ulysses.py:408-414``): followers send a
+    small heartbeat upstream every ``HB_INTERVAL`` seconds; the leader's
+    watchdog thread detects EOF (follower crashed) or heartbeat silence
+    (follower wedged) and reports it — a dead follower would otherwise
+    leave the leader blocked in a cross-host collective forever.
+    """
+
+    HB_INTERVAL = 2.0
 
     def __init__(self, num_followers: int, port: int,
                  bind_host: str = "0.0.0.0", accept_timeout: float = 300.0):
@@ -100,6 +110,9 @@ class LeaderChannel:
         self.conns: list[socket.socket] = []
         self._num = num_followers
         self._lock = threading.Lock()
+        self._watchdog: Optional[threading.Thread] = None
+        self._stop_watchdog = threading.Event()
+        self.failed: Optional[str] = None
 
     def wait_connected(self) -> None:
         while len(self.conns) < self._num:
@@ -108,6 +121,44 @@ class LeaderChannel:
             logger.info("follower connected from %s", addr)
             self.conns.append(conn)
 
+    def start_watchdog(self, on_failure, timeout: float = 15.0) -> None:
+        """Monitor follower liveness; ``on_failure(index, reason)`` is
+        called once for the first lost follower."""
+        import select
+
+        def run():
+            last_hb = {i: time.time() for i in range(len(self.conns))}
+            fd_to_idx = {c.fileno(): i for i, c in enumerate(self.conns)}
+            while not self._stop_watchdog.is_set():
+                try:
+                    readable, _, _ = select.select(self.conns, [], [], 1.0)
+                except (OSError, ValueError):
+                    return  # channel closed
+                now = time.time()
+                for conn in readable:
+                    idx = fd_to_idx.get(conn.fileno(), -1)
+                    try:
+                        data = conn.recv(4096)
+                    except OSError:
+                        data = b""
+                    if not data:
+                        self.failed = f"follower {idx} disconnected"
+                        logger.error("multihost watchdog: %s", self.failed)
+                        on_failure(idx, "disconnected")
+                        return
+                    last_hb[idx] = now
+                for idx, t in last_hb.items():
+                    if now - t > timeout:
+                        self.failed = (f"follower {idx} heartbeat "
+                                       f"silent for {now - t:.0f}s")
+                        logger.error("multihost watchdog: %s", self.failed)
+                        on_failure(idx, "heartbeat timeout")
+                        return
+
+        self._watchdog = threading.Thread(target=run, daemon=True,
+                                          name="mh-watchdog")
+        self._watchdog.start()
+
     def broadcast(self, obj: Any) -> None:
         payload = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
         with self._lock:
@@ -115,6 +166,7 @@ class LeaderChannel:
                 _send_msg(conn, payload)
 
     def close(self) -> None:
+        self._stop_watchdog.set()
         try:
             self.broadcast({"kind": "stop"})
         except Exception:
@@ -127,7 +179,8 @@ class LeaderChannel:
 class FollowerChannel:
 
     def __init__(self, leader_host: str, port: int,
-                 connect_timeout: float = 300.0):
+                 connect_timeout: float = 300.0,
+                 heartbeat: bool = True):
         deadline = time.time() + connect_timeout
         while True:
             try:
@@ -140,12 +193,26 @@ class FollowerChannel:
                 time.sleep(0.5)
         self._conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._conn.settimeout(None)
+        self._closed = threading.Event()
+        if heartbeat:
+            t = threading.Thread(target=self._heartbeat_loop, daemon=True,
+                                 name="mh-heartbeat")
+            t.start()
+
+    def _heartbeat_loop(self) -> None:
+        while not self._closed.is_set():
+            try:
+                self._conn.sendall(b"h")
+            except OSError:
+                return
+            self._closed.wait(LeaderChannel.HB_INTERVAL)
 
     def recv(self) -> Any:
         n = _LEN.unpack(_recv_exact(self._conn, _LEN.size))[0]
         return pickle.loads(_recv_exact(self._conn, n))
 
     def close(self) -> None:
+        self._closed.set()
         self._conn.close()
 
 
@@ -176,7 +243,15 @@ def follower_serve(engine, channel: FollowerChannel) -> None:
     fused_bt = None
     fused_fns: dict = {}
     while True:
-        msg = channel.recv()
+        try:
+            msg = channel.recv()
+        except ConnectionError as e:
+            # Leader gone: a follower with no leader can only deadlock
+            # the next collective — exit loudly instead (the reference
+            # keeps vLLM's worker monitor + termination for this,
+            # ulysses.py:408-414).
+            logger.error("follower: leader channel lost (%s); exiting", e)
+            raise
         kind = msg.get("kind")
         if kind == "stop":
             logger.info("follower: stop received")

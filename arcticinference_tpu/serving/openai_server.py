@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import json
+import sys
 import time
 import uuid
 from typing import Any, Optional
@@ -146,8 +147,14 @@ class OpenAIServer:
 
     async def health(self, request: web.Request) -> web.Response:
         if getattr(self.engine, "dead", False):
-            return web.json_response({"status": "engine_error"},
-                                     status=503)
+            return web.json_response(
+                {"status": "engine_error",
+                 "reason": getattr(self.engine, "dead_reason", None)},
+                status=503)
+        if getattr(self.engine, "stalled", False):
+            # The engine thread has not progressed while work is queued:
+            # a wedged device step.  Routers treat 503 as unhealthy.
+            return web.json_response({"status": "stalled"}, status=503)
         return web.json_response({"status": "ok"})
 
     async def embeddings(self, request: web.Request) -> web.Response:
@@ -568,7 +575,10 @@ def main() -> None:
             engine = LLMEngine(build_config(args))
             channel = multihost.FollowerChannel(
                 args.multihost_leader, args.multihost_channel_port)
-            multihost.follower_serve(engine, channel)
+            try:
+                multihost.follower_serve(engine, channel)
+            except ConnectionError:
+                sys.exit(3)  # leader lost: suicide beats a deadlock
             return
 
     server = OpenAIServer(build_config(args))
@@ -578,6 +588,9 @@ def main() -> None:
             args.multihost_channel_port)
         channel.wait_connected()
         server.engine.engine.runner.mh_channel = channel
+        channel.start_watchdog(
+            lambda idx, reason: server.engine.mark_dead(
+                f"follower {idx} {reason}"))
     web.run_app(server.app, host=args.host, port=args.port)
 
 

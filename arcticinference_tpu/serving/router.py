@@ -50,17 +50,27 @@ class Backend:
     failures: int = 0
     proc: Optional[subprocess.Popen] = None
     last_check: float = field(default=0.0)
+    # Wedge detection / restart (spawned replicas only): when a replica
+    # stays unhealthy (including "stalled" 503s from a wedged engine
+    # thread) past restart_after, the router kills and respawns it
+    # (reference embedding manager restarts dead replicas the same way).
+    unhealthy_since: float = 0.0
+    restarts: int = 0
+    spawn_cmd: Optional[list] = None
+    spawn_env: Optional[dict] = None
 
 
 class LLMRouter:
 
     def __init__(self, backends: list[str], policy: str = "round_robin",
                  health_interval: float = 2.0, retries: int = 2,
-                 request_timeout: float = 600.0):
+                 request_timeout: float = 600.0,
+                 restart_after: float = 30.0):
         assert policy in ("round_robin", "least_loaded", "random")
         self.backends = [Backend(url=u.rstrip("/")) for u in backends]
         self.policy = policy
         self.health_interval = health_interval
+        self.restart_after = restart_after
         self.retries = retries
         self.request_timeout = request_timeout
         self._rr = itertools.count()
@@ -101,12 +111,38 @@ class LLMRouter:
             logger.info("backend %s healthy", b.url)
         if not ok and b.healthy:
             logger.warning("backend %s unhealthy", b.url)
+        if not ok and b.unhealthy_since == 0.0:
+            b.unhealthy_since = time.time()
+        if ok:
+            b.unhealthy_since = 0.0
         b.healthy = ok
         b.last_check = time.time()
+
+    def _maybe_restart(self, b: Backend) -> None:
+        """Kill + respawn a managed replica that exited or wedged."""
+        if b.spawn_cmd is None:
+            return
+        exited = b.proc is not None and b.proc.poll() is not None
+        wedged = (b.unhealthy_since > 0.0
+                  and time.time() - b.unhealthy_since > self.restart_after)
+        if not (exited or wedged):
+            return
+        why = "exited" if exited else "wedged"
+        logger.error("backend %s %s; restarting", b.url, why)
+        if b.proc is not None and b.proc.poll() is None:
+            b.proc.kill()
+            b.proc.wait()
+        b.proc = subprocess.Popen(b.spawn_cmd, env=b.spawn_env)
+        b.restarts += 1
+        b.healthy = False
+        b.unhealthy_since = time.time()  # grace restarts from now
 
     async def _health_loop(self) -> None:
         while True:
             await asyncio.gather(*(self._check(b) for b in self.backends))
+            for b in self.backends:
+                if not b.healthy:
+                    self._maybe_restart(b)
             await asyncio.sleep(self.health_interval)
 
     async def wait_ready(self, min_replicas: int = 1,
@@ -149,6 +185,7 @@ class LLMRouter:
                 "inflight": b.inflight,
                 "total_requests": b.total_requests,
                 "failures": b.failures,
+                "restarts": b.restarts,
             } for b in self.backends]})
 
     async def models(self, request: web.Request) -> web.Response:
@@ -228,13 +265,13 @@ def spawn_replicas(config_path: str, num_replicas: int, base_port: int,
         env["ARCTIC_TPU_REPLICA_RANK"] = str(i)
         if extra_env:
             env.update(extra_env)
-        proc = subprocess.Popen(
-            [sys.executable, "-m",
-             "arcticinference_tpu.serving.openai_server",
-             "--config", config_path, "--port", str(port),
-             "--host", host],
-            env=env)
-        backends.append(Backend(url=f"http://{host}:{port}", proc=proc))
+        cmd = [sys.executable, "-m",
+               "arcticinference_tpu.serving.openai_server",
+               "--config", config_path, "--port", str(port),
+               "--host", host]
+        proc = subprocess.Popen(cmd, env=env)
+        backends.append(Backend(url=f"http://{host}:{port}", proc=proc,
+                                spawn_cmd=cmd, spawn_env=env))
     return backends
 
 

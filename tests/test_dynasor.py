@@ -185,3 +185,47 @@ class TestMathEqualDepth:
     def test_not_equal(self, a, b):
         from arcticinference_tpu.dynasor.evaluator import math_equal
         assert not math_equal(a, b), (a, b)
+
+
+class TestMathEqualSymbolicDepth:
+    """The capability depth the round-1 review flagged (reference
+    math_equal handles symbolic forms, word numbers, matrices and
+    percentage variants, ``dynasor/evaluator.py``)."""
+
+    @pytest.mark.parametrize("a,b", [
+        # symbolic equivalence (sympy-backed)
+        ("\\frac{\\sqrt{2}}{2}", "\\frac{1}{\\sqrt{2}}"),
+        ("\\frac{1}{\\sqrt{3}}", "\\frac{\\sqrt{3}}{3}"),
+        ("2\\sqrt{2}", "\\sqrt{8}"),
+        ("\\frac{6}{4}", "\\frac{3}{2}"),
+        ("e^{2}", "e^2"),
+        # english number words
+        ("twenty-three", "23"),
+        ("one hundred and five", "105"),
+        ("two thousand", "2000"),
+        # percentage variants (reference include_percentage)
+        ("25", "0.25"),
+        ("0.25", "25"),
+        ("12.5\\%", "0.125"),
+        # matrices
+        ("\\begin{pmatrix}1&2\\\\3&4\\end{pmatrix}",
+         "\\begin{bmatrix}1&2\\\\3&4\\end{bmatrix}"),
+        ("\\begin{pmatrix}\\frac{1}{2}\\\\1\\end{pmatrix}",
+         "\\begin{pmatrix}0.5\\\\1.0\\end{pmatrix}"),
+        ("\\begin{pmatrix}1\\\\2\\end{pmatrix}", "(1, 2)"),
+    ])
+    def test_equal(self, a, b):
+        from arcticinference_tpu.dynasor.evaluator import math_equal
+        assert math_equal(a, b), (a, b)
+
+    @pytest.mark.parametrize("a,b", [
+        ("\\sqrt{2}", "2"),
+        ("twenty-three", "24"),
+        ("\\begin{pmatrix}1&2\\\\3&4\\end{pmatrix}",
+         "\\begin{pmatrix}1&2\\\\3&5\\end{pmatrix}"),
+        ("\\begin{pmatrix}1\\\\2\\end{pmatrix}", "(1, 2, 3)"),
+        ("one hundred and five", "twenty"),
+    ])
+    def test_not_equal(self, a, b):
+        from arcticinference_tpu.dynasor.evaluator import math_equal
+        assert not math_equal(a, b), (a, b)

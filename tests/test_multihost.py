@@ -12,6 +12,7 @@ import json
 import subprocess
 import sys
 import time
+import urllib.error
 import urllib.request
 
 import pytest
@@ -274,5 +275,53 @@ def test_two_process_sharded_serving(tmp_path, single_reference):
             except subprocess.TimeoutExpired:
                 # jax.distributed/Gloo service threads can swallow the
                 # first SIGTERM; escalate (exact PIDs only).
+                proc.kill()
+                proc.wait(timeout=10)
+
+
+def test_follower_kill_surfaces_clean_error(tmp_path):
+    """Kill the follower mid-stream (SIGKILL): the leader's watchdog must
+    mark the engine dead and /health must report 503 engine_error — a
+    clean failure instead of a leader blocked in a collective forever
+    (the reference keeps vLLM's worker monitor for this,
+    ulysses.py:408-414)."""
+    import os
+    import signal
+
+    cfg_path = tmp_path / "mh_kill.json"
+    cfg_path.write_text(json.dumps(MH_CFG))
+    coord, channel, http = free_port(), free_port(), free_port()
+    leader = _spawn(str(cfg_path), 0, 2, coord, channel, http)
+    follower = _spawn(str(cfg_path), 1, 2, coord, channel, http + 1)
+    try:
+        wait_http(f"http://127.0.0.1:{http}/health", leader, timeout=240)
+        follower.send_signal(signal.SIGKILL)
+        follower.wait(timeout=10)
+        deadline = time.time() + 60
+        status = None
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{http}/health",
+                        timeout=5) as r:
+                    status = r.status
+            except urllib.error.HTTPError as e:
+                status = e.code
+                if status == 503:
+                    body = json.loads(e.read())
+                    assert body["status"] == "engine_error", body
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert status == 503, status
+    finally:
+        for proc in (leader, follower):
+            if proc.poll() is None:
+                proc.terminate()
+        for proc in (leader, follower):
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
                 proc.kill()
                 proc.wait(timeout=10)
