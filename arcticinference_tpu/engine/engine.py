@@ -394,8 +394,9 @@ class LLMEngine:
 
     # -- synchronous path ----------------------------------------------
 
-    def _step_sync(self) -> list[Request]:
-        sched_out = self.scheduler.schedule()
+    def _step_sync(self, sched_out=None) -> list[Request]:
+        if sched_out is None:
+            sched_out = self.scheduler.schedule()
         if not sched_out.scheduled:
             return []
         self._maybe_observe(sched_out)

@@ -358,29 +358,39 @@ class FusedDecodeLoop:
         eng = self.engine
         return not (eng._drafter is None and self._suffix is None)
 
+    @staticmethod
+    def _fusable(req) -> bool:
+        """Sampling semantics the device step can mirror."""
+        sp = req.sampling
+        return not (sp.guided is not None or sp.logprobs
+                    or len(sp.stop_token_ids) > MAX_STOP_IDS
+                    or sp.needs_penalties or sp.stop
+                    or sp.min_p > 0 or sp.seed is not None)
+
+    def _frontier_requests(self) -> list:
+        return [r for r in self.engine.scheduler.running
+                if r.num_computed_tokens == r.num_tokens - 1]
+
     def can_enter(self) -> bool:
+        """Enter when every decode-frontier request is device-mirrorable.
+        Requests still prefilling (and new arrivals) do NOT block entry:
+        they continue via interleaved admission steps
+        (``_admission_step``) and are absorbed on reaching the frontier.
+        """
         eng = self.engine
-        if eng.scheduler.waiting or not eng.scheduler.running:
-            return False
         if eng._spec_disabled_now():
             return False
         from arcticinference_tpu import envs
         if getattr(envs, "ARCTIC_TPU_DISABLE_FUSED", False):
             return False
-        for req in eng.scheduler.running:
-            sp = req.sampling
-            if (req.num_computed_tokens != req.num_tokens - 1
-                    or sp.guided is not None or sp.logprobs
-                    or len(sp.stop_token_ids) > MAX_STOP_IDS
-                    # Host-side semantics the device step can't mirror:
-                    or sp.needs_penalties or sp.stop
-                    or sp.min_p > 0 or sp.seed is not None):
-                return False
-        return True
+        frontier = self._frontier_requests()
+        if not frontier:
+            return False
+        return all(self._fusable(r) for r in frontier)
 
     def enter(self) -> None:
         eng = self.engine
-        running = list(eng.scheduler.running)
+        running = self._frontier_requests()
         b = _bucket(len(running), eng.config.scheduler.max_num_seqs)
         if self.runner.mesh is not None:
             # SP mode shards the B*(K+1) token rows over sp; PP splits
@@ -460,6 +470,10 @@ class FusedDecodeLoop:
         self._bt_dirty = True
         self._inflight = []
         self.active = True
+        # Admission steps may preempt on block pressure; fused-owned
+        # requests must never be victims (device steps write their
+        # blocks until the loop drains).
+        eng.scheduler.protected_ids = {r.req_id for r in running}
         logger.debug("fused decode: entered with %d requests (B=%d, K=%d)",
                      len(running), b, k)
 
@@ -472,13 +486,46 @@ class FusedDecodeLoop:
 
     # -- stepping -------------------------------------------------------
 
-    def step(self) -> list:
-        """One fused iteration: maybe exit, else dispatch + lagged drain."""
+    def _admission_step(self) -> list:
+        """One synchronous prefill-only step for arrivals / ongoing
+        prefills while the fused loop keeps decoding — the fix for the
+        round-1 head-of-line blocking (admission used to force a full
+        exit + drain, serializing new requests behind the decode loop).
+        """
         eng = self.engine
-        if eng.scheduler.waiting or not any(self._host_alive):
+        sched_out = eng.scheduler.schedule(skip_decode=True)
+        if not sched_out.scheduled:
+            return []
+        return eng._step_sync(sched_out)
+
+    def _absorbable(self) -> list:
+        """Admitted requests that reached the decode frontier: the loop
+        exits once to re-enter with them in the batch."""
+        slots = set(id(r) for r in self._slots)
+        return [r for r in self._frontier_requests()
+                if id(r) not in slots]
+
+    def step(self) -> list:
+        """One fused iteration: maybe exit, else dispatch + lagged drain.
+        Arrivals get an interleaved prefill step first."""
+        eng = self.engine
+        if not any(self._host_alive):
             return self.exit()
+        finished: list = []
+        if eng.scheduler.waiting or any(
+                r.num_computed_tokens < r.num_tokens - 1
+                for r in eng.scheduler.running):
+            finished.extend(self._admission_step())
+            if self._absorbable():
+                # Admissions reached the frontier: exit once so the next
+                # engine iteration re-enters with the larger batch (or
+                # hands a non-fusable request back to the sync path).
+                finished.extend(self.exit())
+                return finished
+            if not any(self._host_alive):
+                return finished + self.exit()
         if not self._pre_extend_blocks():
-            return self.exit()
+            return finished + self.exit()
 
         key = (self._state["n_computed"].shape[0], self._k,
                self._need_sampling)
@@ -520,7 +567,6 @@ class FusedDecodeLoop:
         self._inflight.append(_InflightFused(telem))
         eng.engine_stats.num_steps += 1
 
-        finished: list = []
         while len(self._inflight) > self.depth:
             finished.extend(self._drain_one())
         return finished
@@ -662,6 +708,7 @@ class FusedDecodeLoop:
             finished.extend(self._drain_one())
         if self.active and self.runner.mh_channel is not None:
             self.runner.mh_channel.broadcast({"kind": "fused_exit"})
+        self.engine.scheduler.protected_ids = set()
         self.active = False
         self._state = None
         self._bt_dev = None

@@ -53,6 +53,9 @@ class Scheduler:
         self.running: list[Request] = []
         # Prefix-cache telemetry: prompt tokens whose prefill was skipped.
         self.num_cached_prompt_tokens = 0
+        # Requests owned by the device-resident fused loop: never
+        # preempt them (in-flight device steps still write their blocks).
+        self.protected_ids: set = set()
 
     @property
     def num_unfinished(self) -> int:
@@ -141,7 +144,11 @@ class Scheduler:
         if request in self.waiting:
             self.waiting.remove(request)
 
-    def schedule(self) -> SchedulerOutput:
+    def schedule(self, skip_decode: bool = False) -> SchedulerOutput:
+        """``skip_decode=True`` schedules only prefill work (ongoing
+        chunks + new admissions) — used while the fused decode loop owns
+        the decode-frontier requests device-side, so admissions overlap
+        decoding instead of forcing the loop to exit."""
         out = SchedulerOutput()
         budget = self.config.max_num_batched_tokens
 
@@ -152,6 +159,8 @@ class Scheduler:
             if req.status is not RequestStatus.RUNNING:
                 continue  # preempted by an earlier request this step
             known_remaining = req.num_tokens - req.num_computed_tokens
+            if skip_decode and known_remaining <= 1:
+                continue  # owned by the fused loop
             parents = None
             if known_remaining > 1:
                 # Prefill, or catch-up after recompute-preemption: feed
@@ -233,7 +242,7 @@ class Scheduler:
         (now invalid) entry is dropped from the step.
         """
         for req in reversed(self.running):
-            if req is skip:
+            if req is skip or req.req_id in self.protected_ids:
                 continue
             self.running.remove(req)
             self._release(req)

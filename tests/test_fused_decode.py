@@ -442,3 +442,84 @@ class TestFusedOnMesh:
         for w, g in zip(want, got):
             assert g.token_ids == w.token_ids
         assert llm.engine.spec_stats.num_drafts > 0
+
+
+class TestAdmissionInterleave:
+    """Round-2: arrivals prefill via interleaved admission steps while
+    the fused loop keeps decoding (no head-of-line blocking); the loop
+    exits exactly once to absorb the newcomer at its frontier."""
+
+    def test_prefill_overlaps_fused_decode(self):
+        rng = np.random.default_rng(7)
+        pa = [int(x) for x in rng.integers(1, 97, 8)]
+        pb = [int(x) for x in rng.integers(1, 97, 100)]  # 2 chunks @ 64
+        base = LLM(tiny_config())
+        want_a = base.generate(prompt_token_ids=[pa],
+                               sampling_params=SamplingParams(
+                                   max_tokens=40, ignore_eos=True)
+                               )[0].token_ids
+        want_b = base.generate(prompt_token_ids=[pb],
+                               sampling_params=SamplingParams(
+                                   max_tokens=12, ignore_eos=True)
+                               )[0].token_ids
+
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        eng = fused.engine
+        eng.add_request("a", pa, SamplingParams(max_tokens=40,
+                                                ignore_eos=True))
+        done = {}
+        active_during_b_prefill = False
+        b_obj = None
+        steps = 0
+        while eng.has_unfinished or steps == 0:
+            steps += 1
+            assert steps < 300
+            if steps == 6:
+                b_obj = eng.add_request("b", pb,
+                                        SamplingParams(max_tokens=12,
+                                                       ignore_eos=True))
+            if b_obj is not None and not b_obj.status.is_finished and \
+                    0 < b_obj.num_computed_tokens < len(pb):
+                # B is mid-prefill: the fused loop must still be live.
+                if eng._fused.active:
+                    active_during_b_prefill = True
+            for r in eng.step():
+                done[r.req_id] = r.output_token_ids
+        assert done["a"] == want_a
+        assert done["b"] == want_b
+        assert active_during_b_prefill
+
+    def test_protected_requests_never_preempted(self):
+        """Block pressure during admission must preempt the NEWCOMER
+        path, never a fused-owned request."""
+        cfg = tiny_config(speculative=_spec(True))
+        cfg.cache.num_blocks = 26   # tight
+        llm = LLM(cfg)
+        eng = llm.engine
+        rng = np.random.default_rng(9)
+        pa = [int(x) for x in rng.integers(1, 97, 8)]
+        base = LLM(tiny_config())
+        want = base.generate(prompt_token_ids=[pa],
+                             sampling_params=SamplingParams(
+                                 max_tokens=48, ignore_eos=True)
+                             )[0].token_ids
+        eng.add_request("a", pa, SamplingParams(max_tokens=48,
+                                                ignore_eos=True))
+        done = {}
+        steps = 0
+        added = False
+        while eng.has_unfinished or steps == 0:
+            steps += 1
+            assert steps < 500
+            if steps == 5 and not added:
+                added = True
+                eng.add_request("big", [int(x) for x in
+                                        rng.integers(1, 97, 120)],
+                                SamplingParams(max_tokens=4,
+                                               ignore_eos=True))
+            for r in eng.step():
+                done[r.req_id] = r.output_token_ids
+        # The fused request's output is exact (never recompute-preempted
+        # while device steps were in flight).
+        assert done["a"] == want
+        assert "big" in done
