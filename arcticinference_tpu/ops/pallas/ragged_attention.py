@@ -407,7 +407,7 @@ def ragged_paged_attention_kernel(
         tree_start, tree_mask = schedule[7], schedule[8]
         use_tree = True
     else:
-        n_items = np.asarray(item_req).shape[0]
+        n_items = jnp.asarray(item_req).shape[0]
         tree_start = jnp.full((n_items,), -1, jnp.int32)
         tree_mask = jnp.zeros((n_items, qb + 8), jnp.int32)
         use_tree = False
