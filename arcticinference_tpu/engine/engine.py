@@ -65,7 +65,8 @@ class LLMEngine:
         self.tokenizer = None
         self.runner = ModelRunner(config, module, arch, params, mesh=mesh)
         self.scheduler = Scheduler(config.scheduler, config.cache,
-                                   self.runner.num_blocks)
+                                   self.runner.num_blocks_per_shard,
+                                   num_shards=max(self.runner.dp, 1))
         self.spec_stats = SpecDecodingStats()
         from arcticinference_tpu.stats import EngineStats, StepTimeStats
         self.engine_stats = EngineStats()

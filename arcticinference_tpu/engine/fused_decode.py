@@ -356,6 +356,9 @@ class FusedDecodeLoop:
         follower mirrors like any other dispatch; SwiftKV works because
         at the decode frontier all rows are sample rows."""
         eng = self.engine
+        if getattr(self.runner, "dp", 1) > 1:
+            # The fused state/block pre-extension is not dp-stacked yet.
+            return False
         return not (eng._drafter is None and self._suffix is None)
 
     @staticmethod

@@ -83,6 +83,9 @@ class Request:
     arrival_time: float = 0.0
 
     status: RequestStatus = RequestStatus.WAITING
+    #: In-engine DP shard (block ids are local to this shard's cache
+    #: slice); assigned at admission, -1 = unassigned.
+    dp_shard: int = -1
     output_token_ids: list[int] = field(default_factory=list)
     # Tokens whose KV is already computed & cached.
     num_computed_tokens: int = 0

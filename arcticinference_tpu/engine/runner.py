@@ -75,12 +75,13 @@ class ModelRunner:
             raise NotImplementedError(
                 "int4 weight quantization is single-chip; use fp8/int8 "
                 "on meshes")
+        self.dp = pcfg.data_parallel_size
         if pcfg.world_size > 1 and mesh is None:
             from arcticinference_tpu.parallel import mesh as mesh_lib
 
-            if pcfg.data_parallel_size != 1:
-                raise NotImplementedError(
-                    "dp>1 runs as engine replicas; use replica_manager")
+            if self.dp > 1 and pcfg.pipeline_parallel_size > 1:
+                raise NotImplementedError("in-engine dp does not compose "
+                                          "with pp yet")
             self.mesh = mesh_lib.build_mesh(pcfg)
             pp = pcfg.pipeline_parallel_size
             if pp > 1:
@@ -116,7 +117,12 @@ class ModelRunner:
         self.max_blocks_per_req = cdiv(config.model.max_model_len,
                                        self.block_size)
         num_blocks = cache_cfg.num_blocks or self._auto_num_blocks()
+        if self.dp > 1:
+            num_blocks -= num_blocks % self.dp
         self.num_blocks = num_blocks
+        # In-engine DP: the block axis shards over "dp"; block ids are
+        # SHARD-LOCAL (each dp group owns a private block space).
+        self.num_blocks_per_shard = num_blocks // max(self.dp, 1)
         kv_dtype = (jnp.float8_e4m3fn
                     if cache_cfg.kv_cache_dtype == "fp8" else jnp.bfloat16)
         # GQA + replication: when kv heads < sp*tp the cache stores each
@@ -136,6 +142,13 @@ class ModelRunner:
         # (see parallel/multihost.py).
         self.is_multihost = jax.process_count() > 1
         self.mh_channel = None
+        if self.dp > 1 and (
+                getattr(module, "NEEDS_SWIFT_SCHEDULE", False)
+                or self.is_multihost):
+            raise NotImplementedError(
+                "in-engine dp supports standard decoder models on a "
+                "single-host mesh (SwiftKV's second ragged schedule and "
+                "the multihost mirror are not dp-stacked yet)")
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -143,7 +156,8 @@ class ModelRunner:
 
             kv_sharding = NamedSharding(
                 self.mesh, mesh_lib.kv_cache_spec(
-                    pp=config.parallel.pipeline_parallel_size > 1))
+                    pp=config.parallel.pipeline_parallel_size > 1,
+                    dp=self.dp > 1))
             if self.is_multihost:
                 # Collective zero-init: no host->device transfer, valid
                 # when the global array spans other hosts' devices.
@@ -229,6 +243,8 @@ class ModelRunner:
         """``passthrough`` maps req_id -> absolute row index into the
         PREVIOUS step's device token vector for tokens whose value hasn't
         reached the host yet (async scheduling)."""
+        if self.dp > 1:
+            return self._prepare_inputs_dp(sched_out, passthrough)
         scheduled = sched_out.scheduled
         total = sum(s.num_new_tokens for s in scheduled)
         t_pad = pad_to_bucket(max(total, 1), self.token_buckets)
@@ -448,6 +464,151 @@ class ModelRunner:
                           attn_qb=attn_qb, sample_row_start=row_start,
                           sample_row_count=row_count, total_tokens=total)
 
+    def _prepare_inputs_dp(self, sched_out: SchedulerOutput,
+                           passthrough: Optional[dict] = None
+                           ) -> StepInputs:
+        """In-engine DP layout: the token axis is dp-major (each group's
+        requests packed into its own t_shard window) and every
+        per-request array (block tables, seq lens, attention schedule)
+        is stacked with a leading [dp] axis — the shard_map forward
+        shards them over "dp" so each group decodes its request set
+        independently (parallel/ulysses.py DP_KEYS)."""
+        scheduled = sched_out.scheduled
+        dp = self.dp
+        b = self.b_max
+        groups: list[list] = [[] for _ in range(dp)]
+        for s in scheduled:
+            groups[s.request.dp_shard].append(s)
+        shard_tok = [sum(s.num_new_tokens for s in g) for g in groups]
+        t_shard = pad_to_bucket(max(max(shard_tok), 1),
+                                self.token_buckets)
+        t_pad = t_shard * dp
+
+        input_ids = np.zeros(t_pad, np.int32)
+        input_src = np.full(t_pad, -1, np.int32)
+        positions_flat = np.zeros(t_pad, np.int32)
+        positions = np.zeros((dp, t_shard), np.int32)
+        req_idx = np.full((dp, t_shard), -1, np.int32)
+        slot_mapping = np.full((dp, t_shard), -1, np.int32)
+        block_tables = np.zeros((dp, b, self.max_blocks_per_req),
+                                np.int32)
+        seq_lens = np.zeros((dp, b), np.int32)
+        query_lens = np.zeros((dp, b), np.int64)
+        last_pos = np.zeros((dp, b), np.int64)
+
+        sample_rows: list[int] = []
+        row_start: list[int] = []
+        row_count: list[int] = []
+        t_cur = [0] * dp
+        r_cur = [0] * dp
+
+        for s in scheduled:
+            req = s.request
+            sh = req.dp_shard
+            n = s.num_new_tokens
+            ctx = req.num_computed_tokens
+            r = r_cur[sh]
+            r_cur[sh] += 1
+            ts = t_cur[sh]
+            t0 = sh * t_shard + ts
+            toks = (req.all_token_ids + s.spec_token_ids)[ctx:ctx + n]
+            assert len(toks) == n, (len(toks), n, ctx)
+            if passthrough and req.req_id in passthrough:
+                input_src[t0] = passthrough[req.req_id]
+                toks = [0] + list(toks[1:])
+            input_ids[t0:t0 + n] = toks
+            positions_flat[t0:t0 + n] = np.arange(ctx, ctx + n)
+            positions[sh, ts:ts + n] = np.arange(ctx, ctx + n)
+            req_idx[sh, ts:ts + n] = r
+            bt = req.block_ids
+            block_tables[sh, r, :len(bt)] = bt
+            for i in range(n):
+                pos = ctx + i
+                slot_mapping[sh, ts + i] = (bt[pos // self.block_size]
+                                            * self.block_size
+                                            + pos % self.block_size)
+            seq_lens[sh, r] = ctx + n
+            query_lens[sh, r] = n
+            last_pos[sh, r] = ctx + n - 1
+            k = len(s.spec_token_ids) + 1
+            row_start.append(len(sample_rows))
+            row_count.append(k)
+            sample_rows.extend(range(t0 + n - k, t0 + n))
+            t_cur[sh] += n
+
+        s_pad = pad_to_bucket(max(len(sample_rows), 1),
+                              self.sample_buckets)
+        logits_indices = np.zeros(s_pad, np.int32)
+        logits_indices[:len(sample_rows)] = sample_rows
+
+        temperature = np.zeros(s_pad, np.float32)
+        top_k = np.zeros(s_pad, np.int32)
+        top_p = np.ones(s_pad, np.float32)
+        min_p = np.zeros(s_pad, np.float32)
+        seeds = np.full(s_pad, -1, np.int32)
+        counters = np.zeros(s_pad, np.int32)
+        rep_pen = np.ones(s_pad, np.float32)
+        pres_pen = np.zeros(s_pad, np.float32)
+        freq_pen = np.zeros(s_pad, np.float32)
+        any_penalties = False
+        for r, s in enumerate(scheduled):
+            req = s.request
+            sp = req.sampling
+            lo, k = row_start[r], row_count[r]
+            temperature[lo:lo + k] = sp.temperature
+            top_k[lo:lo + k] = sp.top_k
+            top_p[lo:lo + k] = sp.top_p
+            min_p[lo:lo + k] = sp.min_p
+            if sp.seed is not None:
+                seeds[lo:lo + k] = sp.seed
+                end = req.num_computed_tokens + s.num_new_tokens
+                counters[lo:lo + k] = np.arange(end - k + 1, end + 1)
+            if sp.needs_penalties:
+                rep_pen[lo:lo + k] = sp.repetition_penalty
+                pres_pen[lo:lo + k] = sp.presence_penalty
+                freq_pen[lo:lo + k] = sp.frequency_penalty
+                any_penalties = True
+
+        attn_qb = 8 if int(query_lens.max(initial=1)) <= 8 else 32
+        n_items = t_shard // attn_qb + b
+        parts = [build_work_items(query_lens[sh], last_pos[sh], attn_qb,
+                                  self.block_size, n_items, t_shard)
+                 for sh in range(dp)]
+        arrays = dict(
+            input_ids=input_ids, input_src=input_src,
+            positions_flat=positions_flat,
+            positions=positions, req_idx=req_idx,
+            slot_mapping=slot_mapping, block_tables=block_tables,
+            seq_lens=seq_lens, logits_indices=logits_indices,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            min_p=min_p, seeds=seeds, counters=counters,
+            rep_pen=rep_pen, pres_pen=pres_pen, freq_pen=freq_pen,
+        )
+        for i, key in enumerate(_ATTN_SCHED_KEYS):
+            arrays[key] = np.stack([p[i] for p in parts])
+        if any_penalties:
+            la = pad_to_bucket(
+                max(max((s.request.num_tokens for s in scheduled),
+                        default=1), 1), self.token_buckets + [
+                    self.config.model.max_model_len])
+            pen_out = np.full((s_pad, la), -1, np.int32)
+            pen_all = np.full((s_pad, la), -1, np.int32)
+            for r, s in enumerate(scheduled):
+                req = s.request
+                if not req.sampling.needs_penalties:
+                    continue
+                lo, k = row_start[r], row_count[r]
+                pen_out[lo:lo + k, :len(req.output_token_ids)] = \
+                    req.output_token_ids
+                pen_all[lo:lo + k, :len(req.all_token_ids)] = \
+                    req.all_token_ids
+            arrays["pen_out_tokens"] = pen_out
+            arrays["pen_all_tokens"] = pen_all
+        return StepInputs(arrays=arrays, t_pad=t_pad, s_pad=s_pad,
+                          attn_qb=attn_qb, sample_row_start=row_start,
+                          sample_row_count=row_count,
+                          total_tokens=sum(shard_tok))
+
     # ------------------------------------------------------------------ #
     # Device step
     # ------------------------------------------------------------------ #
@@ -464,11 +625,12 @@ class ModelRunner:
                  "attn_token_off")
     _F32_KEYS = ("temperature", "top_p", "min_p", "rep_pen", "pres_pen",
                  "freq_pen")
-    # Present only on steps where a request asked for penalties, or a
-    # step carries tree drafts.
+    # Present only on steps where a request asked for penalties, a step
+    # carries tree drafts, or the engine runs in-engine dp.
     _PEN_KEYS = ("pen_out_tokens", "pen_all_tokens",
                  "attn_tree_start", "attn_row_tree_mask",
-                 "attn_item_tree_start", "attn_item_tree_mask")
+                 "attn_item_tree_start", "attn_item_tree_mask",
+                 "positions_flat")
 
     def _pack(self, arrays: dict[str, np.ndarray]):
         i32_keys = self._i32_keys + tuple(

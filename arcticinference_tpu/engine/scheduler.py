@@ -43,12 +43,18 @@ class SchedulerOutput:
 class Scheduler:
 
     def __init__(self, scheduler_config: SchedulerConfig,
-                 cache_config: CacheConfig, num_blocks: int):
+                 cache_config: CacheConfig, num_blocks: int,
+                 num_shards: int = 1):
         self.config = scheduler_config
         self.block_size = cache_config.block_size
-        self.block_manager = BlockManager(
-            num_blocks, cache_config.block_size,
-            enable_prefix_caching=cache_config.enable_prefix_caching)
+        # In-engine DP: one PRIVATE block space per dp shard (block ids
+        # are shard-local; the cache's block axis is sharded over "dp").
+        self.num_shards = num_shards
+        self.block_managers = [
+            BlockManager(num_blocks, cache_config.block_size,
+                         enable_prefix_caching=cache_config
+                         .enable_prefix_caching)
+            for _ in range(num_shards)]
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
         # Prefix-cache telemetry: prompt tokens whose prefill was skipped.
@@ -56,6 +62,22 @@ class Scheduler:
         # Requests owned by the device-resident fused loop: never
         # preempt them (in-flight device steps still write their blocks).
         self.protected_ids: set = set()
+
+    @property
+    def block_manager(self) -> BlockManager:
+        """Shard 0 (the only shard when dp == 1)."""
+        return self.block_managers[0]
+
+    def bm_for(self, request: Request) -> BlockManager:
+        return self.block_managers[request.dp_shard]
+
+    def _assign_shard(self, request: Request) -> None:
+        """Least-loaded shard by free blocks, fixed for the request's
+        lifetime (its block ids are local to that shard's cache slice)."""
+        if request.dp_shard < 0:
+            request.dp_shard = max(
+                range(self.num_shards),
+                key=lambda i: self.block_managers[i].num_free_blocks)
 
     @property
     def num_unfinished(self) -> int:
@@ -81,7 +103,7 @@ class Scheduler:
 
     def _release(self, request: Request) -> None:
         if request.block_ids:
-            self.block_manager.free(request.block_ids)
+            self.bm_for(request).free(request.block_ids)
             request.block_ids = []
         request.num_cached_blocks = 0
 
@@ -102,12 +124,13 @@ class Scheduler:
         (vLLM V1 automatic prefix caching; the matched tokens' KV is
         already on device, so prefill resumes mid-prompt exactly like
         recompute catch-up)."""
-        if not (self.block_manager.enable_prefix_caching
+        bm = self.bm_for(request)
+        if not (bm.enable_prefix_caching
                 and not request.block_ids
                 and request.num_computed_tokens == 0):
             return
         toks = request.all_token_ids[:self._known_prefix_len(request)]
-        blocks, matched = self.block_manager.match_prefix(toks)
+        blocks, matched = bm.match_prefix(toks)
         if matched:
             request.block_ids = blocks
             request.num_computed_tokens = matched
@@ -119,7 +142,7 @@ class Scheduler:
         full blocks whose token values are host-known and whose KV
         writes have been dispatched (device-ordered before any later
         matcher's read)."""
-        bm = self.block_manager
+        bm = self.bm_for(request)
         if not bm.enable_prefix_caching or not request.block_ids:
             return
         bs = self.block_size
@@ -191,15 +214,16 @@ class Scheduler:
                         parents = parents[:len(drafts)]
                     n = 1 + len(drafts)
             try:
-                self.block_manager.grow_to(
+                self.bm_for(req).grow_to(
                     req.block_ids, req.num_computed_tokens + n)
             except NoFreeBlocksError:
-                victim = self._preempt(skip=req, out=out)
+                victim = self._preempt(skip=req, out=out,
+                                       shard=req.dp_shard)
                 if victim is None:
                     continue
                 out.preempted.append(victim)
                 try:
-                    self.block_manager.grow_to(
+                    self.bm_for(req).grow_to(
                         req.block_ids, req.num_computed_tokens + n)
                 except NoFreeBlocksError:
                     continue
@@ -214,17 +238,18 @@ class Scheduler:
             if req.status.is_finished:  # belt-and-braces (finish_request
                 self.waiting.popleft()  # already dequeues finished reqs)
                 continue
+            self._assign_shard(req)
             self._match_cached_prefix(req)
+            bm = self.bm_for(req)
             remaining = req.num_tokens - req.num_computed_tokens
             chunk = min(budget, remaining)
             if not self.config.enable_chunked_prefill and chunk < remaining:
                 break
-            need = self.block_manager.blocks_needed(
+            need = bm.blocks_needed(
                 req.num_computed_tokens + chunk) - len(req.block_ids)
-            if not self.block_manager.can_allocate(need):
+            if not bm.can_allocate(need):
                 break
-            self.block_manager.grow_to(
-                req.block_ids, req.num_computed_tokens + chunk)
+            bm.grow_to(req.block_ids, req.num_computed_tokens + chunk)
             self.waiting.popleft()
             req.status = RequestStatus.RUNNING
             self.running.append(req)
@@ -234,8 +259,8 @@ class Scheduler:
         return out
 
     def _preempt(self, skip: Request,
-                 out: Optional[SchedulerOutput] = None
-                 ) -> Optional[Request]:
+                 out: Optional[SchedulerOutput] = None,
+                 shard: int = -1) -> Optional[Request]:
         """Recompute-preempt the lowest-priority running request.
 
         If the victim was already scheduled earlier in this pass, its
@@ -244,6 +269,8 @@ class Scheduler:
         for req in reversed(self.running):
             if req is skip or req.req_id in self.protected_ids:
                 continue
+            if shard >= 0 and req.dp_shard != shard:
+                continue  # freeing another shard's blocks cannot help
             self.running.remove(req)
             self._release(req)
             req.status = RequestStatus.WAITING

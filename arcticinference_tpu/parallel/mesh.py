@@ -143,12 +143,16 @@ def shard_params(params, mesh: Mesh, specs: Optional[dict] = None):
         is_leaf=lambda x: isinstance(x, QuantizedLinear))
 
 
-def kv_cache_spec(pp: bool = False) -> P:
+def kv_cache_spec(pp: bool = False, dp: bool = False) -> P:
     """KV cache [L, N, 2, Bs, Hkv*D]: head-feature axis sharded over the
     fused sp_tp axis — identical in SP and shift modes.  Under pipeline
     parallelism the layer axis shards over "pp" (each stage holds only
-    its own layers' pages)."""
-    return P("pp" if pp else None, None, None, None, SP_TP)
+    its own layers' pages).  Under in-engine data parallelism the BLOCK
+    axis shards over "dp": each dp group owns a private block space
+    (block ids are shard-local), so the groups decode independent
+    request sets with zero cross-group communication."""
+    return P("pp" if pp else None, "dp" if dp else None, None, None,
+             SP_TP)
 
 
 def replicated_spec(ndim: int) -> P:

@@ -217,8 +217,23 @@ class ParallelContext:
         return inputs
 
 
-def token_in_specs(mode: str) -> P:
+def token_in_specs(mode: str, dp: bool = False) -> P:
+    if dp:
+        # In-engine DP: the token axis is dp-major (each dp group's
+        # requests are packed contiguously), further sp-sharded in SP
+        # mode.
+        return P(("dp", "sp")) if mode == "sp" else P("dp")
     return P("sp") if mode == "sp" else P(None)
+
+
+#: Per-token / per-request arrays that become PER-DP-GROUP under
+#: in-engine data parallelism (stacked with a leading [dp] axis host-side
+#: and sharded over "dp"; each group's attention sees only its own
+#: requests, schedules and block tables).
+DP_KEYS = ("positions", "req_idx", "slot_mapping", "seq_lens",
+           "block_tables", "attn_item_req", "attn_item_qstart",
+           "attn_item_qlen", "attn_item_pages", "attn_item_pos_base",
+           "attn_token_item", "attn_token_off")
 
 
 def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
@@ -260,45 +275,66 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
     if make_attn is not None and attn_qb is not None:
         attn_impl = make_attn(attn_qb)
 
-    tok_spec = token_in_specs(mode)
+    dp = cfg.data_parallel_size > 1
     param_spec_tree = _param_spec_tree(module, quantized,
                                        embed_quantized=embed_quantized,
                                        params=params)
-    kv_spec = mesh_lib.kv_cache_spec()
     # Modules that gather + return only the sample rows (SwiftKV) emit a
     # replicated hidden block rather than a token-sharded one.
     rows_out = bool(getattr(module, "RETURNS_SAMPLE_ROWS", False))
 
-    def body(params, kv, tok_inputs, full_inputs):
+    def body(params, kv, tok_inputs, dp_inputs, full_inputs):
         inputs = dict(full_inputs)
+        # Per-dp-group arrays arrive with a local leading [1] axis.
+        inputs.update({k: v[0] for k, v in dp_inputs.items()})
         inputs.update(tok_inputs)
         kv, h = module.forward(
             params, arch, kv, inputs, attn_impl=attn_impl, pctx=pctx)
         return kv, h
 
-    in_specs = (
-        param_spec_tree,
-        kv_spec,
-        {k: tok_spec for k in ("input_ids", "positions_local")},
-        P(),  # full_inputs replicated
-    )
-    out_specs = (kv_spec, P() if rows_out else tok_spec)
+    def make_smapped(dp_keys: tuple, use_dp: bool):
+        tok_spec = token_in_specs(mode, dp=use_dp)
+        kv_spec = mesh_lib.kv_cache_spec(dp=use_dp)
+        specs = (
+            param_spec_tree,
+            kv_spec,
+            {k: tok_spec for k in ("input_ids", "positions_local")},
+            {k: P("dp") for k in dp_keys},
+            P(),  # full_inputs replicated
+        )
+        out_specs = (kv_spec, P() if rows_out else tok_spec)
+        return shard_map(body, mesh=mesh, in_specs=specs,
+                         out_specs=out_specs, check_vma=False)
 
-    smapped = shard_map(
-        body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-        check_vma=False)
+    smapped_cache: dict = {}
 
     def fn(params, kv, inputs):
+        # The dp-sharded layout is the runner's (positions_flat +
+        # stacked per-group arrays); flat inputs on a dp>1 mesh simply
+        # replicate over dp (forward-level callers / dryruns).
+        use_dp = dp and "positions_flat" in inputs
         tok_inputs = {
             "input_ids": inputs["input_ids"],
-            "positions_local": inputs["positions"],
+            "positions_local": inputs["positions_flat"]
+            if use_dp else inputs["positions"],
         }
-        full_inputs = {k: v for k, v in inputs.items()
-                       if k != "input_ids"}
+        if use_dp:
+            dp_inputs = {k: inputs[k] for k in DP_KEYS if k in inputs}
+            skip = set(dp_inputs) | {"input_ids", "positions_flat"}
+            full_inputs = {k: v for k, v in inputs.items()
+                           if k not in skip}
+        else:
+            dp_inputs = {}
+            full_inputs = {k: v for k, v in inputs.items()
+                           if k != "input_ids"}
+        key = (tuple(sorted(dp_inputs)), use_dp)
+        sm = smapped_cache.get(key)
+        if sm is None:
+            sm = smapped_cache[key] = make_smapped(key[0], use_dp)
         # The LM head is consumed outside shard_map (logits run under
         # auto-GSPMD); pass only the decoder params through.
         fwd_params = {k: params[k] for k in _FWD_KEYS if k in params}
-        return smapped(fwd_params, kv, tok_inputs, full_inputs)
+        return sm(fwd_params, kv, tok_inputs, dp_inputs, full_inputs)
 
     return fn
 

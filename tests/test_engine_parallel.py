@@ -217,3 +217,50 @@ class TestInt8OnMesh:
         cfg = cfg.replace(parallel=ParallelConfig(tensor_parallel_size=2))
         with pytest.raises(NotImplementedError, match="int4"):
             LLM(cfg)
+
+
+class TestInEngineDP:
+    """In-engine data parallelism: the token batch is dp-sharded inside
+    ONE program (per-shard block spaces, schedules and attention), not
+    routed replicas — round-2 item; outputs must match single-chip
+    exactly."""
+
+    def _run(self, single_outputs, **par):
+        cfg = _parallel_cfg(**par)
+        llm = LLM(cfg)
+        eng = llm.engine
+        assert eng.runner.dp == par["data_parallel_size"]
+        reqs = [eng.add_request(f"r{i}", p, SamplingParams(max_tokens=10))
+                for i, p in enumerate(PROMPTS)]
+        done = {}
+        steps = 0
+        while eng.has_unfinished:
+            steps += 1
+            assert steps < 200
+            for r in eng.step():
+                done[r.req_id] = r.output_token_ids
+        shards = {r.dp_shard for r in reqs}
+        for i, ref in enumerate(single_outputs):
+            assert done[f"r{i}"] == ref.token_ids, i
+        return shards
+
+    def test_dp2_tp2_matches_single(self, single_outputs):
+        shards = self._run(single_outputs, data_parallel_size=2,
+                           tensor_parallel_size=2)
+        assert shards == {0, 1}   # both dp groups actually decoded
+
+    def test_dp2_sp2_matches_single(self, single_outputs):
+        shards = self._run(single_outputs, data_parallel_size=2,
+                           ulysses_sequence_parallel_size=2)
+        assert shards == {0, 1}
+
+    def test_dp4_matches_single(self, single_outputs):
+        self._run(single_outputs, data_parallel_size=4,
+                  tensor_parallel_size=2)
+
+    def test_dp_shift_matches_single(self, single_outputs):
+        self._run(single_outputs, data_parallel_size=2,
+                  tensor_parallel_size=1,
+                  ulysses_sequence_parallel_size=2,
+                  enable_shift_parallel=True,
+                  shift_parallel_threshold=4)
