@@ -57,6 +57,18 @@ class InferenceClient:
             self.pb2.AbortRequest(request_id=request_id), timeout=10
         ).aborted
 
+    def generate(self, prompt=None, token_ids=None, max_tokens=128,
+                 temperature=0.0, top_p=1.0, top_k=0, ignore_eos=False,
+                 stop=(), seed=None, request_id=None,
+                 timeout: float = 600.0):
+        """Stream completions from a decoder replica; yields dicts
+        {token_ids, text_delta, finished, finish_reason}."""
+        req = _generate_request(self.pb2, prompt, token_ids, max_tokens,
+                                temperature, top_p, top_k, ignore_eos,
+                                stop, seed, request_id)
+        for resp in self.stub.Generate(req, timeout=timeout):
+            yield _parse_generate(resp)
+
     def info(self):
         return self.stub.GetReplicaInfo(
             self.pb2.ReplicaInfoRequest(), timeout=10)
@@ -89,6 +101,16 @@ class AsyncInferenceClient:
         resp = await self.stub.Encode(req, timeout=timeout)
         return _parse_embeddings(resp)
 
+    async def generate(self, prompt=None, token_ids=None,
+                       max_tokens=128, temperature=0.0, top_p=1.0,
+                       top_k=0, ignore_eos=False, stop=(), seed=None,
+                       request_id=None, timeout: float = 600.0):
+        req = _generate_request(self.pb2, prompt, token_ids, max_tokens,
+                                temperature, top_p, top_k, ignore_eos,
+                                stop, seed, request_id)
+        async for resp in self.stub.Generate(req, timeout=timeout):
+            yield _parse_generate(resp)
+
     async def health(self) -> bool:
         try:
             resp = await self.stub.HealthCheck(
@@ -99,3 +121,29 @@ class AsyncInferenceClient:
 
     async def close(self) -> None:
         await self.channel.close()
+
+
+def _generate_request(pb2, prompt, token_ids, max_tokens, temperature,
+                      top_p, top_k, ignore_eos, stop, seed, request_id):
+    kw = dict(request_id=request_id or "",
+              max_tokens=int(max_tokens),
+              temperature=float(temperature), top_p=float(top_p),
+              top_k=int(top_k), ignore_eos=bool(ignore_eos),
+              stop=list(stop),
+              seed=int(seed) if seed is not None else -1)
+    if token_ids is not None:
+        kw["token_id_bytes_i32"] = np.asarray(token_ids,
+                                              "<i4").tobytes()
+    elif prompt is not None:
+        kw["prompt"] = prompt
+    else:
+        raise ValueError("prompt or token_ids required")
+    return pb2.GenerateRequest(**kw)
+
+
+def _parse_generate(resp) -> dict:
+    return {"request_id": resp.request_id,
+            "token_ids": list(resp.token_ids),
+            "text_delta": resp.text_delta,
+            "finished": resp.finished,
+            "finish_reason": resp.finish_reason}

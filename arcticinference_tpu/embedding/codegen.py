@@ -51,15 +51,19 @@ def load_pb2():
 
 
 _METHODS = ("Encode", "Abort", "GetReplicaInfo", "HealthCheck")
+#: server-streaming methods (one request -> a response stream)
+_STREAM_METHODS = ("Generate",)
 _REQ_TYPES = {
     "Encode": "EncodeRequest", "Abort": "AbortRequest",
     "GetReplicaInfo": "ReplicaInfoRequest",
     "HealthCheck": "HealthCheckRequest",
+    "Generate": "GenerateRequest",
 }
 _RESP_TYPES = {
     "Encode": "EncodeResponse", "Abort": "AbortResponse",
     "GetReplicaInfo": "ReplicaInfoResponse",
     "HealthCheck": "HealthCheckResponse",
+    "Generate": "GenerateResponse",
 }
 
 
@@ -70,6 +74,15 @@ def add_servicer_to_server(servicer, server) -> None:
         resp = getattr(pb2, _RESP_TYPES[m])
         req = getattr(pb2, _REQ_TYPES[m])
         handlers[m] = grpc.unary_unary_rpc_method_handler(
+            getattr(servicer, m),
+            request_deserializer=req.FromString,
+            response_serializer=resp.SerializeToString)
+    for m in _STREAM_METHODS:
+        if not hasattr(servicer, m):
+            continue
+        resp = getattr(pb2, _RESP_TYPES[m])
+        req = getattr(pb2, _REQ_TYPES[m])
+        handlers[m] = grpc.unary_stream_rpc_method_handler(
             getattr(servicer, m),
             request_deserializer=req.FromString,
             response_serializer=resp.SerializeToString)
@@ -89,6 +102,13 @@ class InferenceStub:
                 f"/{SERVICE_NAME}/{m}",
                 request_serializer=req.SerializeToString,
                 response_deserializer=resp.FromString))
+        for m in _STREAM_METHODS:
+            req = getattr(pb2, _REQ_TYPES[m])
+            resp = getattr(pb2, _RESP_TYPES[m])
+            setattr(self, m, channel.unary_stream(
+                f"/{SERVICE_NAME}/{m}",
+                request_serializer=req.SerializeToString,
+                response_deserializer=resp.FromString))
 
 
 class AsyncInferenceStub:
@@ -98,6 +118,13 @@ class AsyncInferenceStub:
             req = getattr(pb2, _REQ_TYPES[m])
             resp = getattr(pb2, _RESP_TYPES[m])
             setattr(self, m, channel.unary_unary(
+                f"/{SERVICE_NAME}/{m}",
+                request_serializer=req.SerializeToString,
+                response_deserializer=resp.FromString))
+        for m in _STREAM_METHODS:
+            req = getattr(pb2, _REQ_TYPES[m])
+            resp = getattr(pb2, _RESP_TYPES[m])
+            setattr(self, m, channel.unary_stream(
                 f"/{SERVICE_NAME}/{m}",
                 request_serializer=req.SerializeToString,
                 response_deserializer=resp.FromString))

@@ -9,8 +9,9 @@ The reference delegates verification to vLLM's RejectionSampler (reference
   the longest prefix of draft tokens matching the target argmax chain and
   emit the bonus token (the semantics vLLM's rejection sampler reduces to
   under greedy sampling, which is how the Arctic speculators are served).
-- :func:`verify_stochastic` — full rejection sampling for temperature > 0
-  drafts with known draft probabilities.
+- :func:`verify_stochastic` — Leviathan rejection sampling; exact for
+  deterministic (one-hot) drafters, see its docstring for the residual
+  caveat with stochastic drafters.
 
 All functions are shape-static: the draft dimension is padded to
 ``max_spec_len`` and masked by ``num_draft``.
@@ -177,11 +178,21 @@ def verify_stochastic(
     target_probs: jax.Array,
     rng: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """Full rejection sampling (Leviathan et al.) for stochastic drafts.
+    """Rejection sampling (Leviathan et al.) against the target model.
 
     draft_tokens: [B, K]; draft_probs: [B, K] probability the drafter
     assigned to each drafted token; target_probs: [B, K+1, V] target model
     distributions. Returns (out_tokens [B, K+1], num_out [B]).
+
+    Exactness: the residual resample subtracts only the drafted token's
+    point mass from the target distribution.  For DETERMINISTIC (greedy /
+    one-hot) drafters — our MLP/LSTM speculators and suffix drafts — that
+    IS the classic residual, so this op is the exact Leviathan sampler.
+    For genuinely stochastic drafters the full residual
+    ``norm(max(p - q, 0))`` would need the drafter's whole distribution,
+    which callers here never materialise; the engine's default
+    temperature>0 path therefore uses sample-and-compare (unbiased
+    without drafter distributions) instead of this op.
     """
     b, k = draft_tokens.shape
     v = target_probs.shape[-1]

@@ -142,3 +142,46 @@ class TestManager:
         info = ms.GetReplicaInfo(pb2.ReplicaInfoRequest(), None)
         assert info.model == "tiny"
         mgr._stop = True
+
+
+class TestGrpcGenerate:
+    """Streaming Generate RPC (the reference's client exposes generate()
+    whose RPC its proto/server never define; ours works end to end)."""
+
+    def test_stream_matches_local(self, replica_server, llm):
+        from arcticinference_tpu.engine.request import SamplingParams
+
+        target, _ = replica_server
+        client = InferenceClient(target)
+        want = llm.generate(
+            prompt_token_ids=[[5, 6, 7]],
+            sampling_params=SamplingParams(max_tokens=8,
+                                           ignore_eos=True))[0].token_ids
+        toks = []
+        chunks = 0
+        finish = None
+        for c in client.generate(token_ids=[5, 6, 7], max_tokens=8,
+                                 ignore_eos=True):
+            toks.extend(c["token_ids"])
+            chunks += 1
+            if c["finished"]:
+                finish = c["finish_reason"]
+        assert toks == want
+        assert chunks >= 2          # streamed in deltas
+        assert finish == "finished_length"
+        client.close()
+
+    def test_generate_seeded_reproducible(self, replica_server):
+        target, _ = replica_server
+        client = InferenceClient(target)
+
+        def run():
+            out = []
+            for c in client.generate(token_ids=[9, 8, 7], max_tokens=6,
+                                     temperature=1.0, seed=5,
+                                     ignore_eos=True):
+                out.extend(c["token_ids"])
+            return out
+
+        assert run() == run()
+        client.close()
