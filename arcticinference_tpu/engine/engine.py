@@ -216,10 +216,12 @@ class LLMEngine:
             self._profiling = False
 
     def _any_guided(self) -> bool:
-        # Guided / logprobs need top-k rows; penalties need host-known
-        # token histories at dispatch time (pipelined steps would upload
-        # PENDING placeholders) — all force the synchronous path.
-        return any(r.sampling.guided is not None or r.sampling.logprobs
+        # Guided decoding needs per-step token feedback into the grammar
+        # state; penalties need host-known token histories at dispatch
+        # time (pipelined steps would upload PENDING placeholders) —
+        # both force the synchronous path.  Plain logprobs requests ride
+        # the pipeline (top-k rows are read at drain time).
+        return any(r.sampling.guided is not None
                    or r.sampling.needs_penalties
                    for r in (*self.scheduler.running,
                              *self.scheduler.waiting))
@@ -272,8 +274,10 @@ class LLMEngine:
         prev = self._inflight[-1] if self._inflight else None
         step_inputs = self.runner.prepare_inputs(sched_out, passthrough)
         self._rng, step_rng = jax.random.split(self._rng)
+        need_topk = any(s.request.sampling.logprobs
+                        for s in sched_out.scheduled)
         tokens_dev, rows = self.runner.dispatch(
-            step_inputs, step_rng,
+            step_inputs, step_rng, need_topk=need_topk,
             prev_tokens=prev.tokens_dev if prev is not None else None)
 
         # Start the host copy immediately; by sync time (1-2 steps later)
@@ -294,7 +298,8 @@ class LLMEngine:
             row_abs = lo + (step_inputs.s_pad
                             if req.sampling.temperature > 0 else 0)
             inflight.commits.append(
-                (req, len(req.output_token_ids), row_abs))
+                (req, len(req.output_token_ids), row_abs,
+                 lo if need_topk and req.sampling.logprobs else -1))
             self.scheduler.update_after_step(s, [PENDING_TOKEN], 0)
             self._pending_ref[req.req_id] = (inflight, row_abs)
         self._inflight.append(inflight)
@@ -312,11 +317,27 @@ class LLMEngine:
         step = self._inflight.pop(0)
         tokens = np.asarray(step.tokens_dev)
         finished: list[Request] = []
-        for req, out_pos, row_abs in step.commits:
+        for req, out_pos, row_abs, lp_row in step.commits:
             if req.status.is_finished:
                 continue  # stopped by an earlier commit; discard
             assert req.output_token_ids[out_pos] == PENDING_TOKEN
             req.output_token_ids[out_pos] = int(tokens[row_abs])
+            if lp_row >= 0:
+                # Pipelined logprobs: ranked candidates ride the packed
+                # token vector (runner layout: [argmax, sampled, topk,
+                # bitcast logp]); decode this row's slice at drain time.
+                kk = self.runner.GUIDED_TOPK
+                s = step.step_inputs.s_pad
+                cand = tokens[2 * s + lp_row * kk:
+                              2 * s + (lp_row + 1) * kk]
+                logp = tokens[2 * s + s * kk + lp_row * kk:
+                              2 * s + s * kk + (lp_row + 1) * kk]                     .view(np.float32)
+                n = req.sampling.logprobs
+                while len(req.output_logprobs) <= out_pos:
+                    req.output_logprobs.append({})
+                req.output_logprobs[out_pos] = {
+                    int(t): float(p)
+                    for t, p in zip(cand[:n], logp[:n])}
             ref = self._pending_ref.get(req.req_id)
             if ref is not None and ref[0] is step:
                 del self._pending_ref[req.req_id]

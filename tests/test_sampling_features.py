@@ -208,3 +208,29 @@ class TestN:
                                  seed=11, ignore_eos=True))
         for a, b in zip(outs, again):
             assert a.token_ids == b.token_ids
+
+
+class TestPipelinedLogprobs:
+    """Logprobs requests ride the async pipeline (round-1 weakness: any
+    logprobs request forced the whole engine onto the sync path)."""
+
+    def test_logprobs_on_pipeline_match_sync(self):
+        p = _prompts(1, seed=8)[0]
+        sp = SamplingParams(max_tokens=8, logprobs=4, ignore_eos=True)
+
+        piped = LLM(tiny_config())
+        got = piped.generate(prompt_token_ids=[p], sampling_params=sp)[0]
+        kinds = piped.engine.step_times.summary()
+        assert "pipelined" in kinds and "sync" not in kinds, kinds
+
+        syncd = LLM(tiny_config())
+        syncd.engine._pipeline = False
+        want = syncd.generate(prompt_token_ids=[p], sampling_params=sp)[0]
+
+        assert got.token_ids == want.token_ids
+        assert got.logprobs is not None and want.logprobs is not None
+        assert len(got.logprobs) == len(got.token_ids)
+        for a, b in zip(got.logprobs, want.logprobs):
+            assert set(a) == set(b)
+            for t in a:
+                assert abs(a[t] - b[t]) < 1e-4
