@@ -188,10 +188,15 @@ def distill_mlp(target_params, hidden, tok0, targets, mask,
         "ln_w": [jnp.ones((d,), jnp.float32) for _ in range(n_predict)],
         "ln_b": [jnp.zeros((d,), jnp.float32) for _ in range(n_predict)],
     }
+    # The frozen target tables (and the dataset) must be jit ARGUMENTS,
+    # never closed-over: captured arrays become inline HLO constants, and
+    # a program carrying ~1 GB of fp8 table constants breaks remote
+    # compile services (and bloats every cache entry).
+    frozen = {"emb": emb_t, "head": head_t}
 
-    def full_params(train):
-        return {"emb": [emb_t] * n_predict,
-                "head": [head_t] * n_predict, **train}
+    def full_params(train, frozen):
+        return {"emb": [frozen["emb"]] * n_predict,
+                "head": [frozen["head"]] * n_predict, **train}
 
     n = hidden.shape[0]
     batch_size = min(batch_size, n)
@@ -203,8 +208,9 @@ def distill_mlp(target_params, hidden, tok0, targets, mask,
     opt = optax.adam(lr)
     opt_state = opt.init(train)
 
-    def loss_fn(train, h, t0, tgt, m):
-        logits = _chain_logits(full_params(train), arch, h, t0, tgt)
+    def loss_fn(train, frozen, h, t0, tgt, m):
+        logits = _chain_logits(full_params(train, frozen), arch, h, t0,
+                               tgt)
         total = 0.0
         for i, lg in enumerate(logits):
             lse = jax.scipy.special.logsumexp(lg, axis=-1)
@@ -215,17 +221,19 @@ def distill_mlp(target_params, hidden, tok0, targets, mask,
         return total
 
     @jax.jit
-    def train_step(train, opt_state, key):
+    def train_step(train, opt_state, key, frozen, hd, td, tg, mk):
         idx = jax.random.randint(key, (batch_size,), 0, n)
-        h, t0 = hidden_d[idx], tok0_d[idx]
-        tgt, m = targets_d[idx], mask_d[idx]
-        loss, grads = jax.value_and_grad(loss_fn)(train, h, t0, tgt, m)
+        h, t0 = hd[idx], td[idx]
+        tgt, m = tg[idx], mk[idx]
+        loss, grads = jax.value_and_grad(loss_fn)(train, frozen, h, t0,
+                                                  tgt, m)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(train, updates), opt_state, loss
 
     @jax.jit
-    def eval_acc(train, h, t0, tgt, m):
-        logits = _chain_logits(full_params(train), arch, h, t0, tgt)
+    def eval_acc(train, frozen, h, t0, tgt, m):
+        logits = _chain_logits(full_params(train, frozen), arch, h, t0,
+                               tgt)
         accs = []
         for i, lg in enumerate(logits):
             pred = jnp.argmax(lg, axis=-1).astype(jnp.int32)
@@ -236,7 +244,9 @@ def distill_mlp(target_params, hidden, tok0, targets, mask,
     key = jax.random.PRNGKey(seed + 1)
     for step in range(steps):
         key, sub = jax.random.split(key)
-        train, opt_state, loss = train_step(train, opt_state, sub)
+        train, opt_state, loss = train_step(
+            train, opt_state, sub, frozen, hidden_d, tok0_d, targets_d,
+            mask_d)
         if log_every and (step + 1) % log_every == 0:
             logger.info("distill step %d: loss %.4f", step + 1,
                         float(loss))
@@ -248,15 +258,16 @@ def distill_mlp(target_params, hidden, tok0, targets, mask,
         hi = min(lo + batch_size, n)
         if hi - lo < batch_size:      # reuse the compiled shape
             lo = max(0, hi - batch_size)
-        a = np.asarray(eval_acc(train, hidden_d[lo:hi], tok0_d[lo:hi],
-                                targets_d[lo:hi], mask_d[lo:hi]))
+        a = np.asarray(eval_acc(train, frozen, hidden_d[lo:hi],
+                                tok0_d[lo:hi], targets_d[lo:hi],
+                                mask_d[lo:hi]))
         msum = np.asarray(mask[lo:hi].sum(0))
         accs += a * msum
         wsum += msum
     per_head = accs / np.maximum(wsum, 1.0)
     logger.info("distill done: per-head accuracy %s",
                 np.round(per_head, 4).tolist())
-    return full_params(train), arch, per_head
+    return full_params(train, frozen), arch, per_head
 
 
 # --------------------------------------------------------------------- #
