@@ -12,11 +12,9 @@ import os
 import subprocess
 import threading
 from pathlib import Path
-from typing import Optional
 
-_SRC = Path(__file__).resolve().parent / "suffix_tree.cc"
 _LOCK = threading.Lock()
-_CACHED: Optional[Path] = None
+_CACHED_LIBS: dict[str, Path] = {}
 
 
 class NativeBuildError(RuntimeError):
@@ -30,26 +28,27 @@ def _build_dir() -> Path:
     if override:
         d = Path(override)
     else:
-        d = _SRC.parent / "_build"
+        d = Path(__file__).resolve().parent / "_build"
     d.mkdir(parents=True, exist_ok=True)
     return d
 
 
-def build_suffix_tree_library() -> Path:
-    """Compile (if needed) and return the path to libsuffixtree.so."""
-    global _CACHED
+def build_native_library(stem: str) -> Path:
+    """Compile (if needed) csrc/<stem>.cc into lib<stem>-<hash>.so."""
     with _LOCK:
-        if _CACHED is not None and _CACHED.exists():
-            return _CACHED
-        src = _SRC.read_bytes()
+        cached = _CACHED_LIBS.get(stem)
+        if cached is not None and cached.exists():
+            return cached
+        src_path = Path(__file__).resolve().parent / f"{stem}.cc"
+        src = src_path.read_bytes()
         tag = hashlib.sha256(src).hexdigest()[:16]
-        out = _build_dir() / f"libsuffixtree-{tag}.so"
+        out = _build_dir() / f"lib{stem.replace('_', '')}-{tag}.so"
         if not out.exists():
             cmd = [
                 os.environ.get("CXX", "g++"),
                 "-O3", "-std=c++17", "-shared", "-fPIC",
                 "-fvisibility=hidden",
-                str(_SRC), "-o", str(out) + ".tmp",
+                str(src_path), "-o", str(out) + ".tmp",
             ]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -57,7 +56,12 @@ def build_suffix_tree_library() -> Path:
                 raise NativeBuildError(f"compiler not found: {e}") from e
             except subprocess.CalledProcessError as e:
                 raise NativeBuildError(
-                    f"suffix tree build failed:\n{e.stderr}") from e
+                    f"{stem} build failed:\n{e.stderr}") from e
             os.replace(str(out) + ".tmp", out)
-        _CACHED = out
+        _CACHED_LIBS[stem] = out
         return out
+
+
+def build_suffix_tree_library() -> Path:
+    """Compile (if needed) and return the path to libsuffixtree.so."""
+    return build_native_library("suffix_tree")

@@ -427,9 +427,16 @@ class LLMEngine:
 
         step_inputs = self.runner.prepare_inputs(sched_out)
         self._rng, step_rng = jax.random.split(self._rng)
-        need_topk = any(s.request.sampling.guided is not None
-                        or s.request.sampling.logprobs
-                        for s in sched_out.scheduled)
+        # DFA-backed guided requests are constrained by device-applied
+        # vocab masks (prepare_inputs ships them; dp layout doesn't) —
+        # only non-mask decoders and logprobs still need candidates.
+        mask_capable = "guided_rows" in step_inputs.arrays
+        need_topk = any(
+            s.request.sampling.logprobs
+            or (s.request.sampling.guided is not None
+                and not (mask_capable and getattr(
+                    s.request.sampling.guided, "mask_words", None)))
+            for s in sched_out.scheduled)
         out = self.runner.execute(step_inputs, step_rng,
                                   need_topk=need_topk)
         if need_topk:
@@ -453,13 +460,30 @@ class LLMEngine:
                 continue
 
             guided = req.sampling.guided
-            if guided is not None and topk is not None:
-                # Grammar-guided: first ranked candidate that keeps the
-                # output valid; grammar fallback if all K are invalid.
-                tok = guided.pick(topk[lo])
-                if tok is None:
-                    tok = guided.fallback_token()
-                if tok is None:
+            if guided is not None:
+                if mask_capable and \
+                        getattr(guided, "mask_words", None) is not None:
+                    # Device-masked (DFA) path: the sampled token is
+                    # grammar-valid by construction — take it directly
+                    # (exact constrained sampling, no top-K bias).
+                    row = sampled if req.sampling.temperature > 0 \
+                        else argmax
+                    tok = int(row[lo + k - 1])
+                    if not guided.allows_token(tok):
+                        # All-zero mask (wedged automaton): degrade.
+                        tok = guided.fallback_token()
+                        if tok is None:
+                            tok = int(argmax[lo + k - 1])
+                elif topk is not None:
+                    # Host top-K filtering path: first ranked candidate
+                    # that keeps the output valid; grammar fallback when
+                    # all K are invalid.
+                    tok = guided.pick(topk[lo])
+                    if tok is None:
+                        tok = guided.fallback_token()
+                    if tok is None:
+                        tok = int(argmax[lo])
+                else:
                     tok = int(argmax[lo])
                 guided.advance_token(tok)
                 if req.sampling.logprobs and topk_logp is not None:

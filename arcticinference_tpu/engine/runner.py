@@ -357,6 +357,22 @@ class ModelRunner:
                 freq_pen[lo:lo + k] = sp.frequency_penalty
                 any_penalties = True
 
+        # Grammar-guided vocab bitmasks (DFA-backed decoders): the
+        # current automaton state's allowed-token mask rides the step
+        # inputs and is applied to the logits on device, so constrained
+        # sampling is exact (not host-filtered top-K).
+        guided_entries: list[tuple[int, np.ndarray]] = []
+        for r, s in enumerate(scheduled):
+            req = s.request
+            g = req.sampling.guided
+            if g is None or getattr(g, "mask_words", None) is None:
+                continue
+            if req.num_computed_tokens + s.num_new_tokens < \
+                    req.num_tokens:
+                continue   # mid-prefill: no token committed this step
+            lo, k = row_start[r], row_count[r]
+            guided_entries.append((lo + k - 1, g.mask_words()))
+
         # Attention work-item schedule.
         attn_qb = 8 if int(query_lens.max(initial=1)) <= 8 else 32
         num_items = t_pad // attn_qb + b
@@ -398,6 +414,19 @@ class ModelRunner:
             attn_token_off=token_off,
             **tree_arrays,
         )
+        if guided_entries:
+            w = (self.arch.vocab_size + 31) // 32
+            g_pad = pad_to_bucket(
+                len(guided_entries),
+                [g for g in (1, 2, 4, 8, 16, 32, 64, 128)
+                 if g <= max(self.b_max, 1)] + [self.b_max])
+            grows = np.full(g_pad, -1, np.int32)
+            gmask = np.zeros((g_pad, w), np.uint32)
+            for i, (row, mask) in enumerate(guided_entries):
+                grows[i] = row
+                gmask[i, :len(mask)] = mask   # short mask: tail stays 0
+            arrays["guided_rows"] = grows
+            arrays["guided_mask"] = gmask.view(np.int32)
         if any_penalties:
             # Token-history matrices for the penalty op (only built when a
             # scheduled request asks for penalties; their presence keys a
@@ -749,6 +778,8 @@ class ModelRunner:
             freq_pen = inputs.pop("freq_pen")
             pen_out = inputs.pop("pen_out_tokens", None)
             pen_all = inputs.pop("pen_all_tokens", None)
+            g_rows = inputs.pop("guided_rows", None)
+            g_mask = inputs.pop("guided_mask", None)
             kv, h = fwd(params, kv, inputs)
             rows = h if returns_rows else h[logits_indices]
             logits = module.compute_logits(params, rows)
@@ -756,6 +787,12 @@ class ModelRunner:
                 from arcticinference_tpu.ops.sampling import apply_penalties
                 logits = apply_penalties(logits, pen_out, pen_all,
                                          rep_pen, pres_pen, freq_pen)
+            if g_rows is not None:
+                # Grammar masks BEFORE argmax/sampling: both the sampled
+                # token and the greedy fallback are constrained-exact.
+                from arcticinference_tpu.ops.sampling import \
+                    apply_vocab_mask
+                logits = apply_vocab_mask(logits, g_rows, g_mask)
             argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if need_sampling:
                 from arcticinference_tpu.ops.sampling import sample

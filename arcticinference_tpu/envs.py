@@ -31,6 +31,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # unroll; A/B lever for compile-time/throughput experiments).
     "ARCTIC_TPU_NO_UNROLL":
         lambda: os.environ.get("ARCTIC_TPU_NO_UNROLL", "0") == "1",
+    # Disable the DFA-compiled guided-decoding path (device-applied vocab
+    # bitmasks); falls back to host-side top-K candidate filtering.
+    "ARCTIC_TPU_DISABLE_GUIDED_DFA":
+        lambda: os.environ.get(
+            "ARCTIC_TPU_DISABLE_GUIDED_DFA", "0") == "1",
     # Run the Pallas attention kernel in TPU-interpret mode on CPU (tests:
     # exercises the kernel code path, e.g. under a virtual PP mesh, where
     # the backend gate would otherwise pick the jnp reference).

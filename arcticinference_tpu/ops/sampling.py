@@ -134,6 +134,32 @@ def apply_penalties(logits: jax.Array, output_tokens: jax.Array,
     return jnp.where(seen > 0, penalized, logits)
 
 
+def apply_vocab_mask(logits: jax.Array, rows: jax.Array,
+                     mask_words: jax.Array) -> jax.Array:
+    """Grammar-guided vocab bitmask (xgrammar/outlines design; the
+    reference inherits token-bitmask guided decoding from vLLM's
+    backends).
+
+    logits: [N, V]; rows: [G] sample-row indices (-1 = padding, dropped);
+    mask_words: [G, W] packed little-endian bitmask (int32 bit i of word
+    w = token ``32*w + i``), W*32 >= V.  Disallowed tokens' logits become
+    dtype-min, so constrained argmax/top-k/top-p sampling is exact over
+    the renormalised allowed set.
+    """
+    g, w = mask_words.shape
+    v = logits.shape[-1]
+    bits = (mask_words[:, :, None]
+            >> jnp.arange(32, dtype=mask_words.dtype)) & 1
+    allow = bits.reshape(g, w * 32)[:, :v] != 0
+    safe = jnp.clip(rows, 0, logits.shape[0] - 1)
+    cur = logits[safe]
+    masked = jnp.where(allow, cur, jnp.finfo(logits.dtype).min)
+    # -1 padding -> an explicit out-of-bounds scatter row (negative
+    # indices would wrap; mode="drop" discards OOB rows).
+    tgt = jnp.where(rows < 0, logits.shape[0], rows)
+    return logits.at[tgt].set(masked, mode="drop")
+
+
 def verify_greedy(
     draft_tokens: jax.Array,
     num_draft: jax.Array,

@@ -1,0 +1,330 @@
+"""DFA-backed guided decoding: per-state vocab bitmasks, device-applied.
+
+This is the engine's xgrammar/outlines-parity path (the reference gets
+token-bitmask guided decoding from vLLM's backends;
+``tests/benchmarks/test_benchmarks.py:46-76``).  A grammar (regex /
+choice list / JSON schema via ``schema_regex``) is compiled to a
+codepoint DFA (``regex_dfa.py``); the native sweeper
+(``csrc/token_dfa.cc``) walks a vocab trie in product with the DFA to
+produce, for any automaton state, a ``ceil(V/32)``-word bitmask of
+tokens that keep the output completable.  The engine ships the current
+state's mask with the step inputs and the device masks the logits before
+sampling — constrained sampling is exact (true renormalised
+distribution), not a host-filtered top-K.
+
+Fallback layering: no g++ → pure-Python sweeper (same ABI, used for
+tiny test vocabs); pattern outside the compilable subset → the
+partial-matching decoders in ``structured.py``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+from arcticinference_tpu.serving.regex_dfa import (Dfa, UnsupportedRegex,
+                                                   compile_dfa)
+
+__all__ = ["DfaGuidedDecoder", "VocabCodepoints", "TokenDfaIndex",
+           "compile_guided_dfa", "UnsupportedRegex"]
+
+
+# --------------------------------------------------------------------- #
+# Vocab codepoint table (cached per tokenizer)
+# --------------------------------------------------------------------- #
+
+class VocabCodepoints:
+    """Flattened per-token codepoint sequences for a tokenizer.
+
+    Token text comes from single-token ``decode`` — the same convention
+    the partial-matching decoders use, so both paths see identical token
+    surfaces.  Zero-length tokens (specials that decode to "") are
+    recorded as empty and never allowed by any mask.
+    """
+
+    def __init__(self, tokenizer, vocab_size: int):
+        texts = _decode_vocab(tokenizer, vocab_size)
+        lengths = np.asarray([len(t) for t in texts], np.int64)
+        self.offsets = np.zeros(vocab_size + 1, np.int64)
+        np.cumsum(lengths, out=self.offsets[1:])
+        self.cps = np.zeros(int(self.offsets[-1]), np.uint32)
+        for i, t in enumerate(texts):
+            if t:
+                self.cps[self.offsets[i]:self.offsets[i + 1]] = [
+                    ord(c) for c in t]
+        self.vocab_size = vocab_size
+
+    def token_cps(self, tok: int) -> np.ndarray:
+        return self.cps[self.offsets[tok]:self.offsets[tok + 1]]
+
+
+def _decode_vocab(tokenizer, vocab_size: int) -> list[str]:
+    # Per-id decode (not convert_ids_to_tokens, whose raw merges carry
+    # Ġ/▁ whitespace markers) so the DFA sees the same token surfaces as
+    # the partial-matching decoders.  One-time cost per tokenizer.
+    return [tokenizer.decode([i]) for i in range(vocab_size)]
+
+
+_VOCAB_CACHE: dict[int, VocabCodepoints] = {}
+_VOCAB_LOCK = threading.Lock()
+
+
+def vocab_codepoints(tokenizer, vocab_size: int) -> VocabCodepoints:
+    key = id(tokenizer)
+    with _VOCAB_LOCK:
+        vc = _VOCAB_CACHE.get(key)
+        if vc is None or vc.vocab_size != vocab_size:
+            vc = VocabCodepoints(tokenizer, vocab_size)
+            _VOCAB_CACHE[key] = vc
+        return vc
+
+
+# --------------------------------------------------------------------- #
+# Native sweeper (ctypes) with a pure-Python twin
+# --------------------------------------------------------------------- #
+
+_LIB = None
+_LIB_FAILED = False
+_LIB_LOCK = threading.Lock()
+
+
+def _load_lib():
+    global _LIB, _LIB_FAILED
+    with _LIB_LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        try:
+            from arcticinference_tpu.csrc.build import build_native_library
+
+            lib = ctypes.CDLL(str(build_native_library("token_dfa")))
+        except Exception:
+            _LIB_FAILED = True
+            return None
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.tdfa_create.restype = ctypes.c_void_p
+        lib.tdfa_create.argtypes = [
+            ctypes.c_int32, u8p, i32p, u32p, u32p, i32p, ctypes.c_int32,
+            ctypes.c_int32, i64p, u32p]
+        lib.tdfa_destroy.argtypes = [ctypes.c_void_p]
+        lib.tdfa_mask.restype = ctypes.c_int64
+        lib.tdfa_mask.argtypes = [ctypes.c_void_p, ctypes.c_int32, u32p]
+        lib.tdfa_advance.restype = ctypes.c_int32
+        lib.tdfa_advance.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                     ctypes.c_int32]
+        lib.tdfa_is_accept.restype = ctypes.c_int32
+        lib.tdfa_is_accept.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        _LIB = lib
+        return _LIB
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class TokenDfaIndex:
+    """DFA × vocabulary product: per-state mask + advance.
+
+    One instance per (pattern, tokenizer) pair — shareable across
+    requests; all methods are thread-compatible (read-only after init)
+    except the per-instance mask cache, which is lock-protected.
+    """
+
+    def __init__(self, dfa: Dfa, vocab: VocabCodepoints,
+                 force_python: bool = False):
+        self.dfa = dfa
+        self.vocab = vocab
+        self.n_words = (vocab.vocab_size + 31) // 32
+        self._mask_cache: dict[int, np.ndarray] = {}
+        self._cache_lock = threading.Lock()
+        self._handle = None
+        lib = None if force_python else _load_lib()
+        if lib is not None:
+            accept = dfa.accept.astype(np.uint8)
+            offsets = np.ascontiguousarray(dfa.trans_offsets, np.int32)
+            lo = np.ascontiguousarray(dfa.trans_lo, np.uint32)
+            hi = np.ascontiguousarray(dfa.trans_hi, np.uint32)
+            nxt = np.ascontiguousarray(dfa.trans_next, np.int32)
+            offs = np.ascontiguousarray(vocab.offsets, np.int64)
+            cps = np.ascontiguousarray(vocab.cps, np.uint32)
+            handle = lib.tdfa_create(
+                dfa.n_states, _ptr(accept, ctypes.c_uint8),
+                _ptr(offsets, ctypes.c_int32), _ptr(lo, ctypes.c_uint32),
+                _ptr(hi, ctypes.c_uint32), _ptr(nxt, ctypes.c_int32),
+                len(lo), vocab.vocab_size, _ptr(offs, ctypes.c_int64),
+                _ptr(cps, ctypes.c_uint32))
+            self._lib = lib
+            self._handle = ctypes.c_void_p(handle)
+
+    def __del__(self):
+        h = getattr(self, "_handle", None)
+        if h:
+            try:
+                self._lib.tdfa_destroy(h)
+            except Exception:
+                pass
+
+    # -- queries ---------------------------------------------------------
+
+    def mask(self, state: int) -> np.ndarray:
+        """uint32[n_words] bitmask of tokens allowed from ``state``."""
+        with self._cache_lock:
+            m = self._mask_cache.get(state)
+            if m is not None:
+                return m
+        if self._handle is not None:
+            out = np.zeros(self.n_words, np.uint32)
+            self._lib.tdfa_mask(self._handle, state,
+                                _ptr(out, ctypes.c_uint32))
+        else:
+            out = self._mask_python(state)
+        with self._cache_lock:
+            if len(self._mask_cache) > 4096:
+                self._mask_cache.clear()
+            self._mask_cache[state] = out
+        return out
+
+    def _mask_python(self, state: int) -> np.ndarray:
+        out = np.zeros(self.n_words, np.uint32)
+        if state < 0:
+            return out
+        v = self.vocab
+        for t in range(v.vocab_size):
+            cps = v.token_cps(t)
+            if len(cps) == 0:
+                continue
+            s = state
+            for cp in cps:
+                s = self.dfa.step(s, int(cp))
+                if s < 0:
+                    break
+            if s >= 0:
+                out[t >> 5] |= np.uint32(1 << (t & 31))
+        return out
+
+    def advance(self, state: int, tok: int) -> int:
+        if self._handle is not None:
+            return int(self._lib.tdfa_advance(self._handle, state, tok))
+        s = state
+        for cp in self.vocab.token_cps(tok):
+            s = self.dfa.step(s, int(cp))
+            if s < 0:
+                return -1
+        return s
+
+    def is_accept(self, state: int) -> bool:
+        return self.dfa.is_accept(state)
+
+
+_INDEX_CACHE: dict[tuple[int, str], TokenDfaIndex] = {}
+_INDEX_LOCK = threading.Lock()
+
+
+def compile_guided_dfa(tokenizer, vocab_size: int, pattern: str,
+                       force_python: bool = False) -> TokenDfaIndex:
+    """Compile + index ``pattern`` against ``tokenizer``'s vocabulary.
+
+    Raises :class:`UnsupportedRegex` when the pattern is outside the
+    compilable subset; results are cached per (tokenizer, pattern).
+    """
+    key = (id(tokenizer), pattern)
+    with _INDEX_LOCK:
+        idx = _INDEX_CACHE.get(key)
+    if idx is not None:
+        return idx
+    dfa = compile_dfa(pattern)
+    vocab = vocab_codepoints(tokenizer, vocab_size)
+    idx = TokenDfaIndex(dfa, vocab, force_python=force_python)
+    with _INDEX_LOCK:
+        if len(_INDEX_CACHE) > 256:
+            _INDEX_CACHE.clear()
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
+# --------------------------------------------------------------------- #
+# Engine-facing decoder
+# --------------------------------------------------------------------- #
+
+class DfaGuidedDecoder:
+    """Guided decoder backed by a token DFA.
+
+    Implements the engine's guided protocol (``pick`` / ``fallback_token``
+    / ``advance_token`` / ``finished``) **plus** the mask interface
+    (``mask_words``) that lets the runner apply the constraint on device.
+    When the device applies the mask, the sampled token is valid by
+    construction and ``pick`` never rejects it.
+    """
+
+    def __init__(self, index: TokenDfaIndex,
+                 schema: Optional[dict] = None):
+        self.index = index
+        self.state = index.dfa.start
+        self.schema = schema
+        self.schema_ok: Optional[bool] = None
+        self._text_parts: list[str] = []
+        self._tokens: list[int] = []
+
+    # mask interface -----------------------------------------------------
+
+    def mask_words(self) -> np.ndarray:
+        return self.index.mask(self.state)
+
+    # guided protocol ----------------------------------------------------
+
+    def allows_token(self, token_id: int) -> bool:
+        if self.finished():
+            return False
+        m = self.index.mask(self.state)
+        return bool((m[token_id >> 5] >> (token_id & 31)) & 1)
+
+    def advance_token(self, token_id: int) -> None:
+        self.state = self.index.advance(self.state, token_id)
+        self._tokens.append(int(token_id))
+
+    def finished(self) -> bool:
+        done = self.index.is_accept(self.state)
+        if done and self.schema is not None and self.schema_ok is None:
+            self._validate_schema()
+        return done
+
+    def fallback_token(self) -> Optional[int]:
+        m = self.index.mask(self.state)
+        nz = np.nonzero(m)[0]
+        if len(nz) == 0:
+            return None
+        w = int(nz[0])
+        b = int(m[w])
+        return w * 32 + ((b & -b).bit_length() - 1)
+
+    def pick(self, candidates: Sequence[int]) -> Optional[int]:
+        m = self.index.mask(self.state)
+        for tok in candidates:
+            t = int(tok)
+            if (m[t >> 5] >> (t & 31)) & 1:
+                return t
+        return None
+
+    # -------------------------------------------------------------------
+
+    def _validate_schema(self) -> None:
+        try:
+            import json as _json
+
+            import jsonschema
+
+            # Re-derive text from the consumed tokens via the vocab
+            # codepoint table (no tokenizer needed at this point).
+            v = self.index.vocab
+            text = "".join(
+                "".join(chr(c) for c in v.token_cps(t))
+                for t in self._tokens)
+            jsonschema.validate(_json.loads(text), self.schema)
+            self.schema_ok = True
+        except Exception:
+            self.schema_ok = False

@@ -98,7 +98,12 @@ class OpenAIServer:
                     text="guided decoding requires a tokenizer")
             from arcticinference_tpu.serving.structured import (
                 make_guided_decoder)
-            guided = make_guided_decoder(self.tokenizer, spec)
+            try:   # model logits width (may exceed len(tokenizer))
+                vocab = self.engine.engine.runner.arch.vocab_size
+            except AttributeError:
+                vocab = None
+            guided = make_guided_decoder(self.tokenizer, spec,
+                                         vocab_size=vocab)
         logprobs = body.get("logprobs")
         stop = body.get("stop") or ()
         if isinstance(stop, str):

@@ -537,21 +537,71 @@ class JsonSchemaGuidedDecoder(JsonGuidedDecoder):
         return done
 
 
-def make_guided_decoder(tokenizer, spec) -> object:
+def _try_dfa_decoder(tokenizer, pattern: str, schema=None,
+                     vocab_size=None):
+    """DFA-compiled decoder (device-applied vocab bitmasks) or None when
+    the pattern/vocab falls outside the compilable subset."""
+    from arcticinference_tpu import envs
+
+    if envs.ARCTIC_TPU_DISABLE_GUIDED_DFA:
+        return None
+    try:
+        from arcticinference_tpu.serving.guided_dfa import (
+            DfaGuidedDecoder, compile_guided_dfa)
+
+        if vocab_size is None:
+            vocab_size = len(tokenizer)
+        idx = compile_guided_dfa(tokenizer, int(vocab_size), pattern)
+        return DfaGuidedDecoder(idx, schema=schema)
+    except Exception:
+        return None   # UnsupportedRegex / odd tokenizer: partial-match path
+
+
+def make_guided_decoder(tokenizer, spec, vocab_size=None) -> object:
     """Factory mirroring vLLM's GuidedDecodingParams surface:
     ``{"json": schema|True}`` / ``{"regex": pat}`` / ``{"choice": [..]}``
-    or an already-built decoder (returned as-is)."""
+    or an already-built decoder (returned as-is).
+
+    Grammars inside the DFA-compilable subset get the token-bitmask
+    decoder (``guided_dfa.DfaGuidedDecoder``): exact constrained
+    sampling with the mask applied on device.  Everything else uses the
+    partial-matching decoders below.  ``vocab_size`` should be the
+    model's logits width when it exceeds ``len(tokenizer)``.
+    """
     if hasattr(spec, "pick"):
         return spec
     if not isinstance(spec, dict):
         raise ValueError(f"unsupported guided spec {spec!r}")
     if "regex" in spec:
-        return RegexGuidedDecoder(tokenizer, spec["regex"])
+        d = _try_dfa_decoder(tokenizer, spec["regex"],
+                             vocab_size=vocab_size)
+        return d or RegexGuidedDecoder(tokenizer, spec["regex"])
     if "choice" in spec:
-        return ChoiceGuidedDecoder(tokenizer, spec["choice"])
+        choices = spec["choice"]
+        if choices:
+            import re as _re
+
+            pat = "(?:" + "|".join(_re.escape(str(c))
+                                   for c in choices) + ")"
+            d = _try_dfa_decoder(tokenizer, pat, vocab_size=vocab_size)
+            if d is not None:
+                return d
+        return ChoiceGuidedDecoder(tokenizer, choices)
     if "json" in spec:
         schema = spec["json"]
         if isinstance(schema, dict):
+            try:
+                from arcticinference_tpu.serving.schema_regex import (
+                    schema_to_regex)
+
+                pat = schema_to_regex(schema)
+            except Exception:
+                pat = None
+            if pat is not None:
+                d = _try_dfa_decoder(tokenizer, pat, schema=schema,
+                                     vocab_size=vocab_size)
+                if d is not None:
+                    return d
             return JsonSchemaGuidedDecoder(tokenizer, schema)
         return JsonGuidedDecoder(tokenizer)
     raise ValueError(f"unsupported guided spec keys {sorted(spec)}")
