@@ -163,6 +163,17 @@ TDFA_EXPORT int32_t tdfa_advance(void* h, int32_t state, int32_t tok) {
   return state;
 }
 
+// Masks for every state in [s_begin, s_end): out holds
+// (s_end - s_begin) * ceil(vocab/32) u32 rows (device mask-table export
+// for pipelined guided decoding).
+TDFA_EXPORT void tdfa_all_masks(void* h, int32_t s_begin, int32_t s_end,
+                                uint32_t* out) {
+  const auto* d = static_cast<TokenDfa*>(h);
+  const size_t words = size_t((d->vocab + 31) / 32);
+  for (int32_t s = s_begin; s < s_end; ++s)
+    tdfa_mask(h, s, out + size_t(s - s_begin) * words);
+}
+
 // Whether `state` is an accept state (consumed text IS a full match).
 TDFA_EXPORT int32_t tdfa_is_accept(void* h, int32_t state) {
   const auto* d = static_cast<TokenDfa*>(h);

@@ -42,7 +42,8 @@ PENDING_TOKEN = -7
 class _InflightStep:
     """A dispatched-but-unsynced device step (async scheduling)."""
 
-    __slots__ = ("sched_out", "step_inputs", "tokens_dev", "commits")
+    __slots__ = ("sched_out", "step_inputs", "tokens_dev", "commits",
+                 "gstate_base")
 
     def __init__(self, sched_out, step_inputs, tokens_dev):
         self.sched_out = sched_out
@@ -50,6 +51,9 @@ class _InflightStep:
         self.tokens_dev = tokens_dev
         # (request, output position, absolute token-row index)
         self.commits: list = []
+        # Offset of the appended grammar-state segment in tokens_dev
+        # (device-resident guided decoding); 0 when absent.
+        self.gstate_base = 0
 
 
 class LLMEngine:
@@ -82,6 +86,10 @@ class LLMEngine:
         self._pipeline_depth = config.scheduler.pipeline_depth
         self._inflight: list = []
         self._pending_ref: dict = {}
+        # Device-resident guided decoding: grammar-index id -> pool slot
+        # (slots are shared by requests with the same compiled grammar
+        # and reclaimed lazily when their requests finish).
+        self._guided_slots: dict[int, int] = {}
         # Optional distillation hook (spec/distill.py HiddenCapture):
         # called from the synchronous step with (rows, [(req_id, row,
         # emitted_token)]) so drafters can be trained on target outputs.
@@ -216,15 +224,60 @@ class LLMEngine:
             self._profiling = False
 
     def _any_guided(self) -> bool:
-        # Guided decoding needs per-step token feedback into the grammar
-        # state; penalties need host-known token histories at dispatch
-        # time (pipelined steps would upload PENDING placeholders) —
-        # both force the synchronous path.  Plain logprobs requests ride
-        # the pipeline (top-k rows are read at drain time).
-        return any(r.sampling.guided is not None
-                   or r.sampling.needs_penalties
-                   for r in (*self.scheduler.running,
-                             *self.scheduler.waiting))
+        """Whether some request forces the synchronous step path.
+
+        Penalties need host-known token histories at dispatch time
+        (pipelined steps would upload PENDING placeholders).  Guided
+        requests ride the pipeline when every grammar is DFA-compiled
+        and fits the device pool: masks + state advance then run on
+        device (ops/guided.py) with zero per-step host work.  Non-DFA
+        decoders (pushdown json_object) and oversize grammars still need
+        per-step host feedback -> sync.  Plain logprobs requests ride
+        the pipeline (top-k rows are read at drain time).
+        """
+        reqs = (*self.scheduler.running, *self.scheduler.waiting)
+        if any(r.sampling.needs_penalties for r in reqs):
+            return True
+        guided = [r.sampling.guided for r in reqs
+                  if r.sampling.guided is not None]
+        if not guided:
+            return False
+        if not self.runner.guided_device_ok:
+            return True
+        indexes = set()
+        for g in guided:
+            idx = getattr(g, "index", None)
+            if idx is None or not self.runner.guided_fits_pool(idx):
+                return True
+            indexes.add(id(idx))
+        return len(indexes) > self.runner.GUIDED_POOL_SLOTS
+
+    def _guided_slot(self, decoder) -> int:
+        """Pool slot for this decoder's grammar, uploading its tables on
+        first use; slots are keyed by compiled-grammar identity (the
+        TokenDfaIndex cache makes same-pattern requests share one)."""
+        key = id(decoder.index)
+        entry = self._guided_slots.get(key)
+        if entry is not None:
+            return entry[0]
+        used = {s for s, _ in self._guided_slots.values()}
+        if len(used) >= self.runner.GUIDED_POOL_SLOTS:
+            live = {id(r.sampling.guided.index)
+                    for r in (*self.scheduler.running,
+                              *self.scheduler.waiting)
+                    if r.sampling.guided is not None
+                    and getattr(r.sampling.guided, "index", None)
+                    is not None}
+            self._guided_slots = {k: v for k, v in
+                                  self._guided_slots.items() if k in live}
+            used = {s for s, _ in self._guided_slots.values()}
+        slot = next(i for i in range(self.runner.GUIDED_POOL_SLOTS)
+                    if i not in used)
+        self.runner.upload_guided_tables(slot, decoder.index)
+        # Keep a strong ref to the index so its id() can't be recycled
+        # while the slot mapping lives.
+        self._guided_slots[key] = (slot, decoder.index)
+        return slot
 
     # -- pipelined path -------------------------------------------------
 
@@ -271,8 +324,31 @@ class LLMEngine:
                 if req.output_token_ids[-1] == PENDING_TOKEN:
                     passthrough[req.req_id] = row_abs
 
+        # The passthrough drain above can finish scheduled requests
+        # (stop strings, grammar completion): drop their stale entries.
+        sched_out.scheduled = [s for s in sched_out.scheduled
+                               if not s.request.status.is_finished]
+        if not sched_out.scheduled:
+            return flushed
+
         prev = self._inflight[-1] if self._inflight else None
-        step_inputs = self.runner.prepare_inputs(sched_out, passthrough)
+        # Device-resident guided state: seed from the previous step's
+        # output vector when this request's state is still in flight
+        # there, else from the host decoder's committed state.
+        guided_dev = {}
+        for s in sched_out.scheduled:
+            g = s.request.sampling.guided
+            if g is None:
+                continue
+            slot = self._guided_slot(g)
+            src = -1
+            if prev is not None and prev.step_inputs.guided_index and \
+                    s.request.req_id in prev.step_inputs.guided_index:
+                src = (prev.gstate_base
+                       + prev.step_inputs.guided_index[s.request.req_id])
+            guided_dev[s.request.req_id] = (slot, src, g.state)
+        step_inputs = self.runner.prepare_inputs(
+            sched_out, passthrough, guided_dev or None)
         self._rng, step_rng = jax.random.split(self._rng)
         need_topk = any(s.request.sampling.logprobs
                         for s in sched_out.scheduled)
@@ -287,6 +363,10 @@ class LLMEngine:
         except AttributeError:
             pass
         inflight = _InflightStep(sched_out, step_inputs, tokens_dev)
+        if step_inputs.gstate_count:
+            inflight.gstate_base = 2 * step_inputs.s_pad + (
+                2 * step_inputs.s_pad * self.runner.GUIDED_TOPK
+                if need_topk else 0)
         # Optimistic commit: placeholders for every produced token.
         for r, s in enumerate(sched_out.scheduled):
             req = s.request
@@ -343,7 +423,23 @@ class LLMEngine:
                 del self._pending_ref[req.req_id]
             if req.first_token_time is None:
                 req.first_token_time = time.time()
-            stop = self._check_stop_prefix(req)
+            stop = None
+            g = req.sampling.guided
+            if g is not None:
+                # Device-resident guided path: the host decoder replays
+                # the committed token to stay authoritative for finish
+                # detection; overshoot tokens sampled past grammar
+                # completion (the device's bit-0 sentinel) are trimmed,
+                # exactly like length overshoot under async scheduling.
+                g.advance_token(req.output_token_ids[out_pos])
+                if getattr(g, "state", 0) == -1:
+                    del req.output_token_ids[out_pos:]
+                    stop = RequestStatus.FINISHED_STOPPED
+                elif g.finished():
+                    del req.output_token_ids[out_pos + 1:]
+                    stop = RequestStatus.FINISHED_STOPPED
+            if stop is None:
+                stop = self._check_stop_prefix(req)
             if stop is not None:
                 req.finish_time = time.time()
                 self.scheduler.finish_request(req, stop)

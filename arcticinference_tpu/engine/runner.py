@@ -50,6 +50,11 @@ class StepInputs:
     sample_row_start: list[int]
     sample_row_count: list[int]
     total_tokens: int = 0
+    # Device-resident guided decoding: req_id -> index into the step's
+    # guided rows, and the padded guided-row count (the appended
+    # grammar-state segment's length in the output token vector).
+    guided_index: Optional[dict] = None
+    gstate_count: int = 0
 
 
 class ModelRunner:
@@ -239,10 +244,16 @@ class ModelRunner:
     # ------------------------------------------------------------------ #
 
     def prepare_inputs(self, sched_out: SchedulerOutput,
-                       passthrough: Optional[dict] = None) -> StepInputs:
+                       passthrough: Optional[dict] = None,
+                       guided_dev: Optional[dict] = None) -> StepInputs:
         """``passthrough`` maps req_id -> absolute row index into the
         PREVIOUS step's device token vector for tokens whose value hasn't
-        reached the host yet (async scheduling)."""
+        reached the host yet (async scheduling).
+
+        ``guided_dev`` maps req_id -> (pool_slot, src_abs, init_state)
+        for the device-resident guided path: src_abs indexes the
+        previous step's output vector (its appended grammar-state
+        segment), or -1 to seed from ``init_state``."""
         if self.dp > 1:
             return self._prepare_inputs_dp(sched_out, passthrough)
         scheduled = sched_out.scheduled
@@ -362,6 +373,7 @@ class ModelRunner:
         # inputs and is applied to the logits on device, so constrained
         # sampling is exact (not host-filtered top-K).
         guided_entries: list[tuple[int, np.ndarray]] = []
+        dev_entries: list[tuple[int, int, int, int, str]] = []
         for r, s in enumerate(scheduled):
             req = s.request
             g = req.sampling.guided
@@ -371,7 +383,14 @@ class ModelRunner:
                     req.num_tokens:
                 continue   # mid-prefill: no token committed this step
             lo, k = row_start[r], row_count[r]
-            guided_entries.append((lo + k - 1, g.mask_words()))
+            row = lo + k - 1
+            if guided_dev is not None and req.req_id in guided_dev:
+                slot, src, init = guided_dev[req.req_id]
+                dev_entries.append((row, slot, src, init, req.req_id))
+            else:
+                guided_entries.append((row, g.mask_words()))
+        assert not (guided_entries and dev_entries), \
+            "host-mask and device-pool guided rows cannot mix in a step"
 
         # Attention work-item schedule.
         attn_qb = 8 if int(query_lens.max(initial=1)) <= 8 else 32
@@ -414,12 +433,13 @@ class ModelRunner:
             attn_token_off=token_off,
             **tree_arrays,
         )
+        g_buckets = [g for g in (1, 2, 4, 8, 16, 32, 64, 128)
+                     if g <= max(self.b_max, 1)] + [self.b_max]
+        guided_index = None
+        gstate_count = 0
         if guided_entries:
             w = (self.arch.vocab_size + 31) // 32
-            g_pad = pad_to_bucket(
-                len(guided_entries),
-                [g for g in (1, 2, 4, 8, 16, 32, 64, 128)
-                 if g <= max(self.b_max, 1)] + [self.b_max])
+            g_pad = pad_to_bucket(len(guided_entries), g_buckets)
             grows = np.full(g_pad, -1, np.int32)
             gmask = np.zeros((g_pad, w), np.uint32)
             for i, (row, mask) in enumerate(guided_entries):
@@ -427,6 +447,22 @@ class ModelRunner:
                 gmask[i, :len(mask)] = mask   # short mask: tail stays 0
             arrays["guided_rows"] = grows
             arrays["guided_mask"] = gmask.view(np.int32)
+        elif dev_entries:
+            g_pad = pad_to_bucket(len(dev_entries), g_buckets)
+            grows = np.full(g_pad, -1, np.int32)
+            gslot = np.full(g_pad, -1, np.int32)
+            gsrc = np.full(g_pad, -1, np.int32)
+            ginit = np.full(g_pad, -1, np.int32)
+            guided_index = {}
+            for i, (row, slot, src, init, rid) in enumerate(dev_entries):
+                grows[i], gslot[i] = row, slot
+                gsrc[i], ginit[i] = src, init
+                guided_index[rid] = i
+            arrays["guided_rows"] = grows
+            arrays["gd_slot"] = gslot
+            arrays["gd_src"] = gsrc
+            arrays["gd_init"] = ginit
+            gstate_count = g_pad
         if any_penalties:
             # Token-history matrices for the penalty op (only built when a
             # scheduled request asks for penalties; their presence keys a
@@ -491,7 +527,9 @@ class ModelRunner:
                 arrays["pp" + key] = np.stack([p[i] for p in parts])
         return StepInputs(arrays=arrays, t_pad=t_pad, s_pad=s_pad,
                           attn_qb=attn_qb, sample_row_start=row_start,
-                          sample_row_count=row_count, total_tokens=total)
+                          sample_row_count=row_count, total_tokens=total,
+                          guided_index=guided_index,
+                          gstate_count=gstate_count)
 
     def _prepare_inputs_dp(self, sched_out: SchedulerOutput,
                            passthrough: Optional[dict] = None
@@ -655,11 +693,14 @@ class ModelRunner:
     _F32_KEYS = ("temperature", "top_p", "min_p", "rep_pen", "pres_pen",
                  "freq_pen")
     # Present only on steps where a request asked for penalties, a step
-    # carries tree drafts, or the engine runs in-engine dp.
+    # carries tree drafts, guided requests ship grammar masks/state, or
+    # the engine runs in-engine dp.
     _PEN_KEYS = ("pen_out_tokens", "pen_all_tokens",
                  "attn_tree_start", "attn_row_tree_mask",
                  "attn_item_tree_start", "attn_item_tree_mask",
-                 "positions_flat")
+                 "positions_flat",
+                 "guided_rows", "guided_mask",
+                 "gd_slot", "gd_src", "gd_init")
 
     def _pack(self, arrays: dict[str, np.ndarray]):
         i32_keys = self._i32_keys + tuple(
@@ -745,6 +786,61 @@ class ModelRunner:
 
     GUIDED_TOPK = 16
 
+    # Device-resident guided decoding pool: per-slot grammar tables
+    # (mask table + interval transitions) for pipelined guided requests.
+    GUIDED_POOL_SLOTS = 8
+    GUIDED_POOL_STATES = 1024
+    GUIDED_POOL_TRANS = 16384
+
+    @property
+    def guided_device_ok(self) -> bool:
+        """Whether the device-resident guided path is available (the
+        grammar pool is per-process device state: not mirrored to
+        multihost followers, and the dp layout doesn't carry it)."""
+        return not self.is_multihost and self.dp == 1
+
+    def guided_fits_pool(self, index) -> bool:
+        return (index.dfa.n_states <= self.GUIDED_POOL_STATES
+                and len(index.dfa.trans_lo) <= self.GUIDED_POOL_TRANS)
+
+    def _ensure_guided_pool(self) -> dict:
+        pool = getattr(self, "_guided_pool", None)
+        if pool is None:
+            w = (self.arch.vocab_size + 31) // 32
+            p, s, i = (self.GUIDED_POOL_SLOTS, self.GUIDED_POOL_STATES,
+                       self.GUIDED_POOL_TRANS)
+            pool = dict(
+                masks=jnp.zeros((p, s, w), jnp.int32),
+                keys=jnp.full((p, i), np.iinfo(np.int32).max, jnp.int32),
+                hi=jnp.full((p, i), -1, jnp.int32),
+                nxt=jnp.full((p, i), -1, jnp.int32),
+                cps=None)
+            self._guided_pool = pool
+        return pool
+
+    def upload_guided_tables(self, slot: int, index) -> None:
+        """Load grammar ``index`` (a ``TokenDfaIndex``) into pool slot."""
+        assert self.guided_fits_pool(index)
+        pool = self._ensure_guided_pool()
+        masks, keys, hi, nxt = index.device_tables()
+        s_pad, i_pad = self.GUIDED_POOL_STATES, self.GUIDED_POOL_TRANS
+        w = pool["masks"].shape[-1]
+        mrow = np.zeros((s_pad, w), np.int32)
+        mrow[:masks.shape[0], :masks.shape[1]] = masks.view(np.int32)
+        krow = np.full(i_pad, np.iinfo(np.int32).max, np.int32)
+        krow[:len(keys)] = keys
+        hrow = np.full(i_pad, -1, np.int32)
+        hrow[:len(hi)] = hi
+        nrow = np.full(i_pad, -1, np.int32)
+        nrow[:len(nxt)] = nxt
+        pool["masks"] = pool["masks"].at[slot].set(mrow)
+        pool["keys"] = pool["keys"].at[slot].set(krow)
+        pool["hi"] = pool["hi"].at[slot].set(hrow)
+        pool["nxt"] = pool["nxt"].at[slot].set(nrow)
+        if pool["cps"] is None:
+            pool["cps"] = jnp.asarray(
+                index.vocab.cps_matrix().view(np.int32))
+
     def _get_step_fn(self, attn_qb: int, need_sampling: bool, shapes,
                      mode: str, t_pad: int, need_topk: bool = False):
         key = (attn_qb, need_sampling, shapes, mode, need_topk)
@@ -755,7 +851,10 @@ class ModelRunner:
         returns_rows = self.returns_rows
         fwd = self._forward_fn(attn_qb, mode, t_pad)
 
-        def step(params, kv, i32, f32, kv_scale, rng, prev_tokens):
+        has_gpool = any(k == "gd_slot" for k, _ in shapes)
+
+        def step_body(params, kv, i32, f32, kv_scale, rng, prev_tokens,
+                      gpool):
             inputs = ModelRunner._unpack(i32, f32, shapes)
             inputs["kv_scale"] = kv_scale
             src_idx = inputs.pop("input_src")
@@ -780,6 +879,9 @@ class ModelRunner:
             pen_all = inputs.pop("pen_all_tokens", None)
             g_rows = inputs.pop("guided_rows", None)
             g_mask = inputs.pop("guided_mask", None)
+            g_slot = inputs.pop("gd_slot", None)
+            g_src = inputs.pop("gd_src", None)
+            g_init = inputs.pop("gd_init", None)
             kv, h = fwd(params, kv, inputs)
             rows = h if returns_rows else h[logits_indices]
             logits = module.compute_logits(params, rows)
@@ -787,7 +889,24 @@ class ModelRunner:
                 from arcticinference_tpu.ops.sampling import apply_penalties
                 logits = apply_penalties(logits, pen_out, pen_all,
                                          rep_pen, pres_pen, freq_pen)
-            if g_rows is not None:
+            gstates = None
+            if g_slot is not None:
+                # Device-resident grammar state (pipelined guided path):
+                # the automaton state rides the previous step's output
+                # vector like async token passthrough; its mask row comes
+                # from the grammar pool.
+                from arcticinference_tpu.ops.guided import guided_mask_rows
+                from arcticinference_tpu.ops.sampling import \
+                    apply_vocab_mask
+                gstates = jnp.where(
+                    g_src >= 0,
+                    prev_tokens[jnp.clip(g_src, 0,
+                                         prev_tokens.shape[0] - 1)],
+                    g_init)
+                mask_rows = guided_mask_rows(gstates, g_slot,
+                                             gpool["masks"])
+                logits = apply_vocab_mask(logits, g_rows, mask_rows)
+            elif g_rows is not None:
                 # Grammar masks BEFORE argmax/sampling: both the sampled
                 # token and the greedy fallback are constrained-exact.
                 from arcticinference_tpu.ops.sampling import \
@@ -815,8 +934,28 @@ class ModelRunner:
                 parts.append(
                     jax.lax.bitcast_convert_type(logp, jnp.int32)
                     .reshape(-1))
+            if gstates is not None:
+                # Advance the grammar state by the token the engine will
+                # commit (per-row temperature selects sampled vs greedy)
+                # and append it to the output vector — the next step
+                # reads it back via gd_src (device-to-device, no sync).
+                from arcticinference_tpu.ops.guided import guided_advance
+                s_rows = jnp.clip(g_rows, 0, logits.shape[0] - 1)
+                tok_sel = jnp.where(temperature[s_rows] > 0,
+                                    parts[1][s_rows], parts[0][s_rows])
+                gstate_out = guided_advance(
+                    gstates, g_slot, tok_sel, gpool["cps"],
+                    gpool["keys"], gpool["hi"], gpool["nxt"])
+                parts.append(gstate_out.astype(jnp.int32))
             tokens = jnp.concatenate(parts)
             return kv, tokens, rows
+
+        if has_gpool:
+            step = step_body
+        else:
+            def step(params, kv, i32, f32, kv_scale, rng, prev_tokens):
+                return step_body(params, kv, i32, f32, kv_scale, rng,
+                                 prev_tokens, None)
 
         if self.is_multihost:
             # Fully-replicated outputs: the leader reads them without a
@@ -872,9 +1011,14 @@ class ModelRunner:
                              self._replicated(np.asarray(rng)))
         else:
             i32, f32 = jnp.asarray(i32), jnp.asarray(f32)
-        self.kv, tokens, rows = fn(
-            self.params, self.kv, i32, f32,
-            self.kv_scale, rng, prev_tokens)
+        if "gd_slot" in step_inputs.arrays:
+            self.kv, tokens, rows = fn(
+                self.params, self.kv, i32, f32,
+                self.kv_scale, rng, prev_tokens, self._guided_pool)
+        else:
+            self.kv, tokens, rows = fn(
+                self.params, self.kv, i32, f32,
+                self.kv_scale, rng, prev_tokens)
         return tokens, rows
 
     def execute(self, step_inputs: StepInputs,

@@ -36,6 +36,16 @@ __all__ = ["DfaGuidedDecoder", "VocabCodepoints", "TokenDfaIndex",
 # Vocab codepoint table (cached per tokenizer)
 # --------------------------------------------------------------------- #
 
+# Padding codepoint for the device token matrix: above any valid
+# Unicode codepoint (0x10FFFF) but below 2^21 so packed (state, cp) keys
+# stay within int32.
+PAD_CP = 0x1FFFFF
+# Tokens longer than this many codepoints are excluded from device-side
+# guided decoding (their advance walk wouldn't fit the fixed unroll);
+# they are simply masked out of every state's allowed set.
+DEVICE_LMAX = 32
+
+
 class VocabCodepoints:
     """Flattened per-token codepoint sequences for a tokenizer.
 
@@ -59,6 +69,27 @@ class VocabCodepoints:
 
     def token_cps(self, tok: int) -> np.ndarray:
         return self.cps[self.offsets[tok]:self.offsets[tok + 1]]
+
+    def cps_matrix(self, lmax: int = DEVICE_LMAX) -> np.ndarray:
+        """[V, lmax] uint32 codepoint matrix, ``PAD_CP``-padded; rows of
+        tokens longer than ``lmax`` are all-PAD (those tokens must be
+        masked out of device-side guided decoding)."""
+        cached = getattr(self, "_cps_matrix", None)
+        if cached is not None and cached.shape[1] == lmax:
+            return cached
+        v = self.vocab_size
+        out = np.full((v, lmax), PAD_CP, np.uint32)
+        for t in range(v):
+            cps = self.token_cps(t)
+            if 0 < len(cps) <= lmax:
+                out[t, :len(cps)] = cps
+        self._cps_matrix = out
+        return out
+
+    def too_long(self, lmax: int = DEVICE_LMAX) -> np.ndarray:
+        """bool[V]: tokens whose codepoint sequence exceeds ``lmax``."""
+        lens = np.diff(self.offsets)
+        return lens > lmax
 
 
 def _decode_vocab(tokenizer, vocab_size: int) -> list[str]:
@@ -119,6 +150,8 @@ def _load_lib():
                                      ctypes.c_int32]
         lib.tdfa_is_accept.restype = ctypes.c_int32
         lib.tdfa_is_accept.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.tdfa_all_masks.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                                       ctypes.c_int32, u32p]
         _LIB = lib
         return _LIB
 
@@ -206,6 +239,47 @@ class TokenDfaIndex:
             if s >= 0:
                 out[t >> 5] |= np.uint32(1 << (t & 31))
         return out
+
+    def device_tables(self) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                     np.ndarray]:
+        """Full-grammar export for the device-resident guided path.
+
+        Returns ``(masks [S, W] uint32, keys [I] int32, hi [I] int32,
+        nxt [I] int32)`` where ``keys[i] = state << 21 | interval_lo``
+        (globally sorted, so one searchsorted resolves a (state, cp)
+        transition).  Tokens longer than ``DEVICE_LMAX`` codepoints are
+        masked out of every state; all-zero mask rows get bit 0 set so
+        device sampling stays defined after grammar completion (the host
+        discards any overshoot tokens at drain time).
+        """
+        cached = getattr(self, "_device_tables", None)
+        if cached is not None:
+            return cached
+        dfa = self.dfa
+        s_count = dfa.n_states
+        masks = np.zeros((s_count, self.n_words), np.uint32)
+        if self._handle is not None:
+            self._lib.tdfa_all_masks(
+                self._handle, 0, s_count,
+                masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        else:
+            for s in range(s_count):
+                masks[s] = self.mask(s)
+        long_toks = np.nonzero(self.vocab.too_long())[0]
+        for t in long_toks:
+            masks[:, t >> 5] &= ~np.uint32(1 << (t & 31))
+        empty = ~masks.any(axis=1)
+        masks[empty, 0] |= np.uint32(1)
+
+        lo = dfa.trans_lo.astype(np.int64)
+        offs = dfa.trans_offsets
+        state_of = np.repeat(np.arange(s_count, dtype=np.int64),
+                             np.diff(offs))
+        keys = ((state_of << 21) | lo).astype(np.int32)
+        hi = dfa.trans_hi.astype(np.int32)
+        nxt = dfa.trans_next.astype(np.int32)
+        self._device_tables = (masks, keys, hi, nxt)
+        return self._device_tables
 
     def advance(self, state: int, tok: int) -> int:
         if self._handle is not None:

@@ -284,6 +284,12 @@ class TestEngineEndToEnd:
             scheduler=SchedulerConfig(max_num_seqs=4,
                                       max_num_batched_tokens=64))
         llm = LLM(cfg)
+        # The device mask must constrain sampling; the host-side rescue
+        # paths existing for degraded states must stay cold.
+        def _no_fallback():
+            raise AssertionError("fallback_token called: device mask "
+                                 "was not applied")
+        guided.fallback_token = _no_fallback
         out = llm.generate(
             prompt_token_ids=[[3, 14, 15, 9, 26]],
             sampling_params=SamplingParams(
@@ -305,10 +311,114 @@ class TestEngineEndToEnd:
         assert guided.schema_ok is True
 
     def test_greedy_conforms(self):
-        guided, text = self._run(SCHEMAS[2], temperature=0.0)
-        doc = json.loads(text)
-        assert isinstance(doc, list) and 1 <= len(doc) <= 4
-        assert all(isinstance(x, (int, float)) for x in doc)
+        # Bounded grammar (enum): greedy argmax under the mask must land
+        # exactly on one of the fixed literals.  (Unbounded grammars can
+        # legitimately absorb the whole token budget — e.g. an integer
+        # field growing one digit per step — and finish length-stopped.)
+        guided, text = self._run(SCHEMAS[3], temperature=0.0)
+        assert json.loads(text) in ["red", "green", "blue", 17, None]
+
+    def test_unbounded_grammar_can_length_stop(self):
+        # Number arrays may consume every token; the engine must stop at
+        # max_tokens with the grammar still live rather than wedging.
+        guided, text = self._run(SCHEMAS[2], temperature=0.8, seed=5)
+        try:
+            doc = json.loads(text)
+            assert isinstance(doc, list)
+        except json.JSONDecodeError:
+            assert not guided.finished()   # honest length truncation
+
+    def test_guided_rides_pipeline_and_matches_sync(self):
+        """Device-resident grammar state: guided requests run on the
+        pipelined path (no per-step host feedback), and with per-request
+        seeds the pipelined output is bit-identical to the synchronous
+        device-mask path."""
+        from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                                ModelConfig,
+                                                SchedulerConfig)
+        from arcticinference_tpu.engine.llm import LLM
+        from arcticinference_tpu.engine.request import SamplingParams
+
+        tok = ByteTokenizer()
+        schema = SCHEMAS[0]
+
+        def run(async_sched: bool):
+            idx = compile_guided_dfa(tok, 139, schema_to_regex(schema))
+            guided = DfaGuidedDecoder(idx, schema=schema)
+            cfg = EngineConfig(
+                model=ModelConfig(model="llama",
+                                  hf_overrides=dict(
+                                      vocab_size=139, hidden_size=64,
+                                      intermediate_size=128,
+                                      num_hidden_layers=2,
+                                      num_attention_heads=4,
+                                      num_key_value_heads=4, head_dim=16),
+                                  max_model_len=256, dtype="float32"),
+                cache=CacheConfig(block_size=8, num_blocks=64),
+                scheduler=SchedulerConfig(max_num_seqs=4,
+                                          max_num_batched_tokens=64,
+                                          async_scheduling=async_sched))
+            llm = LLM(cfg)
+            out = llm.generate(
+                prompt_token_ids=[[3, 14, 15]],
+                sampling_params=SamplingParams(
+                    max_tokens=100, temperature=1.2, seed=11,
+                    guided=guided))
+            kinds = dict(llm.engine.step_times._counts)
+            return out[0].token_ids, kinds, guided
+
+        toks_pipe, kinds_pipe, g_pipe = run(True)
+        toks_sync, kinds_sync, _ = run(False)
+        assert kinds_pipe.get("pipelined", 0) > 0, kinds_pipe
+        assert kinds_sync.get("pipelined", 0) == 0, kinds_sync
+        assert toks_pipe == toks_sync
+        doc = json.loads("".join(ByteTokenizer().vocab[t]
+                                 for t in toks_pipe))
+        assert set(doc) == {"a", "b"}
+        assert g_pipe.schema_ok is True
+
+    def test_pool_overflow_falls_back_to_sync(self, monkeypatch):
+        """More distinct grammars than device pool slots: the engine
+        falls back to the synchronous host-mask path and stays correct."""
+        from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                                ModelConfig,
+                                                SchedulerConfig)
+        from arcticinference_tpu.engine.llm import LLM
+        from arcticinference_tpu.engine.request import SamplingParams
+        from arcticinference_tpu.engine.runner import ModelRunner
+
+        monkeypatch.setattr(ModelRunner, "GUIDED_POOL_SLOTS", 1)
+        tok = ByteTokenizer()
+        cfg = EngineConfig(
+            model=ModelConfig(model="llama",
+                              hf_overrides=dict(
+                                  vocab_size=139, hidden_size=64,
+                                  intermediate_size=128,
+                                  num_hidden_layers=2,
+                                  num_attention_heads=4,
+                                  num_key_value_heads=4, head_dim=16),
+                              max_model_len=256, dtype="float32"),
+            cache=CacheConfig(block_size=8, num_blocks=64),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=64))
+        llm = LLM(cfg)
+        eng = llm.engine
+        for i, schema in enumerate((SCHEMAS[0], SCHEMAS[3])):
+            idx = compile_guided_dfa(tok, 139, schema_to_regex(schema))
+            eng.add_request(
+                f"o{i}", [3 + i, 14],
+                SamplingParams(max_tokens=80, temperature=1.0, seed=i,
+                               guided=DfaGuidedDecoder(idx,
+                                                       schema=schema)))
+        outs = {}
+        while eng.has_unfinished:
+            for r in eng.step():
+                outs[r.req_id] = "".join(tok.vocab[t]
+                                         for t in r.output_token_ids)
+        assert eng.step_times._counts.get("pipelined", 0) == 0
+        assert set(json.loads(outs["o0"])) == {"a", "b"}
+        assert json.loads(outs["o1"]) in ["red", "green", "blue", 17,
+                                          None]
 
     def test_multiple_guided_requests_batched(self):
         from arcticinference_tpu.config import (CacheConfig, EngineConfig,
