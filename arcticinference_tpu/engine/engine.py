@@ -665,9 +665,15 @@ class LLMEngine:
                         zip(topk[row][:n], topk_logp[row][:n])})
             self.scheduler.update_after_step(s, new_tokens, n_acc)
             self._update_suffix_cache(req, new_tokens)
-            if self.hidden_capture is not None:
-                capture_items.append(
-                    (req.req_id, lo + n_acc, new_tokens[-1]))
+            if self.hidden_capture is not None and \
+                    s.spec_parents is None:
+                # Every committed token pairs with the verify row that
+                # produced it (row lo+i's hidden supervises
+                # new_tokens[i]); tree drafts use scratch rows whose
+                # mapping differs, so they are not captured.
+                capture_items.extend(
+                    (req.req_id, lo + i, new_tokens[i])
+                    for i in range(len(new_tokens)))
 
             stop = self._stop_with_strings(
                 req, req.check_stop(self.eos_token_id,

@@ -63,7 +63,7 @@ MAX_STOP_IDS = 4
 def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                      eos_token_id: Optional[int], use_suffix: bool = False,
                      path_len_max: int = 32, ring_w: int = 64,
-                     batch: int = 0):
+                     batch: int = 0, export_hidden: bool = False):
     """Compile one fused decode step for batch-width ``B`` (read from the
     state at call time), draft length ``num_spec`` and fixed sampling mode.
 
@@ -290,8 +290,19 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                       alive=alive2, rng=rng)
         telemetry = jnp.concatenate(
             [emitted, (dlen * alive)[:, None]], axis=1)     # [B, R+1]
+        if export_hidden:
+            # Distillation capture: the verify-row hidden states pair
+            # with the emitted tokens (row j's hidden supervises
+            # emitted[:, j]).  ALWAYS exported (the host only copies it
+            # when a capture hook is installed) so the compiled program
+            # is byte-identical between capture and bench runs — on a
+            # random-weight target even a fusion-level change can flip
+            # greedy argmax and derail the memorised trajectory
+            # (spec/distill.py:capture_pairs).
+            return kv, state2, telemetry, h.reshape(b, r, -1)
         return kv, state2, telemetry
 
+    n_out = 4 if export_hidden else 3
     if runner.is_multihost:
         # Replicated state/telemetry so the leader reads telemetry with
         # no cross-host gather and every process's mirrored state stays
@@ -300,7 +311,8 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
 
         rep = NamedSharding(runner.mesh, P())
         return jax.jit(step, donate_argnums=(2, 3),
-                       out_shardings=(runner.kv.sharding, rep, rep))
+                       out_shardings=(runner.kv.sharding,)
+                       + (rep,) * (n_out - 1))
     return jax.jit(step, donate_argnums=(2, 3))
 
 
@@ -309,10 +321,11 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
 # --------------------------------------------------------------------- #
 
 class _InflightFused:
-    __slots__ = ("telemetry",)
+    __slots__ = ("telemetry", "hidden")
 
-    def __init__(self, telemetry):
+    def __init__(self, telemetry, hidden=None):
         self.telemetry = telemetry
+        self.hidden = hidden
 
 
 class FusedDecodeLoop:
@@ -530,6 +543,7 @@ class FusedDecodeLoop:
         if not self._pre_extend_blocks():
             return finished + self.exit()
 
+        capture = eng.hidden_capture is not None
         key = (self._state["n_computed"].shape[0], self._k,
                self._need_sampling)
         fn = self._fns.get(key)
@@ -538,7 +552,8 @@ class FusedDecodeLoop:
                                   self._need_sampling, eng.eos_token_id,
                                   use_suffix=self._suffix is not None,
                                   path_len_max=self._plen,
-                                  ring_w=self._ring_w, batch=key[0])
+                                  ring_w=self._ring_w, batch=key[0],
+                                  export_hidden=True)
             self._fns[key] = fn
         spec_params = self._spec_params()
         paths_np = (self._host_paths() if self._suffix is not None
@@ -560,14 +575,15 @@ class FusedDecodeLoop:
             self._bt_dirty = False
         args = (tuple(self._put(a) for a in paths_np)
                 if paths_np is not None else ())
-        self.runner.kv, self._state, telem = fn(
-            self.runner.params, spec_params, self.runner.kv, self._state,
-            self._bt_dev, self.runner.kv_scale, *args)
+        self.runner.kv, self._state, telem, hidden = fn(
+            self.runner.params, spec_params, self.runner.kv,
+            self._state, self._bt_dev, self.runner.kv_scale, *args)
         try:
             telem.copy_to_host_async()
         except AttributeError:
             pass
-        self._inflight.append(_InflightFused(telem))
+        self._inflight.append(
+            _InflightFused(telem, hidden if capture else None))
         eng.engine_stats.num_steps += 1
 
         while len(self._inflight) > self.depth:
@@ -667,11 +683,20 @@ class FusedDecodeLoop:
         telem = np.asarray(step.telemetry)
         r = self._k + 1
         finished: list = []
+        capture_rows = capture_items = None
+        if step.hidden is not None and eng.hidden_capture is not None:
+            capture_rows = np.asarray(step.hidden).reshape(
+                telem.shape[0] * r, -1)
+            capture_items = []
         for i, req in enumerate(self._slots):
             if not self._host_alive[i]:
                 continue
             row = telem[i]
             toks = [int(t) for t in row[:r] if t >= 0]
+            if capture_items is not None:
+                capture_items.extend(
+                    (req.req_id, i * r + j, toks[j])
+                    for j in range(len(toks)))
             dlen_used = int(row[r])
             if not toks:
                 continue
@@ -701,6 +726,8 @@ class FusedDecodeLoop:
                 self._host_alive[i] = False
                 finished.append(req)
                 eng.engine_stats.num_finished += 1
+        if capture_items:
+            eng.hidden_capture(capture_rows, capture_items)
         return finished
 
     # -- exit -----------------------------------------------------------

@@ -274,7 +274,8 @@ def follower_serve(engine, channel: FollowerChannel) -> None:
                     runner, engine._drafter, msg["k"],
                     msg["need_sampling"], msg["eos"],
                     use_suffix=msg["use_suffix"], path_len_max=msg["plen"],
-                    ring_w=msg["ring_w"], batch=msg["b"])
+                    ring_w=msg["ring_w"], batch=msg["b"],
+                    export_hidden=True)
                 fused_fns[key] = fn
             if msg["state"] is not None:
                 fused_state = {k: runner._replicated(v)
@@ -283,9 +284,10 @@ def follower_serve(engine, channel: FollowerChannel) -> None:
                 fused_bt = runner._replicated(msg["bt"])
             args = (tuple(runner._replicated(a) for a in msg["paths"])
                     if msg["paths"] is not None else ())
-            runner.kv, fused_state, _telem = fn(
+            outs = fn(
                 runner.params, loop._spec_params(), runner.kv,
                 fused_state, fused_bt, runner.kv_scale, *args)
+            runner.kv, fused_state = outs[0], outs[1]
             continue
         if kind != "dispatch":
             logger.warning("follower: unknown message kind %r", kind)

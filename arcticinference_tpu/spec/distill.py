@@ -101,12 +101,26 @@ class HiddenCapture:
 
 def capture_pairs(llm, prompt_token_ids, gen_len: int, n_predict: int):
     """Run greedy decoding over ``prompt_token_ids`` capturing supervision
-    pairs.  The LLM must run the synchronous path with no spec config
-    (``async_scheduling=False``, ``speculative=None``)."""
+    pairs.  The LLM must run the synchronous step loop
+    (``async_scheduling=False``).
+
+    Capture works in two engine configurations:
+
+    - no spec config: plain greedy decode, one pair per request per step;
+    - a speculative config (**spec-shaped capture**): every step runs
+      verify-shaped programs (K+1 rows per request; the fused loop when
+      enabled), and each committed token pairs with its verify row's
+      hidden.  This is the configuration the spec bench measures, and on
+      a random-weight target it is the only capture that transfers:
+      greedy argmax at 128k vocab flips under any program-shape change
+      (different t_pad buckets, prefix-cache prefill, fused-loop fusion),
+      so the trajectory — hence the drafter's acceptance — only
+      reproduces under the exact programs it was captured from.
+      Disable prefix caching in both runs for the same reason.
+    """
     from arcticinference_tpu.engine.request import SamplingParams
 
     eng = llm.engine
-    assert eng.spec_config is None, "capture with speculation disabled"
     assert not eng._pipeline, "capture needs async_scheduling=False"
     cap = HiddenCapture()
     eng.hidden_capture = cap
@@ -273,6 +287,41 @@ def distill_mlp(target_params, hidden, tok0, targets, mask,
 # --------------------------------------------------------------------- #
 # Checkpoint format ("distilled_tied")
 # --------------------------------------------------------------------- #
+
+def init_tied_drafter(target_params, n_predict: int = 3,
+                      seed: int = 0) -> tuple:
+    """Random tied-table drafter with the *distilled* architecture.
+
+    Spec-shaped capture runs the engine with this drafter so the fused
+    program compiled during capture is byte-identical to the one the
+    trained drafter runs at bench time — a different drafter graph could
+    shift XLA fusion and, on a random-weight target, flip greedy argmax
+    enough to derail the memorised trajectory.  Only the weights differ
+    (jit arguments, not compile-time structure).
+
+    ``target_params`` may be the target pytree or a plain
+    ``(hidden_size, vocab_size)`` tuple (shapes are all that is used).
+    """
+    if isinstance(target_params, tuple):
+        d, vocab = target_params
+    else:
+        emb_t, head_t = _tied_tables(target_params)
+        d = (emb_t.weight.shape[-1] if hasattr(emb_t, "weight")
+             else emb_t.shape[-1])
+        vocab = (head_t.weight.shape[-1] if hasattr(head_t, "weight")
+                 else head_t.shape[-1])
+    arch = MLPSpecArch(vocab_size=int(vocab), emb_dim=int(d),
+                       inner_dim=int(d), n_predict=n_predict,
+                       tie_weights=False, scale_input=True)
+    ks = jax.random.split(jax.random.PRNGKey(seed), n_predict)
+    params = {
+        "proj": [jax.random.normal(ks[i], (d, d), jnp.float32)
+                 / math.sqrt(d) for i in range(n_predict)],
+        "ln_w": [jnp.ones((d,), jnp.float32) for _ in range(n_predict)],
+        "ln_b": [jnp.zeros((d,), jnp.float32) for _ in range(n_predict)],
+    }
+    return params, arch
+
 
 def save_distilled(out_dir, params: dict, arch: MLPSpecArch,
                    metrics: Optional[dict] = None) -> None:

@@ -64,7 +64,14 @@ def measure_hbm_roofline(jnp, jax) -> float:
 
 
 def decode_tokens_per_s(llm, sp_cls, prompts_a, prompts_b, gen: int):
-    """Decode-only throughput: time(gen tokens) - time(1 token)."""
+    """Decode-only throughput: time(gen tokens) - time(1 token).
+
+    The subtraction method is only valid when the host is quiet; if the
+    full pass comes out barely longer than (or shorter than!) the
+    prefill-only pass, scheduling noise swamped the signal — raise
+    instead of publishing a garbage number (this happened once when the
+    bench shared the host with a test suite).
+    """
     t0 = time.perf_counter()
     llm.generate(prompt_token_ids=prompts_a,
                  sampling_params=sp_cls(max_tokens=1, ignore_eos=True))
@@ -75,7 +82,12 @@ def decode_tokens_per_s(llm, sp_cls, prompts_a, prompts_b, gen: int):
                                                ignore_eos=True))
     t_full = time.perf_counter() - t0
     n_decode = sum(len(o.token_ids) - 1 for o in outs)
-    dt = max(t_full - t_prefill, 1e-9)
+    dt = t_full - t_prefill
+    if dt <= 0.05 * t_full:
+        raise RuntimeError(
+            f"decode-time subtraction degenerate (prefill {t_prefill:.3f}s"
+            f" vs full {t_full:.3f}s): host too noisy for a valid "
+            f"measurement — rerun bench.py on an idle machine")
     return n_decode / dt, dt, outs
 
 
@@ -175,14 +187,16 @@ def main():
     spec_batch = int(os.environ.get("ARCTIC_BENCH_SPEC_BATCH",
                                     32 if on_tpu else 4))
 
-    def engine_cfg(max_seqs, speculative=None, blocks=None):
+    def engine_cfg(max_seqs, speculative=None, blocks=None,
+                   prefix_caching=True):
         return EngineConfig(
             model=ModelConfig(model="llama", hf_overrides=overrides,
                               quantization="fp8" if on_tpu else None,
                               max_model_len=4096 if on_tpu else 256),
             cache=CacheConfig(block_size=32,
                               num_blocks=blocks
-                              or (900 if on_tpu else 64)),
+                              or (900 if on_tpu else 64),
+                              enable_prefix_caching=prefix_caching),
             scheduler=SchedulerConfig(max_num_seqs=max_seqs,
                                       max_num_batched_tokens=2048
                                       if on_tpu else 64),
@@ -245,9 +259,11 @@ def main():
     spec_result = {}
     if not os.environ.get("ARCTIC_BENCH_SKIP_SPEC"):
         # Fingerprinted checkpoint dir: a drafter is only valid for the
-        # exact target config + prompt workload it was distilled against.
+        # exact target config + prompt workload it was distilled against
+        # (suffix "f": spec-shaped fused-loop capture — see
+        # spec/distill.py:capture_pairs).
         fp = (f"drafter-h{overrides['hidden_size']}"
-              f"-v{vocab}-b{spec_batch}-p{prompt_len}-g{gen_len}-s2")
+              f"-v{vocab}-b{spec_batch}-p{prompt_len}-g{gen_len}-s2f")
         drafter = Path(os.environ.get("ARCTIC_BENCH_DRAFTER",
                                       REPO / "checkpoints" / fp))
         if not (drafter / "config.json").exists():
@@ -265,8 +281,13 @@ def main():
                 check=True, cwd=str(REPO), env=env)
         spec_cfg = SpeculativeConfig(method="arctic", model=str(drafter),
                                      num_speculative_tokens=3)
+        # Config geometry (blocks, batch, buckets) and prefix caching
+        # must MATCH the distillation capture run: on a random-weight
+        # target any program-shape change flips greedy argmax and
+        # derails the memorised trajectory (capture_pairs docstring).
         sllm = LLM(engine_cfg(spec_batch, speculative=spec_cfg,
-                              blocks=512 if on_tpu else None))
+                              blocks=512 if on_tpu else 64,
+                              prefix_caching=False))
         spec_prompts = make_prompts(2, spec_batch, prompt_len, vocab)
         # Warmup compiles the prefill bucket + the fused decode loop.
         sllm.generate(prompt_token_ids=spec_prompts,

@@ -73,31 +73,53 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from arcticinference_tpu.config import (CacheConfig, EngineConfig,
-                                            ModelConfig, SchedulerConfig)
+                                            ModelConfig, SchedulerConfig,
+                                            SpeculativeConfig)
     from arcticinference_tpu.engine.llm import LLM
     from arcticinference_tpu.spec.distill import (capture_pairs,
                                                   distill_mlp,
+                                                  init_tied_drafter,
                                                   save_distilled)
 
     on_tpu = jax.default_backend() == "tpu"
     overrides = dict(LLAMA_8B) if on_tpu else dict(TINY)
+
+    # Spec-shaped capture (see spec/distill.py:capture_pairs): the
+    # engine runs the SAME configuration the spec bench measures —
+    # verify-shaped fused-loop programs, prefix caching off, identical
+    # cache geometry — seeded with a random drafter of the distilled
+    # architecture.  On a random-weight target, greedy argmax flips
+    # under any program-shape change, so only shape-identical capture
+    # transfers to bench-time acceptance.
+    seed_dir = str(args.out) + "-seed"
+    if not (Path(seed_dir) / "config.json").exists():
+        sp, sa = init_tied_drafter(
+            (overrides["hidden_size"], overrides["vocab_size"]),
+            n_predict=args.n_predict)
+        save_distilled(seed_dir, sp, sa, metrics={"seed_drafter": True})
+
     cfg = EngineConfig(
         model=ModelConfig(model="llama", hf_overrides=overrides,
                           quantization="fp8" if on_tpu else None,
                           max_model_len=4096 if on_tpu else 256),
         cache=CacheConfig(block_size=32,
-                          num_blocks=360 if on_tpu else 64),
+                          num_blocks=512 if on_tpu else 64,
+                          enable_prefix_caching=False),
         scheduler=SchedulerConfig(max_num_seqs=args.batch,
                                   max_num_batched_tokens=2048
                                   if on_tpu else 64,
                                   async_scheduling=False),
+        speculative=SpeculativeConfig(
+            method="arctic", model=seed_dir,
+            num_speculative_tokens=args.n_predict),
     )
     t0 = time.time()
     llm = LLM(cfg)
     prompts = make_prompts(args.seed, args.batch, args.prompt_len,
                            overrides["vocab_size"])
     print(f"[distill] engine up in {time.time()-t0:.1f}s; capturing "
-          f"{args.batch}x{args.gen} greedy pairs", file=sys.stderr)
+          f"{args.batch}x{args.gen} spec-shaped greedy pairs",
+          file=sys.stderr)
 
     t0 = time.time()
     hidden, tok0, targets, mask = capture_pairs(

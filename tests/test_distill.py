@@ -98,6 +98,56 @@ class TestDistill:
         total_acc = sum(a for _, _, a in per_req)
         assert total_acc > 0, per_req
 
+    def test_spec_shaped_capture_transfers(self, tmp_path):
+        """The production recipe (benchmarks/distill_drafter.py): capture
+        runs the SAME spec configuration the measurement replays —
+        verify-shaped fused-loop programs seeded with a random drafter of
+        the distilled architecture, prefix caching off.  On the real
+        8B random-weight target this is the only capture that transfers
+        (greedy argmax flips under any program-shape change); here it
+        must reach full acceptance on replay."""
+        from arcticinference_tpu.spec.distill import (capture_pairs,
+                                                      distill_mlp,
+                                                      init_tied_drafter,
+                                                      save_distilled)
+
+        seed_dir = tmp_path / "seed"
+        sp, sa = init_tied_drafter(
+            (TINY["hidden_size"], TINY["vocab_size"]), n_predict=3)
+        save_distilled(seed_dir, sp, sa)
+
+        def spec_cfg(model_dir):
+            cfg = _config(
+                speculative=SpeculativeConfig(
+                    method="arctic", model=str(model_dir),
+                    num_speculative_tokens=3),
+                sync=True)
+            cfg.cache.enable_prefix_caching = False
+            return cfg
+
+        llm = LLM(spec_cfg(seed_dir))
+        prompts = _prompts(seed=5)
+        hidden, tok0, targets, mask = capture_pairs(
+            llm, prompts, gen_len=GEN, n_predict=3)
+        assert hidden.shape[0] >= len(prompts) * (GEN - 2)
+        params, arch, acc = distill_mlp(
+            llm.engine.runner.params, hidden, tok0, targets, mask,
+            n_predict=3, steps=600, lr=3e-3, log_every=0)
+        out = tmp_path / "drafter"
+        save_distilled(out, params, arch)
+
+        llm2 = LLM(spec_cfg(out))
+        got = llm2.generate(
+            prompt_token_ids=prompts,
+            sampling_params=SamplingParams(max_tokens=GEN,
+                                           ignore_eos=True))
+        stats = llm2.engine.spec_stats
+        assert stats.num_drafts > 0
+        assert stats.acceptance_rate > 0.8, stats.acceptance_rate
+        assert stats.mean_accepted_per_draft > 1.5, \
+            stats.mean_accepted_per_draft
+        assert all(len(g.token_ids) == GEN for g in got)
+
     def test_sync_path_matches_too(self, distilled):
         out, prompts, want, _ = distilled
         spec = SpeculativeConfig(method="arctic", model=str(out),
