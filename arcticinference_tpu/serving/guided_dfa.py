@@ -344,6 +344,11 @@ class DfaGuidedDecoder:
         self._text_parts: list[str] = []
         self._tokens: list[int] = []
 
+    def clone(self) -> "DfaGuidedDecoder":
+        """Fresh-state decoder over the same compiled grammar (n>1
+        fan-out: each child needs its own automaton state)."""
+        return DfaGuidedDecoder(self.index, schema=self.schema)
+
     # mask interface -----------------------------------------------------
 
     def mask_words(self) -> np.ndarray:
