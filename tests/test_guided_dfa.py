@@ -377,6 +377,53 @@ class TestEngineEndToEnd:
         assert set(doc) == {"a", "b"}
         assert g_pipe.schema_ok is True
 
+    def test_guided_on_tp_sp_mesh(self):
+        """Device masks + device-resident grammar state compose with the
+        sharded step (tp x sp mesh on the virtual CPU devices): output
+        conforms and matches the single-chip run bit-for-bit."""
+        from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                                ModelConfig,
+                                                ParallelConfig,
+                                                SchedulerConfig)
+        from arcticinference_tpu.engine.llm import LLM
+        from arcticinference_tpu.engine.request import SamplingParams
+
+        tok = ByteTokenizer()
+        schema = SCHEMAS[0]
+
+        def run(par):
+            idx = compile_guided_dfa(tok, 139, schema_to_regex(schema))
+            guided = DfaGuidedDecoder(idx, schema=schema)
+            cfg = EngineConfig(
+                model=ModelConfig(model="llama",
+                                  hf_overrides=dict(
+                                      vocab_size=139, hidden_size=64,
+                                      intermediate_size=128,
+                                      num_hidden_layers=2,
+                                      num_attention_heads=8,
+                                      num_key_value_heads=8, head_dim=8),
+                                  max_model_len=256, dtype="float32"),
+                cache=CacheConfig(block_size=8, num_blocks=64),
+                scheduler=SchedulerConfig(max_num_seqs=4,
+                                          max_num_batched_tokens=64),
+                parallel=par or ParallelConfig())
+            llm = LLM(cfg)
+            out = llm.generate(
+                prompt_token_ids=[[3, 14, 15]],
+                sampling_params=SamplingParams(
+                    max_tokens=60, temperature=1.0, seed=4,
+                    guided=guided))
+            return out[0].token_ids, llm.engine.step_times._counts
+
+        toks_mesh, kinds = run(ParallelConfig(
+            tensor_parallel_size=2, ulysses_sequence_parallel_size=2))
+        toks_single, _ = run(None)
+        text = "".join(ByteTokenizer().vocab[t] for t in toks_mesh)
+        doc = json.loads(text)
+        assert set(doc) == {"a", "b"}
+        assert kinds.get("pipelined", 0) > 0, kinds
+        assert toks_mesh == toks_single
+
     def test_n_greater_one_clones_decoder(self):
         """Offline n>1 fan-out: each child gets its own automaton state
         and every completion conforms independently."""
