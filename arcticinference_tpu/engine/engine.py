@@ -320,7 +320,9 @@ class LLMEngine:
                     while (self._inflight
                            and req.output_token_ids[-1] == PENDING_TOKEN
                            and self._inflight[-1] is not step_obj):
-                        self._sync_oldest()
+                        # Collect finishes: a request completed by this
+                        # drain must still be reported to the caller.
+                        flushed.extend(self._sync_oldest())
                 if req.output_token_ids[-1] == PENDING_TOKEN:
                     passthrough[req.req_id] = row_abs
 
