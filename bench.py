@@ -46,7 +46,14 @@ def make_prompts(seed, batch, prompt_len, vocab):
 
 
 def measure_hbm_roofline(jnp, jax) -> float:
-    """Live DMA ceiling: stream a ~2 GiB buffer through a copy kernel."""
+    """Live DMA ceiling: max of two probes.
+
+    (a) XLA copy: xor a ~2 GiB int8 buffer (read + write traffic).
+    (b) Pallas read stream: double-buffered async-DMA read of a 4 GiB
+        HBM buffer into VMEM — the pattern the decode step's weight
+        streaming is bound by (reads only, no write-back), which the
+        xor probe understates by ~35% on the v5e.
+    """
     n = (1 << 31) if jax.default_backend() == "tpu" else (1 << 24)
     x = jnp.zeros(n, jnp.int8)
     f = jax.jit(lambda x: x ^ 1)
@@ -60,7 +67,67 @@ def measure_hbm_roofline(jnp, jax) -> float:
         y = f(y)
     np.asarray(y[:1])
     dt = time.perf_counter() - t0
-    return 2 * n * iters / dt  # read + write
+    best = 2 * n * iters / dt  # read + write
+    del x, y
+    if jax.default_backend() == "tpu":
+        try:
+            best = max(best, _measure_dma_read(jnp, jax))
+        except Exception as e:
+            print(f"[bench] pallas DMA probe failed ({e}); using xor "
+                  f"probe only", file=sys.stderr)
+    return best
+
+
+def _measure_dma_read(jnp, jax) -> float:
+    """Double-buffered HBM->VMEM read stream (Pallas), read GB/s."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    chunk = (8, 512, 128)            # 1 MiB bf16 per chunk
+    n_chunks = 4096                  # 4 GiB total
+
+    def kernel(hbm_ref, out_ref):
+        def body(scratch, sem):
+            def get_dma(slot, ci):
+                return pltpu.make_async_copy(
+                    hbm_ref.at[ci], scratch.at[slot], sem.at[slot])
+
+            get_dma(0, 0).start()
+
+            def loop(ci, acc):
+                cur = ci % 2
+
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    get_dma((ci + 1) % 2, ci + 1).start()
+
+                get_dma(cur, ci).wait()
+                return acc + scratch[cur, 0, 0, 0].astype(jnp.float32)
+
+            acc = jax.lax.fori_loop(0, n_chunks, loop, jnp.float32(0))
+            out_ref[0] = acc
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((2,) + chunk, jnp.bfloat16),
+            sem=pltpu.SemaphoreType.DMA((2,)))
+
+    x = jnp.zeros((n_chunks,) + chunk, jnp.bfloat16)
+    fn = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.float32))
+    jfn = jax.jit(fn)
+    np.asarray(jfn(x))            # compile + warm
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(x)
+    np.asarray(out)
+    dt = time.perf_counter() - t0
+    total = int(np.prod((n_chunks,) + chunk)) * 2
+    return total * iters / dt
 
 
 def decode_tokens_per_s(llm, sp_cls, prompts_warm, prompts_a, prompts_b,
