@@ -392,11 +392,27 @@ class ModelRunner:
         assert not (guided_entries and dev_entries), \
             "host-mask and device-pool guided rows cannot mix in a step"
 
-        # Attention work-item schedule.
-        attn_qb = 8 if int(query_lens.max(initial=1)) <= 8 else 32
-        num_items = t_pad // attn_qb + b
+        # Attention work-item schedule.  attn_qb == 1 marks a pure-decode
+        # step (one frontier row per request, token order == request
+        # order): the model routes it to the grouped decode kernel,
+        # which amortizes per-program fixed cost across sequences.  The
+        # work-item schedule is still built (at qb=8) so the same packed
+        # input layout serves both kernel paths.
+        from arcticinference_tpu import envs
+
+        max_qlen = int(query_lens.max(initial=1))
+        pure_decode = (
+            max_qlen == 1 and bool(scheduled)
+            and self.mesh is None and not self.swift
+            and row_tree_mask is None
+            and not envs.ARCTIC_TPU_DISABLE_GROUPED_DECODE
+            and (jax.default_backend() == "tpu"
+                 or envs.ARCTIC_TPU_FORCE_PALLAS_INTERPRET))
+        attn_qb = 1 if pure_decode else (8 if max_qlen <= 8 else 32)
+        sched_qb = 8 if attn_qb == 1 else attn_qb
+        num_items = t_pad // sched_qb + b
         schedule = build_work_items(
-            query_lens, last_pos, attn_qb, self.block_size, num_items,
+            query_lens, last_pos, sched_qb, self.block_size, num_items,
             t_pad)
         (item_req, item_qstart, item_qlen, item_pages, item_pos_base,
          token_item, token_off) = schedule

@@ -31,6 +31,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # unroll; A/B lever for compile-time/throughput experiments).
     "ARCTIC_TPU_NO_UNROLL":
         lambda: os.environ.get("ARCTIC_TPU_NO_UNROLL", "0") == "1",
+    # Disable the grouped decode attention kernel (pure-decode steps fall
+    # back to the work-item ragged kernel).
+    "ARCTIC_TPU_DISABLE_GROUPED_DECODE":
+        lambda: os.environ.get(
+            "ARCTIC_TPU_DISABLE_GROUPED_DECODE", "0") == "1",
     # Disable the DFA-compiled guided-decoding path (device-applied vocab
     # bitmasks); falls back to host-side top-K candidate filtering.
     "ARCTIC_TPU_DISABLE_GUIDED_DFA":

@@ -356,15 +356,54 @@ def _dense_mlp_fn(x, lp, arch, pctx):
 
 def make_attn_impl(attn_qb: int = 32):
     """Build the attention dispatcher; ``attn_qb`` is the static query-block
-    size used by the Pallas schedule (wide for prefill, narrow for decode)."""
+    size used by the Pallas schedule (wide for prefill, narrow for decode;
+    ``attn_qb == 1`` marks a pure-decode step — every request contributes
+    exactly one frontier row, token order == request order — which routes
+    to the grouped decode kernel: gsz sequences per program, amortizing
+    the per-program fixed cost the work-item kernel pays at short
+    contexts)."""
 
     def _attn(q, kv, layer, inputs):
         from arcticinference_tpu import envs
 
         interpret = (envs.ARCTIC_TPU_FORCE_PALLAS_INTERPRET
                      and jax.default_backend() != "tpu")
-        if ("attn_item_req" in inputs and not envs.ARCTIC_TPU_DISABLE_PALLAS
-                and (jax.default_backend() == "tpu" or interpret)):
+        pallas_ok = (not envs.ARCTIC_TPU_DISABLE_PALLAS
+                     and (jax.default_backend() == "tpu" or interpret))
+        if attn_qb == 1 and pallas_ok and "attn_item_req" in inputs:
+            from jax.experimental.pallas import tpu as pltpu
+
+            from arcticinference_tpu.ops.pallas.ragged_attention import (
+                grouped_decode_attention_kernel)
+
+            t = q.shape[0]
+            b = inputs["block_tables"].shape[0]
+            # Pure decode: row r is request r's frontier token.  The
+            # padded token bucket may be wider or narrower than the
+            # request-slot axis; surplus rows on either side are padding
+            # (req_idx -1 / seq_lens 0).
+            if t > b:
+                qd = q[:b]
+            elif t < b:
+                qd = jnp.pad(q, ((0, b - t), (0, 0), (0, 0)))
+            else:
+                qd = q
+            seq_lens = inputs["seq_lens"]
+
+            def run():
+                out = grouped_decode_attention_kernel(
+                    qd, kv, jnp.maximum(seq_lens - 1, 0),
+                    inputs["block_tables"], seq_lens, qlen=1,
+                    kv_scale=inputs.get("kv_scale"), layer=layer)
+                if t > b:
+                    out = jnp.pad(out, ((0, t - b), (0, 0), (0, 0)))
+                return out[:t]
+
+            if interpret:
+                with pltpu.force_tpu_interpret_mode():
+                    return run()
+            return run()
+        if "attn_item_req" in inputs and pallas_ok:
             from arcticinference_tpu.ops.pallas.ragged_attention import (
                 ragged_paged_attention_kernel)
             schedule = (inputs["attn_item_req"], inputs["attn_item_qstart"],

@@ -662,3 +662,285 @@ def decode_paged_attention_kernel(
         jnp.asarray(pos_base, jnp.int32), block_tables,
         jnp.asarray(seq_lens, jnp.int32), kv_scale,
         qlen=int(qlen), scale=float(scale))
+
+
+# --------------------------------------------------------------------- #
+# Grouped decode kernel: GSZ sequences per grid program.
+#
+# At short decode contexts the per-sequence kernels above are bound by
+# per-program fixed cost, not bandwidth (profiled on v5e: 0.175 ms per
+# layer at B=64/ctx=160 = ~120 GB/s effective vs the ~650 GB/s the same
+# step's weight streaming achieves).  Amortize it: each program owns GSZ
+# sequences, prefetching the next sequence's first KV chunk while the
+# current one computes, so the DMA queue never drains between sequences
+# (the dominant case — decode contexts fit one chunk).
+# --------------------------------------------------------------------- #
+
+G_CHUNK_PAGES = int(os.environ.get("ARCTIC_TPU_ATTN_GCHUNK_PAGES", "16"))
+
+
+def _grouped_decode_kernel(
+    # scalar prefetch
+    layer_smem, pos_base, seq_lens, block_tables, chunk_base,
+    # inputs
+    q_vmem, kv_hbm, kv_scale_smem,
+    # output
+    out_vmem,
+    # scratch
+    kvbuf, kvsems,
+    *, gsz: int, rows: int, qlen: int, group: int, hkv: int, bs: int,
+    head_dim: int, scale: float, kv_bf16: bool,
+):
+    p = pl.program_id(0)
+    d = head_dim
+    ck = G_CHUNK_PAGES * bs
+    layer = layer_smem[0]
+
+    def npages_of(b):
+        return (seq_lens[b] + bs - 1) // bs
+
+    # chunk_base[b, c] >= 0: chunk c is a full contiguous page run
+    # starting there (host precomputes it — the block manager allocates
+    # in order, so long contexts are overwhelmingly runs); -1: per-page
+    # path.  One SMEM read replaces 2x G_CHUNK_PAGES scalar compares per
+    # chunk — at decode batch sizes the scalar unit, not HBM, was the
+    # kernel's bottleneck.
+    def chunk_dma(slot, b, c, npages):
+        base = chunk_base[b, c]
+
+        @pl.when(base >= 0)
+        def _run_dma():
+            pltpu.make_async_copy(
+                kv_hbm.at[layer, pl.ds(base, G_CHUNK_PAGES)],
+                kvbuf.at[slot], kvsems.at[slot]).start()
+
+        @pl.when(base < 0)
+        def _pages():
+            for j in range(G_CHUNK_PAGES):
+                @pl.when(c * G_CHUNK_PAGES + j < npages)
+                def _start():
+                    page = block_tables[b, c * G_CHUNK_PAGES + j]
+                    pltpu.make_async_copy(
+                        kv_hbm.at[layer, page], kvbuf.at[slot, j],
+                        kvsems.at[slot]).start()
+
+    def chunk_wait(slot, b, c, npages):
+        base = chunk_base[b, c]
+
+        @pl.when(base >= 0)
+        def _wait_run():
+            pltpu.make_async_copy(
+                kv_hbm.at[layer, pl.ds(base, G_CHUNK_PAGES)],
+                kvbuf.at[slot], kvsems.at[slot]).wait()
+
+        @pl.when(base < 0)
+        def _wait_pages():
+            for j in range(G_CHUNK_PAGES):
+                @pl.when(c * G_CHUNK_PAGES + j < npages)
+                def _wait():
+                    pltpu.make_async_copy(
+                        kv_hbm.at[0, 0], kvbuf.at[slot, j],
+                        kvsems.at[slot]).wait()
+
+    # Warm-up: sequence 0's first chunk.
+    @pl.when(seq_lens[p * gsz] > 0)
+    def _warm():
+        chunk_dma(0, p * gsz, 0, npages_of(p * gsz))
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    t_off = r_iota // group
+
+    for g in range(gsz):
+        b = p * gsz + g
+        slot = g % N_BUF
+        sl = seq_lens[b]
+
+        # Cross-sequence prefetch: the next live sequence's first chunk
+        # goes into the other slot while this one computes.
+        if g + 1 < gsz:
+            @pl.when(seq_lens[b + 1] > 0)
+            def _pre(b=b, g=g):
+                chunk_dma((g + 1) % N_BUF, b + 1, 0, npages_of(b + 1))
+
+        @pl.when(sl > 0)
+        def _run(b=b, g=g, slot=slot):
+            npages = npages_of(b)
+            n_chunks = (npages + G_CHUNK_PAGES - 1) // G_CHUNK_PAGES
+            pos_row = jnp.where(r_iota < qlen * group,
+                                pos_base[b] + t_off, -1)
+            k_scale = kv_scale_smem[layer, 0]
+            v_scale = kv_scale_smem[layer, 1]
+            qf = [
+                (q_vmem[g, h].astype(jnp.float32)
+                 * (scale * k_scale)).astype(jnp.bfloat16)
+                for h in range(hkv)
+            ]
+
+            def body(c, carry):
+                # Single-buffered within a sequence (the slot's partner
+                # holds the NEXT sequence's prefetch): issue chunk c>0
+                # then wait.  One chunk covers 512 tokens, so decode
+                # contexts rarely loop.
+                @pl.when(c > 0)
+                def _issue(c=c):
+                    chunk_dma(slot, b, c, npages)
+
+                chunk_wait(slot, b, c, npages)
+                kv_pos = (c * ck + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, ck), 1))
+                valid = kv_pos <= pos_row
+                tok_real = (c * ck + jax.lax.broadcasted_iota(
+                    jnp.int32, (ck, 1), 0)) < npages * bs
+                kchunk = kvbuf[slot, :, 0]
+                vchunk = kvbuf[slot, :, 1]
+                new_carry = []
+                for h in range(hkv):
+                    m_prev, l_prev, acc = carry[h]
+                    k = kchunk[:, :, h * d:(h + 1) * d].reshape(ck, d)
+                    if not kv_bf16:
+                        k = k.astype(jnp.bfloat16)
+                    s = jax.lax.dot_general(
+                        qf[h], k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s = jnp.where(valid, s, -jnp.inf)
+                    m_cur = jnp.max(s, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m_prev, m_cur)
+                    m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+                    alpha = jnp.where(m_prev == -jnp.inf, 0.0,
+                                      jnp.exp(m_prev - m_safe))
+                    pmat = jnp.exp(s - m_safe)
+                    l_new = alpha * l_prev + jnp.sum(pmat, -1,
+                                                     keepdims=True)
+                    v = vchunk[:, :, h * d:(h + 1) * d].reshape(ck, d)
+                    v = jnp.where(tok_real, v.astype(jnp.bfloat16), 0)
+                    pv = jax.lax.dot_general(
+                        pmat.astype(jnp.bfloat16), v,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    new_carry.append((m_new, l_new, acc * alpha + pv))
+                return tuple(new_carry)
+
+            init = tuple(
+                (jnp.full((rows, 1), -jnp.inf, jnp.float32),
+                 jnp.zeros((rows, 1), jnp.float32),
+                 jnp.zeros((rows, head_dim), jnp.float32))
+                for _ in range(hkv))
+            final = jax.lax.fori_loop(0, n_chunks, body, init)
+            for h in range(hkv):
+                _, l, acc = final[h]
+                out = acc * (v_scale / jnp.maximum(l, 1e-20))
+                out_vmem[g, h] = out.astype(out_vmem.dtype)
+
+        @pl.when(sl == 0)
+        def _skip(g=g):
+            out_vmem[g] = jnp.zeros(out_vmem.shape[1:], out_vmem.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("qlen", "scale", "gsz"))
+def _grouped_decode_call(q, kv_cache, layer, pos_base, block_tables,
+                         seq_lens, kv_scale, qlen: int, scale: float,
+                         gsz: int):
+    t, hq, d = q.shape
+    num_layers, n_blocks, _, bs, hkv_d = kv_cache.shape
+    hkv = hkv_d // d
+    group = hq // hkv
+    b = block_tables.shape[0]
+    bp = -(-b // gsz) * gsz
+    rows = max(8, ((qlen * group + 7) // 8) * 8)
+    qr = q.reshape(b, qlen, hkv, group, d).transpose(0, 2, 1, 3, 4)
+    qr = qr.reshape(b, hkv, qlen * group, d)
+    pads = ((0, bp - b), (0, 0), (0, rows - qlen * group), (0, 0))
+    if any(p[1] for p in pads):
+        qr = jnp.pad(qr, pads)
+    if bp != b:
+        pos_base = jnp.pad(pos_base, (0, bp - b))
+        seq_lens = jnp.pad(seq_lens, (0, bp - b))
+        block_tables = jnp.pad(block_tables, ((0, bp - b), (0, 0)))
+
+    # Host-side run detection (see _grouped_decode_kernel): full chunks
+    # whose pages are consecutive get a one-DMA fast path.  Identical
+    # across layers, so XLA CSEs it to one tiny op per step.
+    max_blk = block_tables.shape[1]
+    n_chunks_max = -(-max_blk // G_CHUNK_PAGES)
+    blk_pad = n_chunks_max * G_CHUNK_PAGES
+    bt_r = block_tables
+    if blk_pad != max_blk:
+        bt_r = jnp.pad(bt_r, ((0, 0), (0, blk_pad - max_blk)))
+    bt_r = bt_r.reshape(bp, n_chunks_max, G_CHUNK_PAGES)
+    npages_v = (seq_lens + bs - 1) // bs
+    full = ((jnp.arange(n_chunks_max)[None, :] + 1) * G_CHUNK_PAGES
+            <= npages_v[:, None])
+    base_v = bt_r[:, :, 0]
+    contig = (bt_r == base_v[:, :, None]
+              + jnp.arange(G_CHUNK_PAGES)[None, None, :]).all(-1)
+    chunk_base = jnp.where(full & contig, base_v, -1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(bp // gsz,),
+        in_specs=[
+            pl.BlockSpec((gsz, hkv, rows, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (gsz, hkv, rows, d), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((N_BUF, G_CHUNK_PAGES, 2, bs, hkv_d),
+                       kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+        ],
+    )
+    kernel = functools.partial(
+        _grouped_decode_kernel, gsz=gsz, rows=rows, qlen=qlen,
+        group=group, hkv=hkv, bs=bs, head_dim=d, scale=scale,
+        kv_bf16=kv_cache.dtype == jnp.bfloat16)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bp, hkv, rows, d), q.dtype),
+        grid_spec=grid_spec,
+    )(layer.reshape(1), pos_base, seq_lens, block_tables, chunk_base,
+      qr, kv_cache, kv_scale)
+    out = out[:b, :, :qlen * group, :].reshape(b, hkv, qlen, group, d)
+    return out.transpose(0, 2, 1, 3, 4).reshape(t, hq, d)
+
+
+def grouped_decode_attention_kernel(
+    q: jax.Array,
+    kv_cache: jax.Array,
+    pos_base: jax.Array,
+    block_tables: jax.Array,
+    seq_lens: jax.Array,
+    qlen: int = 1,
+    gsz: int = 8,
+    scale: float | None = None,
+    kv_scale: jax.Array | None = None,
+    layer: jax.Array | None = None,
+) -> jax.Array:
+    """Uniform-qlen decode attention, ``gsz`` sequences per program.
+
+    Same contract as :func:`decode_paged_attention_kernel`; the engine
+    uses it for pure-decode steps (every request contributes exactly
+    ``qlen`` frontier rows, seq-major order), where grouping amortizes
+    per-program fixed cost ~gsz-fold.
+    """
+    t, hq, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    if layer is None:
+        kv_cache = kv_cache[None]
+        layer = jnp.zeros((), jnp.int32)
+    if kv_scale is None:
+        kv_scale = jnp.ones((kv_cache.shape[0], 2), jnp.float32)
+    else:
+        kv_scale = jnp.asarray(kv_scale, jnp.float32)
+        if kv_scale.ndim != 2:
+            kv_scale = jnp.broadcast_to(
+                kv_scale.reshape(-1)[0], (kv_cache.shape[0], 2))
+    return _grouped_decode_call(
+        q, kv_cache, jnp.asarray(layer, jnp.int32),
+        jnp.asarray(pos_base, jnp.int32), block_tables,
+        jnp.asarray(seq_lens, jnp.int32), kv_scale,
+        qlen=int(qlen), scale=float(scale), gsz=int(gsz))

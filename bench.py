@@ -83,8 +83,9 @@ def _measure_dma_read(jnp, jax) -> float:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    chunk = (8, 512, 128)            # 1 MiB bf16 per chunk
-    n_chunks = 4096                  # 4 GiB total
+    chunk = (32, 512, 128)           # 4 MiB bf16 per chunk (big enough
+    n_chunks = 1024                  # that issue latency amortizes);
+                                     # 4 GiB total
 
     def kernel(hbm_ref, out_ref):
         def body(scratch, sem):
@@ -102,10 +103,13 @@ def _measure_dma_read(jnp, jax) -> float:
                     get_dma((ci + 1) % 2, ci + 1).start()
 
                 get_dma(cur, ci).wait()
-                return acc + scratch[cur, 0, 0, 0].astype(jnp.float32)
+                # (bf16 scalar extracts are unsupported; a tiny
+                # f32 reduction keeps the DMA consumed instead)
+                return acc + jnp.sum(
+                    scratch[cur, 0, 0, :].astype(jnp.float32))
 
             acc = jax.lax.fori_loop(0, n_chunks, loop, jnp.float32(0))
-            out_ref[0] = acc
+            out_ref[0, 0] = acc
 
         pl.run_scoped(
             body,
@@ -116,8 +120,8 @@ def _measure_dma_read(jnp, jax) -> float:
     fn = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1,), jnp.float32))
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32))
     jfn = jax.jit(fn)
     np.asarray(jfn(x))            # compile + warm
     iters = 3
@@ -257,7 +261,11 @@ def main():
     batch = int(os.environ.get("ARCTIC_BENCH_BATCH", 64 if on_tpu else 4))
     prompt_len = int(os.environ.get("ARCTIC_BENCH_PROMPT",
                                     128 if on_tpu else 16))
-    gen_len = int(os.environ.get("ARCTIC_BENCH_GEN", 64 if on_tpu else 8))
+    # 128 decode steps per measured window: at full spec acceptance the
+    # fused loop covers gen in ~gen/3.9 iterations, and a short window
+    # is swamped by per-drain tunnel jitter (measured 1.3x-2.1x spread
+    # on a 17-iteration window with identical tokens/step).
+    gen_len = int(os.environ.get("ARCTIC_BENCH_GEN", 128 if on_tpu else 8))
     spec_batch = int(os.environ.get("ARCTIC_BENCH_SPEC_BATCH",
                                     32 if on_tpu else 4))
 
@@ -289,6 +297,12 @@ def main():
         gc.collect()
 
     roofline_bps = measure_hbm_roofline(jax.numpy, jax)
+    # Nominal HBM peak for honest %-of-peak accounting: every simple
+    # probe (xor copy, Pallas read stream, XLA reductions) measures
+    # BELOW what the decode step's own weight-streaming fusions achieve
+    # (~650 GB/s), so probes are a floor, not a ceiling, on this stack.
+    kind = jax.devices()[0].device_kind.lower()
+    peak_bps = 819e9 if ("v5 lite" in kind or "v5e" in kind) else None
 
     llm = LLM(engine_cfg(batch))
 
@@ -400,8 +414,11 @@ def main():
         "wall_ms_per_step": round(wall_ms_step, 3),
         "device_ms_per_step": round(device_s * 1000, 3),
         "hbm_gbps_achieved": round(achieved_bps / 1e9, 1),
-        "hbm_gbps_roofline_measured": round(roofline_bps / 1e9, 1),
-        "pct_roofline": round(100 * achieved_bps / roofline_bps, 1),
+        "hbm_gbps_probe": round(roofline_bps / 1e9, 1),
+        "hbm_gbps_peak_nominal": round(peak_bps / 1e9, 1)
+            if peak_bps else None,
+        "pct_hw_peak": round(100 * achieved_bps / peak_bps, 1)
+            if peak_bps else None,
         "single_seq_decode_tokens_per_s": round(single_toks_s, 2),
         **spec_result,
     }

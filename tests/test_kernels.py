@@ -139,6 +139,92 @@ def test_decode_kernel_interpret_matches_oracle():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_grouped_decode_kernel_interpret_matches_oracle():
+    """Grouped decode kernel (gsz sequences per program — the engine's
+    pure-decode fast path) vs the dense oracle: mixed dead slots,
+    contiguous and scattered page tables, fp8 KV with per-layer scales."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from arcticinference_tpu.ops.attention import (
+        ragged_paged_attention_reference)
+    from arcticinference_tpu.ops.pallas.ragged_attention import (
+        grouped_decode_attention_kernel)
+
+    rng = np.random.default_rng(5)
+    L, NB, Bs, Hkv, D, Hq = 2, 64, 8, 2, 32, 8
+    B = 6
+    seq_lens = np.asarray([17, 0, 40, 3, 25, 8], np.int32)
+    MaxBlk = 8
+    bt = np.zeros((B, MaxBlk), np.int32)
+    # seq 0/2: contiguous runs (fast path); others scattered.
+    bt[0, :3] = [10, 11, 12]
+    bt[2, :5] = [20, 21, 22, 23, 24]
+    bt[3, :1] = [40]
+    bt[4, :4] = [50, 33, 7, 48]
+    bt[5, :1] = [60]
+    kv_f32 = rng.standard_normal((L, NB, 2, Bs, Hkv * D)) * 0.5
+    kv8 = jnp.asarray(kv_f32, jnp.float32).astype(jnp.float8_e4m3fn)
+    kv_scale = jnp.asarray([[1.0, 1.0], [0.5, 2.0]], jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    pos_base = np.maximum(seq_lens - 1, 0).astype(np.int32)
+    layer = jnp.asarray(1, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = grouped_decode_attention_kernel(
+            q, kv8, pos_base, jnp.asarray(bt), jnp.asarray(seq_lens),
+            qlen=1, gsz=4, kv_scale=kv_scale, layer=layer)
+    kv_l = kv8[1]
+    ref = ragged_paged_attention_reference(
+        q, kv_l, jnp.asarray(pos_base), jnp.arange(B, dtype=jnp.int32),
+        jnp.asarray(bt), jnp.asarray(seq_lens), kv_scale=kv_scale[1])
+    live = seq_lens > 0
+    np.testing.assert_allclose(np.asarray(out)[live],
+                               np.asarray(ref)[live],
+                               rtol=5e-2, atol=5e-2)
+
+
+def test_engine_grouped_decode_matches_ragged():
+    """Engine-level parity: the pure-decode grouped path produces the
+    same outputs as the work-item ragged kernel (interpret mode)."""
+    import os
+
+    os.environ["ARCTIC_TPU_FORCE_PALLAS_INTERPRET"] = "1"
+    try:
+        from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                                ModelConfig,
+                                                SchedulerConfig)
+        from arcticinference_tpu.engine.llm import LLM
+        from arcticinference_tpu.engine.request import SamplingParams
+
+        tiny = dict(vocab_size=211, hidden_size=128,
+                    intermediate_size=256, num_hidden_layers=2,
+                    num_attention_heads=8, num_key_value_heads=2,
+                    head_dim=16)
+        rng = np.random.default_rng(1)
+        prompts = [[int(x) for x in rng.integers(1, 200, int(n))]
+                   for n in (12, 5, 33, 20)]
+
+        def run(disable):
+            os.environ["ARCTIC_TPU_DISABLE_GROUPED_DECODE"] = \
+                "1" if disable else "0"
+            llm = LLM(EngineConfig(
+                model=ModelConfig(model="llama", hf_overrides=dict(tiny),
+                                  max_model_len=256, dtype="float32"),
+                cache=CacheConfig(block_size=8, num_blocks=64),
+                scheduler=SchedulerConfig(max_num_seqs=4,
+                                          max_num_batched_tokens=64)))
+            outs = llm.generate(
+                prompt_token_ids=prompts,
+                sampling_params=SamplingParams(max_tokens=16,
+                                               ignore_eos=True))
+            return [o.token_ids for o in outs]
+
+        assert run(False) == run(True)
+    finally:
+        os.environ.pop("ARCTIC_TPU_FORCE_PALLAS_INTERPRET", None)
+        os.environ.pop("ARCTIC_TPU_DISABLE_GROUPED_DECODE", None)
+
+
 def test_int4_matmul_kernel_interpret():
     """int4-dequant matmul kernel vs the explicit unpack+dot oracle
     (split-half packing, group-128 scales)."""
