@@ -435,8 +435,20 @@ class LLMEngine:
                 # exactly like length overshoot under async scheduling.
                 g.advance_token(req.output_token_ids[out_pos])
                 if getattr(g, "state", 0) == -1:
+                    # Unreachable when masks are sound: compile-time
+                    # token_dead_ends() rejects grammars that could
+                    # strand a request, so a dead state here means the
+                    # device let a token through that the grammar
+                    # forbids.  Fail the request loudly (ABORTED ->
+                    # HTTP 500) instead of trimming to an empty 200.
+                    logger.warning(
+                        "guided request %s reached a dead grammar state "
+                        "at output position %d (token %d) — device mask "
+                        "inconsistency; aborting the request",
+                        req.req_id, out_pos,
+                        req.output_token_ids[out_pos])
                     del req.output_token_ids[out_pos:]
-                    stop = RequestStatus.FINISHED_STOPPED
+                    stop = RequestStatus.FINISHED_ABORTED
                 elif g.finished():
                     del req.output_token_ids[out_pos + 1:]
                     stop = RequestStatus.FINISHED_STOPPED

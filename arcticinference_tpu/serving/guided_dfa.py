@@ -99,17 +99,24 @@ def _decode_vocab(tokenizer, vocab_size: int) -> list[str]:
     return [tokenizer.decode([i]) for i in range(vocab_size)]
 
 
-_VOCAB_CACHE: dict[int, VocabCodepoints] = {}
+# Values hold a strong reference to the tokenizer: the cache is keyed
+# by id(), and without the reference a collected tokenizer's address
+# could be reused by a new object that would silently inherit masks
+# built for a different vocabulary.
+_VOCAB_CACHE: dict[int, tuple[object, VocabCodepoints]] = {}
 _VOCAB_LOCK = threading.Lock()
 
 
 def vocab_codepoints(tokenizer, vocab_size: int) -> VocabCodepoints:
     key = id(tokenizer)
     with _VOCAB_LOCK:
-        vc = _VOCAB_CACHE.get(key)
-        if vc is None or vc.vocab_size != vocab_size:
+        entry = _VOCAB_CACHE.get(key)
+        if entry is None or entry[0] is not tokenizer or \
+                entry[1].vocab_size != vocab_size:
             vc = VocabCodepoints(tokenizer, vocab_size)
-            _VOCAB_CACHE[key] = vc
+            _VOCAB_CACHE[key] = (tokenizer, vc)
+        else:
+            vc = entry[1]
         return vc
 
 
@@ -256,7 +263,27 @@ class TokenDfaIndex:
         if cached is not None:
             return cached
         dfa = self.dfa
-        s_count = dfa.n_states
+        masks = self._all_masks().copy()
+        empty = ~masks.any(axis=1)
+        masks[empty, 0] |= np.uint32(1)
+
+        lo = dfa.trans_lo.astype(np.int64)
+        offs = dfa.trans_offsets
+        state_of = np.repeat(np.arange(dfa.n_states, dtype=np.int64),
+                             np.diff(offs))
+        keys = ((state_of << 21) | lo).astype(np.int32)
+        hi = dfa.trans_hi.astype(np.int32)
+        nxt = dfa.trans_next.astype(np.int32)
+        self._device_tables = (masks, keys, hi, nxt)
+        return self._device_tables
+
+    def _all_masks(self) -> np.ndarray:
+        """[S, n_words] uint32 per-state masks with over-long tokens
+        cleared (device-representable allowed sets)."""
+        cached = getattr(self, "_all_masks_arr", None)
+        if cached is not None:
+            return cached
+        s_count = self.dfa.n_states
         masks = np.zeros((s_count, self.n_words), np.uint32)
         if self._handle is not None:
             self._lib.tdfa_all_masks(
@@ -268,18 +295,30 @@ class TokenDfaIndex:
         long_toks = np.nonzero(self.vocab.too_long())[0]
         for t in long_toks:
             masks[:, t >> 5] &= ~np.uint32(1 << (t & 31))
-        empty = ~masks.any(axis=1)
-        masks[empty, 0] |= np.uint32(1)
+        self._all_masks_arr = masks
+        return masks
 
-        lo = dfa.trans_lo.astype(np.int64)
-        offs = dfa.trans_offsets
-        state_of = np.repeat(np.arange(s_count, dtype=np.int64),
-                             np.diff(offs))
-        keys = ((state_of << 21) | lo).astype(np.int32)
-        hi = dfa.trans_hi.astype(np.int32)
-        nxt = dfa.trans_next.astype(np.int32)
-        self._device_tables = (masks, keys, hi, nxt)
-        return self._device_tables
+    def token_dead_ends(self) -> bool:
+        """True when some non-accept DFA state has NO allowed token.
+
+        The codepoint DFA is pruned (every state reaches accept at the
+        character level) but the *token* product can still dead-end when
+        the characters a state needs appear in no in-vocab token — e.g.
+        a grammar whose alphabet lies outside the model's vocabulary.
+        From such a state the device mask is all-zero and sampling would
+        emit the bit-0 sentinel, killing the grammar and trimming the
+        output to empty (the silent-empty-200 failure the reference's
+        backends never exhibit).  Callers must treat ``True`` as
+        "outside the compilable subset" and use the partial-match
+        decoders, which force tokens host-side instead.
+        """
+        cached = getattr(self, "_token_dead_ends", None)
+        if cached is None:
+            empty = ~self._all_masks().any(axis=1)
+            live_accept = self.dfa.accept.astype(bool)
+            cached = bool((empty & ~live_accept).any())
+            self._token_dead_ends = cached
+        return cached
 
     def advance(self, state: int, tok: int) -> int:
         if self._handle is not None:
@@ -295,7 +334,9 @@ class TokenDfaIndex:
         return self.dfa.is_accept(state)
 
 
-_INDEX_CACHE: dict[tuple[int, str], TokenDfaIndex] = {}
+# Values carry the tokenizer (strong ref) for the same id()-reuse
+# reason as _VOCAB_CACHE.
+_INDEX_CACHE: dict[tuple[int, int, str], tuple[object, TokenDfaIndex]] = {}
 _INDEX_LOCK = threading.Lock()
 
 
@@ -306,18 +347,18 @@ def compile_guided_dfa(tokenizer, vocab_size: int, pattern: str,
     Raises :class:`UnsupportedRegex` when the pattern is outside the
     compilable subset; results are cached per (tokenizer, pattern).
     """
-    key = (id(tokenizer), pattern)
+    key = (id(tokenizer), int(vocab_size), pattern)
     with _INDEX_LOCK:
-        idx = _INDEX_CACHE.get(key)
-    if idx is not None:
-        return idx
+        entry = _INDEX_CACHE.get(key)
+    if entry is not None and entry[0] is tokenizer:
+        return entry[1]
     dfa = compile_dfa(pattern)
     vocab = vocab_codepoints(tokenizer, vocab_size)
     idx = TokenDfaIndex(dfa, vocab, force_python=force_python)
     with _INDEX_LOCK:
         if len(_INDEX_CACHE) > 256:
             _INDEX_CACHE.clear()
-        _INDEX_CACHE[key] = idx
+        _INDEX_CACHE[key] = (tokenizer, idx)
     return idx
 
 

@@ -296,6 +296,7 @@ class OpenAIServer:
         results = await asyncio.gather(*[
             self._collect(prompt_ids, sp, sub_rid)
             for sub_rid, sp in fans])
+        _check_aborted(results)
         choices = []
         all_ids = []
         for i, (token_ids, finish, logprobs) in enumerate(results):
@@ -371,6 +372,7 @@ class OpenAIServer:
         results = await asyncio.gather(*[
             self._collect(prompt_ids, sp, sub_rid)
             for sub_rid, sp in fans])
+        _check_aborted(results)
         choices = []
         all_ids = []
         for i, (token_ids, finish, _) in enumerate(results):
@@ -466,6 +468,15 @@ class OpenAIServer:
             raise
         await resp.write_eof()
         return resp
+
+
+def _check_aborted(results) -> None:
+    """Engine-aborted generations (e.g. a guided request stranded by a
+    device mask inconsistency) must surface as an error response, never
+    a silently truncated 200."""
+    if any(finish == "finished_aborted" for _, finish, *_ in results):
+        raise web.HTTPInternalServerError(
+            text="generation aborted by the engine")
 
 
 def _reason(finish: Optional[str]) -> str:

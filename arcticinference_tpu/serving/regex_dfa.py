@@ -170,9 +170,20 @@ class _Parser:
             while j < len(self.pat) and self.pat[j].isdigit():
                 digits2 += self.pat[j]
                 j += 1
-            if j < len(self.pat) and self.pat[j] == "}" and digits:
+            # Both '{m,n}' and '{,n}' are quantifiers in re/regex
+            # ('{,n}' means {0,n}); only a brace with neither bound is a
+            # literal '{'.
+            if j < len(self.pat) and self.pat[j] == "}" and \
+                    (digits or digits2):
                 self.i = j + 1
-                return int(digits), (int(digits2) if digits2 else None)
+                m = int(digits) if digits else 0
+                n = int(digits2) if digits2 else None
+                if n is not None and n < m:
+                    # re/regex reject reversed bounds; compiling them as
+                    # anything else would enforce the wrong language.
+                    raise UnsupportedRegex(
+                        f"reversed quantifier bounds {{{m},{n}}}")
+                return m, n
         return None, None
 
     def _atom(self):

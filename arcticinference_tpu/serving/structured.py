@@ -552,6 +552,13 @@ def _try_dfa_decoder(tokenizer, pattern: str, schema=None,
         if vocab_size is None:
             vocab_size = len(tokenizer)
         idx = compile_guided_dfa(tokenizer, int(vocab_size), pattern)
+        if idx.token_dead_ends():
+            # Some non-accept state has no allowed in-vocab token (e.g.
+            # the grammar's alphabet falls outside the model vocab).
+            # The mask path would dead-end into a silently-empty
+            # output; the partial-match decoders force tokens host-side
+            # and remain correct.
+            return None
         return DfaGuidedDecoder(idx, schema=schema)
     except Exception:
         return None   # UnsupportedRegex / odd tokenizer: partial-match path

@@ -111,6 +111,25 @@ class TestCompileDfa:
         with pytest.raises(UnsupportedRegex):
             compile_dfa(r"(?:ab{0,900}){0,900}c", max_nfa=5000)
 
+    def test_open_min_quantifier(self):
+        """'{,n}' is the {0,n} quantifier in re/regex, not a literal."""
+        dfa = compile_dfa(r"a{,3}b")
+        for text, ok in (("b", True), ("ab", True), ("aaab", True),
+                         ("aaaab", False), ("a{,3}b", False)):
+            st = dfa.walk(dfa.start, text)
+            assert (st >= 0 and dfa.is_accept(st)) == ok, text
+
+    def test_reversed_quantifier_bounds_rejected(self):
+        # re/regex raise on 'a{3,1}'; compiling it as anything would
+        # enforce the wrong language, so it must leave the subset.
+        with pytest.raises(UnsupportedRegex):
+            compile_dfa(r"a{3,1}")
+
+    def test_literal_brace_still_literal(self):
+        dfa = compile_dfa(r"a{b}")
+        st = dfa.walk(dfa.start, "a{b}")
+        assert dfa.is_accept(st)
+
 
 class TestTokenSweep:
 
@@ -256,6 +275,31 @@ class TestFactory:
 
         d = make_guided_decoder(ByteTokenizer(), {"json": True})
         assert isinstance(d, JsonGuidedDecoder)
+
+    def test_vocab_disjoint_grammar_falls_back(self):
+        """Grammar whose alphabet lies outside the model vocab must NOT
+        take the mask path (it would dead-end into an empty output);
+        the partial-match decoder forces tokens host-side instead."""
+        from arcticinference_tpu.serving.structured import (
+            ChoiceGuidedDecoder, RegexGuidedDecoder, make_guided_decoder)
+
+        tok = ByteTokenizer()
+        # Model logits narrower than the grammar's alphabet: 'a' = 97.
+        d = make_guided_decoder(tok, {"choice": ["alpha", "beta"]},
+                                vocab_size=97)
+        assert isinstance(d, ChoiceGuidedDecoder)
+        d = make_guided_decoder(tok, {"regex": r"id-\d+"}, vocab_size=60)
+        assert isinstance(d, RegexGuidedDecoder)
+
+    def test_token_dead_ends_detection(self):
+        tok = ByteTokenizer()
+        # Full vocab: every needed char is a token -> no dead ends.
+        idx = compile_guided_dfa(tok, len(tok), "abc")
+        assert not idx.token_dead_ends()
+        # vocab_size=98 keeps 'a'(97) but loses 'b'(98): the state after
+        # consuming 'a' has an empty allowed set.
+        idx = compile_guided_dfa(tok, 98, "abc")
+        assert idx.token_dead_ends()
 
 
 class TestEngineEndToEnd:
