@@ -79,19 +79,40 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
     loop's fixed ``B*(K+1)`` row count; verify / stop / re-draft logic
     stays outside shard_map under auto-GSPMD on replicated state.
     """
+    from arcticinference_tpu import envs
+
     module, arch = runner.module, runner.arch
     bs = runner.block_size
     maxblk = runner.max_blocks_per_req
     k = num_spec
     r = k + 1
-    qb = 8 if r <= 8 else 32
+    # The fused step's verify shape is uniform (every slot contributes
+    # exactly K+1 rows in slot-major order), which is exactly the
+    # grouped decode kernel's contract — route it there so the spec path
+    # gets the same per-program amortization as plain decode.  pp keeps
+    # the work-item kernel (per-microbatch schedules).
+    grouped = (runner.config.parallel.pipeline_parallel_size == 1
+               and not envs.ARCTIC_TPU_DISABLE_GROUPED_DECODE
+               and (jax.default_backend() == "tpu"
+                    or envs.ARCTIC_TPU_FORCE_PALLAS_INTERPRET))
+    # Benchmark-only acceptance control: corrupt each next-step draft
+    # token with this probability so the speedup-vs-acceptance curve can
+    # be measured on one workload (bench.py spec ladder).  0 (default)
+    # compiles a byte-identical program to the normal path.
+    import os as _os
+
+    corrupt = float(_os.environ.get("ARCTIC_TPU_FUSED_CORRUPT_RATE",
+                                    "0") or 0)
+    qb = 1 if grouped else (8 if r <= 8 else 32)
+    dq = r if grouped else 1
     eos = -1 if eos_token_id is None else int(eos_token_id)
     plen = path_len_max
     w = ring_w
     sharded_fwd = None
     if runner.mesh is not None:
         mesh_mode = runner._choose_mode(batch * r)
-        sharded_fwd = runner._forward_fn(qb, mesh_mode, batch * r)
+        sharded_fwd = runner._forward_fn(qb, mesh_mode, batch * r,
+                                         decode_qlen=dq)
 
     if drafter is not None:
         from arcticinference_tpu.models import speculators as spec_mod
@@ -121,25 +142,49 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                            jnp.clip(pos // bs, 0, maxblk - 1)]
         slot = jnp.where(row_valid, blk * bs + pos % bs, -1)
 
-        flat_req = jnp.where(row_valid,
-                             jnp.arange(b, dtype=jnp.int32)[:, None],
-                             -1).reshape(-1)
-        inputs = {
-            "input_ids": tokens.reshape(-1),
-            "positions": pos.reshape(-1),
-            "req_idx": flat_req,
-            "slot_mapping": slot.reshape(-1),
-            "block_tables": block_tables,
-            "seq_lens": n_comp + r,
-            "kv_scale": kv_scale,
-        }
+        dp = runner.dp
+        if dp > 1:
+            # In-engine DP: slots are dp-major (shard s owns slots
+            # [s*Bs, (s+1)*Bs)), block ids are shard-local, and the
+            # forward's dp layout shards the token axis + per-request
+            # arrays over "dp" (parallel/ulysses.py DP_KEYS; the
+            # "positions_flat" key selects that layout).
+            bsh = b // dp
+            local_req = jnp.where(
+                row_valid,
+                (jnp.arange(b, dtype=jnp.int32) % bsh)[:, None], -1)
+            inputs = {
+                "input_ids": tokens.reshape(-1),
+                "positions_flat": pos.reshape(-1),
+                "positions": pos.reshape(dp, bsh * r),
+                "req_idx": local_req.reshape(dp, bsh * r),
+                "slot_mapping": slot.reshape(dp, bsh * r),
+                "block_tables": block_tables.reshape(dp, bsh, maxblk),
+                "seq_lens": (n_comp + r).reshape(dp, bsh),
+                "kv_scale": kv_scale,
+            }
+        else:
+            flat_req = jnp.where(row_valid,
+                                 jnp.arange(b, dtype=jnp.int32)[:, None],
+                                 -1).reshape(-1)
+            inputs = {
+                "input_ids": tokens.reshape(-1),
+                "positions": pos.reshape(-1),
+                "req_idx": flat_req,
+                "slot_mapping": slot.reshape(-1),
+                "block_tables": block_tables,
+                "seq_lens": n_comp + r,
+                "kv_scale": kv_scale,
+            }
         if runner.swift:
             # SwiftKV: at the decode frontier every row is a sample row,
             # so nothing drops and the swift-half schedule IS the main
             # schedule (the reference's "all-combined" config,
             # benchmark_utils.py:17-70, riding the fused loop).
             inputs["logits_indices"] = jnp.arange(b * r, dtype=jnp.int32)
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and not grouped and dp == 1:
+            # (dp > 1 pairs with the grouped kernel or the reference
+            # path; the flat in-jit schedule below is not dp-stacked.)
             # In-jit attention schedule: one work item per request, rows
             # packed densely at stride R, qstart aligned down to the
             # sublane tile exactly like the host builder
@@ -169,7 +214,7 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
             from arcticinference_tpu.engine.runner import _make_attn
             unroll = jax.default_backend() == "tpu" and b * r <= 512
             kv, h = module.forward(params, arch, kv, inputs,
-                                   attn_impl=_make_attn(module, qb),
+                                   attn_impl=_make_attn(module, qb, dq),
                                    unroll=unroll)
         logits = module.compute_logits(params, h)          # [B*R, V]
 
@@ -285,6 +330,11 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                               jnp.minimum(rem, headroom) * alive2, dlen2)
             state2.update(ring=ring, path=path, path_off=p_off,
                           path_len=p_len)
+        if corrupt > 0 and k > 0:
+            rng, csub = jax.random.split(rng)
+            u = jax.random.uniform(csub, drafts2.shape)
+            drafts2 = jnp.where(u < corrupt,
+                                (drafts2 + 1) % arch.vocab_size, drafts2)
         state2.update(n_computed=n_comp2, last_token=last2,
                       drafts=drafts2.astype(jnp.int32), draft_len=dlen2,
                       alive=alive2, rng=rng)
@@ -369,9 +419,6 @@ class FusedDecodeLoop:
         follower mirrors like any other dispatch; SwiftKV works because
         at the decode frontier all rows are sample rows."""
         eng = self.engine
-        if getattr(self.runner, "dp", 1) > 1:
-            # The fused state/block pre-extension is not dp-stacked yet.
-            return False
         return not (eng._drafter is None and self._suffix is None)
 
     @staticmethod
@@ -388,10 +435,15 @@ class FusedDecodeLoop:
                 if r.num_computed_tokens == r.num_tokens - 1]
 
     def can_enter(self) -> bool:
-        """Enter when every decode-frontier request is device-mirrorable.
+        """Enter when ANY decode-frontier request is device-mirrorable.
         Requests still prefilling (and new arrivals) do NOT block entry:
         they continue via interleaved admission steps
         (``_admission_step``) and are absorbed on reaching the frontier.
+        Non-fusable requests (seeds / penalties / stop-strings /
+        logprobs / guided) never block the loop either — they ride the
+        same interleaved sync steps for their decode while the fusable
+        slots keep drafting device-side (per-slot fusability; one such
+        request used to demote the whole engine to the sync path).
         """
         eng = self.engine
         if eng._spec_disabled_now():
@@ -399,24 +451,40 @@ class FusedDecodeLoop:
         from arcticinference_tpu import envs
         if getattr(envs, "ARCTIC_TPU_DISABLE_FUSED", False):
             return False
-        frontier = self._frontier_requests()
-        if not frontier:
-            return False
-        return all(self._fusable(r) for r in frontier)
+        return any(self._fusable(r) for r in self._frontier_requests())
 
     def enter(self) -> None:
         eng = self.engine
-        running = self._frontier_requests()
-        b = _bucket(len(running), eng.config.scheduler.max_num_seqs)
-        if self.runner.mesh is not None:
-            # SP mode shards the B*(K+1) token rows over sp; PP splits
-            # them into pp microbatches (each sp-sharded in SP mode):
-            # keep B a multiple of pp*sp so every split is exact (dead
-            # tail slots stay alive=0).
+        running = [r for r in self._frontier_requests()
+                   if self._fusable(r)]
+        dp = max(self.runner.dp, 1)
+        if dp > 1:
+            # dp-major slot layout: shard s owns slots [s*Bs, (s+1)*Bs).
+            per: list[list] = [[] for _ in range(dp)]
+            for r_ in running:
+                per[r_.dp_shard].append(r_)
+            bsh = _bucket(max(len(g) for g in per),
+                          eng.config.scheduler.max_num_seqs)
             pcfg = eng.config.parallel
-            div = (pcfg.ulysses_sequence_parallel_size
-                   * pcfg.pipeline_parallel_size)
-            b = -(-b // div) * div
+            sp = pcfg.ulysses_sequence_parallel_size
+            bsh = -(-bsh // sp) * sp   # each shard's rows split over sp
+            b = bsh * dp
+            slot_of: list = [None] * b
+            for s_i, g in enumerate(per):
+                for j, r_ in enumerate(g):
+                    slot_of[s_i * bsh + j] = r_
+        else:
+            b = _bucket(len(running), eng.config.scheduler.max_num_seqs)
+            if self.runner.mesh is not None:
+                # SP mode shards the B*(K+1) token rows over sp; PP
+                # splits them into pp microbatches (each sp-sharded in
+                # SP mode): keep B a multiple of pp*sp so every split
+                # is exact (dead tail slots stay alive=0).
+                pcfg = eng.config.parallel
+                div = (pcfg.ulysses_sequence_parallel_size
+                       * pcfg.pipeline_parallel_size)
+                b = -(-b // div) * div
+            slot_of = list(running) + [None] * (b - len(running))
         sc = eng.config.speculative
         if eng._drafter is not None:
             k = eng._drafter.n_predict
@@ -427,9 +495,10 @@ class FusedDecodeLoop:
         self._ring_w = max(64, _bucket((self.depth + 2) * r, 1 << 16))
         self._need_sampling = any(r_.sampling.temperature > 0
                                   for r_ in running)
-        self._slots = running
-        self._host_alive = [True] * len(running)
-        self._known_comp = [r.num_computed_tokens for r in running]
+        self._slots = slot_of
+        self._host_alive = [r is not None for r in slot_of]
+        self._known_comp = [0 if r is None else r.num_computed_tokens
+                            for r in slot_of]
         maxblk = self.runner.max_blocks_per_req
         mml = eng.config.model.max_model_len
 
@@ -446,7 +515,9 @@ class FusedDecodeLoop:
         stop_ids = np.full((b, MAX_STOP_IDS), -1, np.int32)
         self._bt_np = np.zeros((b, maxblk), np.int32)
 
-        for i, req in enumerate(running):
+        for i, req in enumerate(slot_of):
+            if req is None:
+                continue
             n_comp[i] = req.num_computed_tokens
             last[i] = req.all_token_ids[-1]
             d = [int(t) for t in req.spec_token_ids[:k]]
@@ -489,9 +560,10 @@ class FusedDecodeLoop:
         # Admission steps may preempt on block pressure; fused-owned
         # requests must never be victims (device steps write their
         # blocks until the loop drains).
-        eng.scheduler.protected_ids = {r.req_id for r in running}
+        eng.scheduler.protected_ids = {
+            r.req_id for r in slot_of if r is not None}
         logger.debug("fused decode: entered with %d requests (B=%d, K=%d)",
-                     len(running), b, k)
+                     sum(r is not None for r in slot_of), b, k)
 
     def _put(self, x):
         """Device placement: replicated over the global mesh under
@@ -515,11 +587,13 @@ class FusedDecodeLoop:
         return eng._step_sync(sched_out)
 
     def _absorbable(self) -> list:
-        """Admitted requests that reached the decode frontier: the loop
-        exits once to re-enter with them in the batch."""
+        """Admitted FUSABLE requests that reached the decode frontier:
+        the loop exits once to re-enter with them in the batch.
+        Non-fusable requests are never absorbed — they keep riding the
+        interleaved sync steps."""
         slots = set(id(r) for r in self._slots)
         return [r for r in self._frontier_requests()
-                if id(r) not in slots]
+                if id(r) not in slots and self._fusable(r)]
 
     def step(self) -> list:
         """One fused iteration: maybe exit, else dispatch + lagged drain.
@@ -528,9 +602,12 @@ class FusedDecodeLoop:
         if not any(self._host_alive):
             return self.exit()
         finished: list = []
+        owned = eng.scheduler.protected_ids
         if eng.scheduler.waiting or any(
-                r.num_computed_tokens < r.num_tokens - 1
-                for r in eng.scheduler.running):
+                r.req_id not in owned for r in eng.scheduler.running
+                if not r.status.is_finished):
+            # Prefills, arrivals AND non-fusable decodes ride sync steps
+            # interleaved with the device-resident loop.
             finished.extend(self._admission_step())
             if self._absorbable():
                 # Admissions reached the frontier: exit once so the next
@@ -630,7 +707,7 @@ class FusedDecodeLoop:
         est_lag = (len(self._inflight) + 1) * (self._k + 1)
         if not eng._spec_disabled_now():
             for i, req in enumerate(self._slots):
-                if not self._host_alive[i]:
+                if req is None or not self._host_alive[i]:
                     continue
                 pattern = req.all_token_ids[-sc.suffix_cache_max_depth:]
                 if not pattern:
@@ -657,14 +734,14 @@ class FusedDecodeLoop:
         horizon = (len(self._inflight) + 1) * (self._k + 1) + 1
         changed = False
         for i, req in enumerate(self._slots):
-            if not self._host_alive[i]:
+            if req is None or not self._host_alive[i]:
                 continue
             limit = min(len(req.prompt_token_ids) + req.sampling.max_tokens,
                         eng.config.model.max_model_len)
             ub = min(self._known_comp[i] + horizon, limit)
             before = len(req.block_ids)
             try:
-                eng.scheduler.block_manager.grow_to(req.block_ids, ub)
+                eng.scheduler.bm_for(req).grow_to(req.block_ids, ub)
             except Exception:
                 return False
             if len(req.block_ids) != before:
@@ -689,7 +766,7 @@ class FusedDecodeLoop:
                 telem.shape[0] * r, -1)
             capture_items = []
         for i, req in enumerate(self._slots):
-            if not self._host_alive[i]:
+            if req is None or not self._host_alive[i]:
                 continue
             row = telem[i]
             toks = [int(t) for t in row[:r] if t >= 0]

@@ -220,13 +220,12 @@ class ModelRunner:
 
     def _auto_num_blocks(self) -> int:
         """Size the cache from an HBM budget estimate."""
-        # Rough: v5e 16GiB; params + activations + cache must fit.
+        from arcticinference_tpu.utils import chip_specs
+
         param_bytes = sum(
             np.prod(x.shape) * jnp.dtype(x.dtype).itemsize
             for x in jax.tree.leaves(self.params))
-        hbm = 16 * 1024 ** 3
-        if jax.default_backend() == "cpu":
-            hbm = 2 * 1024 ** 3
+        hbm, _ = chip_specs()
         budget = int(hbm * self.config.cache.hbm_utilization) - param_bytes \
             - (1 << 30)  # activations / workspace reserve
         spec = KVCacheSpec(
@@ -401,9 +400,15 @@ class ModelRunner:
         from arcticinference_tpu import envs
 
         max_qlen = int(query_lens.max(initial=1))
+        # Grouped-decode eligibility: token order == request order, one
+        # frontier row each.  Works on tp/sp/shift meshes too (post-
+        # dispatch attention always sees the full token axis in request
+        # order; the kernel runs per-shard on local heads).  Excluded:
+        # pp (per-microbatch schedules) and tree verify (ancestor
+        # masks ride the work-item kernel).
         pure_decode = (
             max_qlen == 1 and bool(scheduled)
-            and self.mesh is None and not self.swift
+            and self.config.parallel.pipeline_parallel_size == 1
             and row_tree_mask is None
             and not envs.ARCTIC_TPU_DISABLE_GROUPED_DECODE
             and (jax.default_backend() == "tpu"
@@ -761,7 +766,8 @@ class ModelRunner:
             return "shift"
         return "sp"
 
-    def _forward_fn(self, attn_qb: int, mode: str, t_pad: int):
+    def _forward_fn(self, attn_qb: int, mode: str, t_pad: int,
+                    decode_qlen: int = 1):
         # Unroll only small (decode-ish) buckets: there the scan's
         # per-layer weight-slice copies dominate; for big prefill buckets
         # compute dominates and scan keeps compile time sane.
@@ -773,7 +779,8 @@ class ModelRunner:
             def fwd(params, kv, inputs):
                 return self.module.forward(
                     params, self.arch, kv, inputs,
-                    attn_impl=_make_attn(self.module, attn_qb),
+                    attn_impl=_make_attn(self.module, attn_qb,
+                                         decode_qlen),
                     unroll=unroll)
             return fwd
         from arcticinference_tpu.ops.fp8 import QuantizedLinear
@@ -798,7 +805,8 @@ class ModelRunner:
         return make_sharded_forward(
             self.module, self.arch, self.mesh, self.config.parallel,
             mode, attn_qb=attn_qb, quantized=quantized,
-            embed_quantized=embed_q, params=self.params)
+            embed_quantized=embed_q, params=self.params,
+            decode_qlen=decode_qlen)
 
     GUIDED_TOPK = 16
 
@@ -1053,11 +1061,11 @@ class ModelRunner:
         return tokens[:s], tokens[s:2 * s], rows
 
 
-def _make_attn(module, attn_qb: int):
+def _make_attn(module, attn_qb: int, decode_qlen: int = 1):
     make = getattr(module, "make_attn_impl", None)
     if make is None:
         return None
-    return make(attn_qb)
+    return make(attn_qb, decode_qlen=decode_qlen)
 
 
 def _attach_encode():

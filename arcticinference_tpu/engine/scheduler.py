@@ -169,9 +169,12 @@ class Scheduler:
 
     def schedule(self, skip_decode: bool = False) -> SchedulerOutput:
         """``skip_decode=True`` schedules only prefill work (ongoing
-        chunks + new admissions) — used while the fused decode loop owns
-        the decode-frontier requests device-side, so admissions overlap
-        decoding instead of forcing the loop to exit."""
+        chunks + new admissions) plus decode for frontier requests NOT
+        owned by the fused loop (``protected_ids``) — used while the
+        fused decode loop owns its slots device-side, so admissions and
+        non-fusable requests (seeds / penalties / stop-strings /
+        logprobs / guided) ride interleaved sync steps instead of
+        forcing the loop to exit."""
         out = SchedulerOutput()
         budget = self.config.max_num_batched_tokens
 
@@ -182,7 +185,8 @@ class Scheduler:
             if req.status is not RequestStatus.RUNNING:
                 continue  # preempted by an earlier request this step
             known_remaining = req.num_tokens - req.num_computed_tokens
-            if skip_decode and known_remaining <= 1:
+            if skip_decode and known_remaining <= 1 and \
+                    req.req_id in self.protected_ids:
                 continue  # owned by the fused loop
             parents = None
             if known_remaining > 1:

@@ -354,14 +354,15 @@ def _dense_mlp_fn(x, lp, arch, pctx):
     return _mlp(x, lp)
 
 
-def make_attn_impl(attn_qb: int = 32):
+def make_attn_impl(attn_qb: int = 32, decode_qlen: int = 1):
     """Build the attention dispatcher; ``attn_qb`` is the static query-block
     size used by the Pallas schedule (wide for prefill, narrow for decode;
-    ``attn_qb == 1`` marks a pure-decode step — every request contributes
-    exactly one frontier row, token order == request order — which routes
-    to the grouped decode kernel: gsz sequences per program, amortizing
-    the per-program fixed cost the work-item kernel pays at short
-    contexts)."""
+    ``attn_qb == 1`` marks a uniform-decode step — every request
+    contributes exactly ``decode_qlen`` frontier rows in request-major
+    order — which routes to the grouped decode kernel: gsz sequences per
+    program, amortizing the per-program fixed cost the work-item kernel
+    pays at short contexts).  ``decode_qlen > 1`` is the fused
+    speculative-verify shape (K+1 rows per request)."""
 
     def _attn(q, kv, layer, inputs):
         from arcticinference_tpu import envs
@@ -370,7 +371,7 @@ def make_attn_impl(attn_qb: int = 32):
                      and jax.default_backend() != "tpu")
         pallas_ok = (not envs.ARCTIC_TPU_DISABLE_PALLAS
                      and (jax.default_backend() == "tpu" or interpret))
-        if attn_qb == 1 and pallas_ok and "attn_item_req" in inputs:
+        if attn_qb == 1 and pallas_ok:
             from jax.experimental.pallas import tpu as pltpu
 
             from arcticinference_tpu.ops.pallas.ragged_attention import (
@@ -378,25 +379,26 @@ def make_attn_impl(attn_qb: int = 32):
 
             t = q.shape[0]
             b = inputs["block_tables"].shape[0]
-            # Pure decode: row r is request r's frontier token.  The
-            # padded token bucket may be wider or narrower than the
+            ql = decode_qlen
+            # Uniform decode: rows [r*ql, (r+1)*ql) belong to request r.
+            # The padded token bucket may be wider or narrower than the
             # request-slot axis; surplus rows on either side are padding
             # (req_idx -1 / seq_lens 0).
-            if t > b:
-                qd = q[:b]
-            elif t < b:
-                qd = jnp.pad(q, ((0, b - t), (0, 0), (0, 0)))
+            if t > b * ql:
+                qd = q[:b * ql]
+            elif t < b * ql:
+                qd = jnp.pad(q, ((0, b * ql - t), (0, 0), (0, 0)))
             else:
                 qd = q
             seq_lens = inputs["seq_lens"]
 
             def run():
                 out = grouped_decode_attention_kernel(
-                    qd, kv, jnp.maximum(seq_lens - 1, 0),
-                    inputs["block_tables"], seq_lens, qlen=1,
+                    qd, kv, jnp.maximum(seq_lens - ql, 0),
+                    inputs["block_tables"], seq_lens, qlen=ql,
                     kv_scale=inputs.get("kv_scale"), layer=layer)
-                if t > b:
-                    out = jnp.pad(out, ((0, t - b), (0, 0), (0, 0)))
+                if t > b * ql:
+                    out = jnp.pad(out, ((0, t - b * ql), (0, 0), (0, 0)))
                 return out[:t]
 
             if interpret:

@@ -689,7 +689,7 @@ def _grouped_decode_kernel(
     # scratch
     kvbuf, kvsems,
     *, gsz: int, rows: int, qlen: int, group: int, hkv: int, bs: int,
-    head_dim: int, scale: float, kv_bf16: bool,
+    head_dim: int, scale: float, kv_bf16: bool, headpack: bool,
 ):
     p = pl.program_id(0)
     d = head_dim
@@ -750,6 +750,76 @@ def _grouped_decode_kernel(
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     t_off = r_iota // group
 
+    def _run_headpacked(b, g, slot, npages, n_chunks, k_scale, v_scale):
+        # Head-packed compute: ONE qk dot and ONE pv dot per chunk for
+        # ALL kv heads, via a block-diagonal Q.  Per-head dots issue
+        # 2*hkv small MXU ops whose fixed cost dominates at decode
+        # shapes; packing trades that for the same MXU tile count in
+        # 2 ops plus cheap static-slice packing/unpacking.
+        #   Qbd [hkv*rows, hkv*d] (block h on rows/cols h)
+        #   s   = Qbd @ K_chunk^T        K_chunk [ck, hkv*d]
+        #   out = diag-blocks(P @ V_chunk)
+        # Cross-head garbage never mixes: row block h only has nonzero
+        # Q columns in head h's d-slice, and the pv diagonal slice
+        # discards other heads' columns.
+        R = hkv * rows
+        qf = (q_vmem[g].astype(jnp.float32)
+              * (scale * k_scale)).astype(jnp.bfloat16)   # [hkv,rows,d]
+        # Block-diagonal embed via a masked broadcast (Mosaic has no
+        # dynamic_update_slice): [hkv, rows, hkv, d] keeps block (h, h).
+        beye = (jax.lax.broadcasted_iota(jnp.int32, (hkv, 1, hkv, 1), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (hkv, 1, hkv, 1),
+                                            2))
+        qbd = jnp.where(beye, qf[:, :, None, :], 0).reshape(R, hkv * d)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        rr = ri % rows
+        pos_row = jnp.where(rr < qlen * group,
+                            pos_base[b] + rr // group, -1)
+
+        def body(c, carry):
+            @pl.when(c > 0)
+            def _issue(c=c):
+                chunk_dma(slot, b, c, npages)
+
+            chunk_wait(slot, b, c, npages)
+            m_prev, l_prev, acc = carry
+            kv_pos = (c * ck + jax.lax.broadcasted_iota(
+                jnp.int32, (R, ck), 1))
+            valid = kv_pos <= pos_row
+            tok_real = (c * ck + jax.lax.broadcasted_iota(
+                jnp.int32, (ck, 1), 0)) < npages * bs
+            k2 = kvbuf[slot, :, 0].reshape(ck, hkv * d)
+            if not kv_bf16:
+                k2 = k2.astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                qbd, k2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [R, ck]
+            s = jnp.where(valid, s, -jnp.inf)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+            alpha = jnp.where(m_prev == -jnp.inf, 0.0,
+                              jnp.exp(m_prev - m_safe))
+            pmat = jnp.exp(s - m_safe)
+            l_new = alpha * l_prev + jnp.sum(pmat, -1, keepdims=True)
+            v2 = kvbuf[slot, :, 1].reshape(ck, hkv * d)
+            v2 = jnp.where(tok_real, v2.astype(jnp.bfloat16), 0)
+            od = jax.lax.dot_general(
+                pmat.astype(jnp.bfloat16), v2,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [R, hkv*d]
+            pv = jnp.concatenate(
+                [od[h * rows:(h + 1) * rows, h * d:(h + 1) * d]
+                 for h in range(hkv)], axis=0)              # [R, d]
+            return m_new, l_new, acc * alpha + pv
+
+        init = (jnp.full((R, 1), -jnp.inf, jnp.float32),
+                jnp.zeros((R, 1), jnp.float32),
+                jnp.zeros((R, d), jnp.float32))
+        m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
+        out = acc * (v_scale / jnp.maximum(l, 1e-20))
+        out_vmem[g] = out.reshape(hkv, rows, d).astype(out_vmem.dtype)
+
     for g in range(gsz):
         b = p * gsz + g
         slot = g % N_BUF
@@ -770,6 +840,10 @@ def _grouped_decode_kernel(
                                 pos_base[b] + t_off, -1)
             k_scale = kv_scale_smem[layer, 0]
             v_scale = kv_scale_smem[layer, 1]
+            if headpack and hkv > 1:
+                _run_headpacked(b, g, slot, npages, n_chunks,
+                                k_scale, v_scale)
+                return
             qf = [
                 (q_vmem[g, h].astype(jnp.float32)
                  * (scale * k_scale)).astype(jnp.bfloat16)
@@ -836,10 +910,11 @@ def _grouped_decode_kernel(
             out_vmem[g] = jnp.zeros(out_vmem.shape[1:], out_vmem.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("qlen", "scale", "gsz"))
+@functools.partial(jax.jit, static_argnames=("qlen", "scale", "gsz",
+                                              "headpack"))
 def _grouped_decode_call(q, kv_cache, layer, pos_base, block_tables,
                          seq_lens, kv_scale, qlen: int, scale: float,
-                         gsz: int):
+                         gsz: int, headpack: bool = True):
     t, hq, d = q.shape
     num_layers, n_blocks, _, bs, hkv_d = kv_cache.shape
     hkv = hkv_d // d
@@ -896,7 +971,7 @@ def _grouped_decode_call(q, kv_cache, layer, pos_base, block_tables,
     kernel = functools.partial(
         _grouped_decode_kernel, gsz=gsz, rows=rows, qlen=qlen,
         group=group, hkv=hkv, bs=bs, head_dim=d, scale=scale,
-        kv_bf16=kv_cache.dtype == jnp.bfloat16)
+        kv_bf16=kv_cache.dtype == jnp.bfloat16, headpack=headpack)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bp, hkv, rows, d), q.dtype),
@@ -939,8 +1014,10 @@ def grouped_decode_attention_kernel(
         if kv_scale.ndim != 2:
             kv_scale = jnp.broadcast_to(
                 kv_scale.reshape(-1)[0], (kv_cache.shape[0], 2))
+    headpack = os.environ.get("ARCTIC_TPU_ATTN_HEADPACK", "1") != "0"
     return _grouped_decode_call(
         q, kv_cache, jnp.asarray(layer, jnp.int32),
         jnp.asarray(pos_base, jnp.int32), block_tables,
         jnp.asarray(seq_lens, jnp.int32), kv_scale,
-        qlen=int(qlen), scale=float(scale), gsz=int(gsz))
+        qlen=int(qlen), scale=float(scale), gsz=int(gsz),
+        headpack=headpack)

@@ -239,7 +239,8 @@ DP_KEYS = ("positions", "req_idx", "slot_mapping", "seq_lens",
 def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
                          mode: str, attn_qb: Optional[int] = None,
                          quantized: bool = False,
-                         embed_quantized: bool = False, params=None):
+                         embed_quantized: bool = False, params=None,
+                         decode_qlen: int = 1):
     """Build the shard_map'd forward for one mode.
 
     Returns fn(params, kv, inputs) -> (kv, hidden[T, D_model]) operating on
@@ -273,7 +274,7 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
     attn_impl = None
     make_attn = getattr(module, "make_attn_impl", None)
     if make_attn is not None and attn_qb is not None:
-        attn_impl = make_attn(attn_qb)
+        attn_impl = make_attn(attn_qb, decode_qlen=decode_qlen)
 
     dp = cfg.data_parallel_size > 1
     param_spec_tree = _param_spec_tree(module, quantized,

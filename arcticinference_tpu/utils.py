@@ -41,6 +41,37 @@ def default_token_buckets(max_tokens: int) -> list[int]:
     return buckets
 
 
+#: Per-device-kind hardware constants: (HBM bytes, nominal HBM peak
+#: bandwidth in bytes/s).  Matched by substring against the lowercased
+#: ``jax.devices()[0].device_kind``.  Sources: public TPU spec sheets.
+_CHIP_TABLE: tuple[tuple[tuple[str, ...], int, float], ...] = (
+    (("v5 lite", "v5e"), 16 * 1024 ** 3, 819e9),
+    (("v5p", "v5"), 95 * 1024 ** 3, 2765e9),
+    (("v6 lite", "v6e", "trillium"), 32 * 1024 ** 3, 1640e9),
+    (("v4",), 32 * 1024 ** 3, 1228e9),
+    (("v3",), 16 * 1024 ** 3, 900e9),
+    (("v2",), 8 * 1024 ** 3, 700e9),
+)
+
+
+def chip_specs(device_kind: str | None = None) -> tuple[int, float | None]:
+    """(HBM bytes, nominal peak HBM bandwidth B/s | None) for the local
+    accelerator.  Unknown kinds get a conservative 16 GiB / unknown-peak
+    fallback; CPU backends get a small synthetic budget."""
+    if device_kind is None:
+        import jax
+
+        dev = jax.devices()[0]
+        if jax.default_backend() == "cpu":
+            return 2 * 1024 ** 3, None
+        device_kind = dev.device_kind
+    kind = device_kind.lower()
+    for names, hbm, bw in _CHIP_TABLE:
+        if any(n in kind for n in names):
+            return hbm, bw
+    return 16 * 1024 ** 3, None
+
+
 class Timer:
     """Wall-clock timer usable as a context manager."""
 

@@ -301,8 +301,8 @@ def main():
     # probe (xor copy, Pallas read stream, XLA reductions) measures
     # BELOW what the decode step's own weight-streaming fusions achieve
     # (~650 GB/s), so probes are a floor, not a ceiling, on this stack.
-    kind = jax.devices()[0].device_kind.lower()
-    peak_bps = 819e9 if ("v5 lite" in kind or "v5e" in kind) else None
+    from arcticinference_tpu.utils import chip_specs
+    _, peak_bps = chip_specs()
 
     llm = LLM(engine_cfg(batch))
 
@@ -402,6 +402,69 @@ def main():
         }
         free_llm(sllm)
         del sllm
+
+        # -- speedup-vs-acceptance curve --------------------------------
+        # The headline point above is the zero-miss upper bound (the
+        # drafter is measured on its own distillation prompts, so
+        # acceptance == 1 by construction).  Sweep controlled draft
+        # corruption to characterise the WHOLE machinery between the
+        # endpoints: at which measured acceptance does speedup cross 1x
+        # and the >=1.7x north star hold (reference real-data ladders:
+        # docs/arctic-speculator.rst:89-112).  A held-out prompt seed
+        # (not the distillation set) is included as the natural
+        # zero-transfer point on a random-weight target.
+        curve = []
+        if not os.environ.get("ARCTIC_BENCH_SKIP_CURVE"):
+            for rate in (0.12, 0.3, 0.6, 1.0):
+                os.environ["ARCTIC_TPU_FUSED_CORRUPT_RATE"] = str(rate)
+                try:
+                    cllm = LLM(engine_cfg(spec_batch,
+                                          speculative=spec_cfg,
+                                          blocks=512 if on_tpu else 64,
+                                          prefix_caching=False))
+                    cllm.generate(prompt_token_ids=spec_prompts,
+                                  sampling_params=SamplingParams(
+                                      max_tokens=8, ignore_eos=True))
+                    c_toks_s, _, _ = decode_tokens_per_s(
+                        cllm, SamplingParams, spec_prompts, spec_prompts,
+                        spec_prompts, gen_len)
+                    cst = cllm.engine.spec_stats
+                    curve.append({
+                        "corrupt_rate": rate,
+                        "acceptance": round(cst.acceptance_rate, 4)
+                            if cst.num_drafts else 0.0,
+                        "tokens_per_s": round(c_toks_s, 2),
+                        "speedup": round(c_toks_s / greedy_comparator,
+                                         3),
+                    })
+                    free_llm(cllm)
+                    del cllm
+                finally:
+                    os.environ.pop("ARCTIC_TPU_FUSED_CORRUPT_RATE",
+                                   None)
+            # Held-out seed (same batch/shapes, prompts the drafter
+            # never saw).
+            hllm = LLM(engine_cfg(spec_batch, speculative=spec_cfg,
+                                  blocks=512 if on_tpu else 64,
+                                  prefix_caching=False))
+            heldout = make_prompts(97, spec_batch, prompt_len, vocab)
+            hllm.generate(prompt_token_ids=heldout,
+                          sampling_params=SamplingParams(
+                              max_tokens=8, ignore_eos=True))
+            h_toks_s, _, _ = decode_tokens_per_s(
+                hllm, SamplingParams, heldout, heldout, heldout,
+                gen_len)
+            hst = hllm.engine.spec_stats
+            spec_result["spec_heldout"] = {
+                "acceptance": round(hst.acceptance_rate, 4)
+                    if hst.num_drafts else 0.0,
+                "tokens_per_s": round(h_toks_s, 2),
+                "speedup": round(h_toks_s / greedy_comparator, 3),
+            }
+            free_llm(hllm)
+            del hllm
+        if curve:
+            spec_result["spec_curve"] = curve
 
     out = {
         "metric": "llama8b_fp8_greedy_decode_tokens_per_s_per_chip"

@@ -93,7 +93,8 @@ def build_config(name: str, on_tpu: bool, vocab_size=None,
 
 
 def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
-            on_tpu: bool, vocab_size=None, no_fused=False) -> dict:
+            on_tpu: bool, vocab_size=None, no_fused=False,
+            workload: str = "random") -> dict:
     import jax
 
     from arcticinference_tpu.engine.llm import LLM
@@ -136,16 +137,24 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
         return dt, ttfts, finished
 
     # Pass 1 compiles every bucket the workload touches; pass 2 is the
-    # steady-state measurement on FRESH prompts (the default-on prefix
-    # cache must not skip the measured prefill).
+    # steady-state measurement.  workload=random uses FRESH prompts (the
+    # default-on prefix cache must not skip the measured prefill);
+    # workload=repeat re-sends the warm pass's prompts — the agentic
+    # re-query pattern and the reference's suffix-decoding sweet spot
+    # (docs/suffix-decoding.rst:65-88: responses repeat text the cache
+    # has seen, so the global response tree drafts whole continuations).
+    # Every config runs the same workload, so prefix-cache prefill hits
+    # benefit baseline and suffix alike; the suffix win is decode-side.
     one_pass("warm", make_prompts(0))
-    dt, ttfts, finished = one_pass("run", make_prompts(1))
+    dt, ttfts, finished = one_pass(
+        "run", make_prompts(0 if workload == "repeat" else 1))
 
     gen_tokens = sum(len(r.output_token_ids) for r in finished)
     tpots = [(dt - ttft) / max(len(r.output_token_ids) - 1, 1)
              for r, ttft in zip(finished, ttfts)]
     out = {
         "config": name,
+        "workload": workload,
         "num_prompts": num_prompts,
         "input_len": input_len,
         "output_len": output_len,
@@ -176,6 +185,10 @@ def main() -> None:
                         help="override vocab (small vocab => looping "
                              "outputs => demonstrates spec acceptance "
                              "with random weights)")
+    parser.add_argument("--workload", default="random",
+                        choices=["random", "repeat"],
+                        help="repeat = re-send the warm pass's prompts "
+                             "(agentic re-query; suffix sweet spot)")
     args = parser.parse_args()
 
     import os
@@ -200,6 +213,8 @@ def main() -> None:
                 cmd += ["--vocab-size", str(args.vocab_size)]
             if args.no_fused_decode:
                 cmd += ["--no-fused-decode"]
+            if args.workload != "random":
+                cmd += ["--workload", args.workload]
             proc = subprocess.run(cmd, capture_output=True, text=True)
             sys.stderr.write(proc.stderr[-2000:])
             for line in proc.stdout.splitlines():
@@ -215,7 +230,7 @@ def main() -> None:
     name = args.configs[0]
     r = run_one(name, args.num_prompts, args.input_len,
                 args.output_len, on_tpu, args.vocab_size,
-                no_fused=args.no_fused_decode)
+                no_fused=args.no_fused_decode, workload=args.workload)
     print(json.dumps(r), flush=True)
 
 

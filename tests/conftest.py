@@ -23,6 +23,44 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (compile-heavy tier; the default "
+             "suite skips them to stay under ~15 min)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: compile-heavy test, skipped unless --runslow")
+
+
+def _slow_prefixes():
+    """Node-id prefixes of the compile-heavy tier, one per line in
+    tests/slow_tests.txt (regenerate candidates with --durations=80).
+    Keeping the list in data instead of scattering @slow marks makes
+    the tier auditable and easy to retune."""
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            return [ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")]
+    except OSError:
+        return []
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    prefixes = _slow_prefixes()
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow")
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if "slow" in item.keywords or any(
+                nodeid.startswith(p) for p in prefixes):
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     import jax

@@ -264,3 +264,42 @@ class TestInEngineDP:
                   ulysses_sequence_parallel_size=2,
                   enable_shift_parallel=True,
                   shift_parallel_threshold=4)
+
+
+class TestDPFusedSpec:
+    """In-engine DP composed with the device-resident fused spec loop
+    (round-3 item): dp-major slots, shard-local block tables, spec
+    verify through the dp-sharded forward."""
+
+    def _run(self, single_outputs, spec, **par):
+        cfg = tiny_config(hf=dict(PAR_HF), speculative=spec)
+        cfg = cfg.replace(parallel=ParallelConfig(**par))
+        llm = LLM(cfg)
+        eng = llm.engine
+        outs = llm.generate(prompt_token_ids=PROMPTS,
+                            sampling_params=SamplingParams(max_tokens=10))
+        for o, ref in zip(outs, single_outputs):
+            assert o.token_ids == ref.token_ids
+        return eng
+
+    def test_dp2_tp2_fused_arctic(self, single_outputs):
+        from arcticinference_tpu.config import SpeculativeConfig
+
+        spec = SpeculativeConfig(method="arctic",
+                                 num_speculative_tokens=3,
+                                 enable_fused_decode=True)
+        eng = self._run(single_outputs, spec, data_parallel_size=2,
+                        tensor_parallel_size=2)
+        # The fused loop actually drafted (device-side, across shards).
+        assert eng.spec_stats.num_drafts > 0
+        assert eng._fused is not None
+
+    def test_dp2_sp2_fused_suffix(self, single_outputs):
+        from arcticinference_tpu.config import SpeculativeConfig
+
+        spec = SpeculativeConfig(method="suffix",
+                                 suffix_cache_max_depth=32,
+                                 enable_fused_decode=True)
+        eng = self._run(single_outputs, spec, data_parallel_size=2,
+                        ulysses_sequence_parallel_size=2)
+        assert eng._fused is not None

@@ -392,9 +392,9 @@ class TestFusedOnMesh:
         seen = {}
         orig = runner._forward_fn
 
-        def spy(qb, mode, t_pad):
+        def spy(qb, mode, t_pad, decode_qlen=1):
             seen[mode] = t_pad
-            return orig(qb, mode, t_pad)
+            return orig(qb, mode, t_pad, decode_qlen=decode_qlen)
 
         runner._forward_fn = spy
         llm.generate(prompt_token_ids=_prompts(2, seed=22),
@@ -523,3 +523,58 @@ class TestAdmissionInterleave:
         # while device steps were in flight).
         assert done["a"] == want
         assert "big" in done
+
+
+class TestPerSlotFusability:
+
+    def test_mixed_seeded_and_greedy(self):
+        """A non-fusable (seeded) request must not demote the whole
+        engine: greedy slots keep drafting through the fused loop while
+        the seeded request rides interleaved sync steps."""
+        prompts = _prompts(4, seed=7)
+        sps = [SamplingParams(max_tokens=12)] * 3 + [
+            SamplingParams(max_tokens=12, temperature=0.8, seed=123)]
+
+        sync = LLM(tiny_config(speculative=_spec(False)))
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        want = sync.generate(
+            prompt_token_ids=prompts,
+            sampling_params=sps)
+        got = fused.generate(
+            prompt_token_ids=prompts,
+            sampling_params=sps)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+        # The greedy slots actually drafted device-side.
+        assert fused.engine.spec_stats.num_drafts > 0
+
+    def test_all_nonfusable_stays_sync(self):
+        prompts = _prompts(2, seed=8)
+        sp = SamplingParams(max_tokens=8, temperature=0.5, seed=5)
+        fused = LLM(tiny_config(speculative=_spec(True)))
+        sync = LLM(tiny_config(speculative=_spec(False)))
+        want = sync.generate(prompt_token_ids=prompts,
+                             sampling_params=sp)
+        got = fused.generate(prompt_token_ids=prompts,
+                             sampling_params=sp)
+        for w, g in zip(want, got):
+            assert g.token_ids == w.token_ids
+
+
+def test_corruption_knob_preserves_output(monkeypatch):
+    """ARCTIC_TPU_FUSED_CORRUPT_RATE (bench acceptance-curve control)
+    may only slow the loop down, never change emitted tokens."""
+    prompts = _prompts(3, seed=9)
+    base = LLM(tiny_config())
+    want = base.generate(prompt_token_ids=prompts,
+                         sampling_params=SamplingParams(max_tokens=10))
+    monkeypatch.setenv("ARCTIC_TPU_FUSED_CORRUPT_RATE", "1.0")
+    fused = LLM(tiny_config(speculative=_spec(True)))
+    got = fused.generate(prompt_token_ids=prompts,
+                         sampling_params=SamplingParams(max_tokens=10))
+    for w, g in zip(want, got):
+        assert g.token_ids == w.token_ids
+    st = fused.engine.spec_stats
+    # Full corruption: drafts were made but (almost) none accepted.
+    assert st.num_drafts > 0
+    assert st.acceptance_rate < 0.2

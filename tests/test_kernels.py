@@ -183,6 +183,50 @@ def test_grouped_decode_kernel_interpret_matches_oracle():
                                rtol=5e-2, atol=5e-2)
 
 
+def test_grouped_decode_kernel_qlen_matches_oracle():
+    """qlen>1 (the fused speculative-verify shape: K+1 uniform rows per
+    sequence) vs the dense oracle, mixed contexts + a dead slot."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from arcticinference_tpu.ops.attention import (
+        ragged_paged_attention_reference)
+    from arcticinference_tpu.ops.pallas.ragged_attention import (
+        grouped_decode_attention_kernel)
+
+    rng = np.random.default_rng(11)
+    L, NB, Bs, Hkv, D, Hq, qlen = 2, 64, 8, 2, 32, 8, 3
+    B = 4
+    n_comp = np.asarray([17, 0, 38, 5], np.int32)   # slot 1 dead
+    seq_lens = np.where(n_comp > 0, n_comp + qlen, 0).astype(np.int32)
+    MaxBlk = 8
+    bt = np.zeros((B, MaxBlk), np.int32)
+    nb = 1
+    for r in range(B):
+        for i in range((int(seq_lens[r]) + Bs - 1) // Bs):
+            bt[r, i] = nb
+            nb += 1
+    kv_f32 = rng.standard_normal((L, NB, 2, Bs, Hkv * D)) * 0.5
+    kv = jnp.asarray(kv_f32, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B * qlen, Hq, D)), jnp.float32)
+    pos_base = np.maximum(seq_lens - qlen, 0).astype(np.int32)
+    layer = jnp.asarray(0, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out = grouped_decode_attention_kernel(
+            q, kv, pos_base, jnp.asarray(bt), jnp.asarray(seq_lens),
+            qlen=qlen, gsz=2, layer=layer)
+    positions = (pos_base[:, None]
+                 + np.arange(qlen)[None, :]).reshape(-1).astype(np.int32)
+    req = np.repeat(np.arange(B), qlen).astype(np.int32)
+    ref = ragged_paged_attention_reference(
+        q, kv[0], jnp.asarray(positions), jnp.asarray(req),
+        jnp.asarray(bt), jnp.asarray(seq_lens))
+    live = np.repeat(seq_lens > 0, qlen)
+    np.testing.assert_allclose(np.asarray(out)[live],
+                               np.asarray(ref)[live],
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_engine_grouped_decode_matches_ragged():
     """Engine-level parity: the pure-decode grouped path produces the
     same outputs as the work-item ragged kernel (interpret mode)."""
@@ -250,3 +294,121 @@ def test_int4_matmul_kernel_interpret():
     # than the oracle's bf16-rounded dequant); bound relative error.
     rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
     assert rel < 0.02, rel
+
+
+def _grouped_parity_run(cfg_factory, prompts, max_tokens=12, sp_kw=None):
+    """Generate twice (grouped kernel on/off) under Pallas interpret mode
+    and return both token lists."""
+    import os
+
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+
+    os.environ["ARCTIC_TPU_FORCE_PALLAS_INTERPRET"] = "1"
+    try:
+        outs = []
+        for disable in (False, True):
+            os.environ["ARCTIC_TPU_DISABLE_GROUPED_DECODE"] = \
+                "1" if disable else "0"
+            llm = LLM(cfg_factory())
+            res = llm.generate(
+                prompt_token_ids=prompts,
+                sampling_params=SamplingParams(max_tokens=max_tokens,
+                                               ignore_eos=True,
+                                               **(sp_kw or {})))
+            outs.append([o.token_ids for o in res])
+        return outs
+    finally:
+        os.environ.pop("ARCTIC_TPU_FORCE_PALLAS_INTERPRET", None)
+        os.environ.pop("ARCTIC_TPU_DISABLE_GROUPED_DECODE", None)
+
+
+def test_engine_grouped_decode_on_tp_mesh():
+    """Grouped decode kernel inside the shard_map forward (tp=2 mesh):
+    post-dispatch attention sees the full token axis with local heads,
+    so the kernel's request-major contract holds per shard."""
+    from arcticinference_tpu.config import ParallelConfig
+    from tests.test_engine import tiny_config
+
+    hf = dict(num_attention_heads=8, num_key_value_heads=8, head_dim=8)
+    rng = np.random.default_rng(3)
+    prompts = [[int(x) for x in rng.integers(1, 90, int(n))]
+               for n in (9, 17, 4)]
+
+    def cfg():
+        return tiny_config(hf=dict(hf)).replace(
+            parallel=ParallelConfig(tensor_parallel_size=2))
+
+    on, off = _grouped_parity_run(cfg, prompts)
+    assert on == off
+
+
+def test_engine_grouped_decode_on_sp_shift_mesh():
+    """Grouped kernel under sp=2 with shift switching: decode steps run
+    the full-TP shift program; the kernel reads the sp-sliced local kv
+    heads either way."""
+    from arcticinference_tpu.config import ParallelConfig
+    from tests.test_engine import tiny_config
+
+    hf = dict(num_attention_heads=8, num_key_value_heads=8, head_dim=8)
+    rng = np.random.default_rng(4)
+    prompts = [[int(x) for x in rng.integers(1, 90, int(n))]
+               for n in (12, 6)]
+
+    def cfg():
+        return tiny_config(hf=dict(hf)).replace(
+            parallel=ParallelConfig(tensor_parallel_size=2,
+                                    ulysses_sequence_parallel_size=2,
+                                    enable_shift_parallel=True,
+                                    shift_parallel_threshold=4))
+
+    on, off = _grouped_parity_run(cfg, prompts)
+    assert on == off
+
+
+def test_fused_loop_grouped_matches_workitem():
+    """The fused speculative step's K+1-row verify rides the grouped
+    kernel (qlen=K+1); output must match the non-grouped fused path."""
+    from arcticinference_tpu.config import SpeculativeConfig
+    from tests.test_engine import tiny_config
+
+    rng = np.random.default_rng(5)
+    prompts = [[int(x) for x in rng.integers(1, 90, int(n))]
+               for n in (8, 15, 5, 22)]
+
+    def cfg():
+        return tiny_config(speculative=SpeculativeConfig(
+            method="arctic", num_speculative_tokens=3,
+            enable_fused_decode=True))
+
+    on, off = _grouped_parity_run(cfg, prompts)
+    assert on == off
+
+
+def test_swiftkv_grouped_decode_matches():
+    """SwiftKV pure-decode steps (both layer halves) through the grouped
+    kernel match the work-item path."""
+    from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                            ModelConfig, SchedulerConfig)
+
+    def cfg():
+        return EngineConfig(
+            model=ModelConfig(
+                model="llama_swiftkv",
+                hf_overrides=dict(
+                    vocab_size=97, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=4, num_attention_heads=4,
+                    num_key_value_heads=2, head_dim=16,
+                    num_key_value_layers=2),
+                max_model_len=256, dtype="float32"),
+            cache=CacheConfig(block_size=8, num_blocks=64),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=64),
+        )
+
+    rng = np.random.default_rng(6)
+    prompts = [[int(x) for x in rng.integers(1, 90, int(n))]
+               for n in (10, 7)]
+
+    on, off = _grouped_parity_run(cfg, prompts)
+    assert on == off
