@@ -765,12 +765,16 @@ def _grouped_decode_kernel(
         R = hkv * rows
         qf = (q_vmem[g].astype(jnp.float32)
               * (scale * k_scale)).astype(jnp.bfloat16)   # [hkv,rows,d]
-        # Block-diagonal embed via a masked broadcast (Mosaic has no
-        # dynamic_update_slice): [hkv, rows, hkv, d] keeps block (h, h).
-        beye = (jax.lax.broadcasted_iota(jnp.int32, (hkv, 1, hkv, 1), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (hkv, 1, hkv, 1),
-                                            2))
-        qbd = jnp.where(beye, qf[:, :, None, :], 0).reshape(R, hkv * d)
+        # Block-diagonal embed in 2D (Mosaic: no dynamic_update_slice,
+        # and >2D masked broadcasts hit unsupported relayouts): tile the
+        # flattened q rows across all head columns, zero off-diagonal
+        # blocks with a 2D iota mask.
+        qf2 = qf.reshape(R, d)
+        qtile = jnp.concatenate([qf2] * hkv, axis=1)      # [R, hkv*d]
+        rowh = jax.lax.broadcasted_iota(jnp.int32, (R, hkv * d), 0) \
+            // rows
+        colh = jax.lax.broadcasted_iota(jnp.int32, (R, hkv * d), 1) // d
+        qbd = jnp.where(rowh == colh, qtile, 0)
         ri = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
         rr = ri % rows
         pos_row = jnp.where(rr < qlen * group,

@@ -106,21 +106,42 @@ def main():
 
 
 def summarize(logdir: str, steps: int):
+    import re
+
     xs = sorted(glob.glob(os.path.join(
         logdir, "plugins/profile/*/*.xplane.pb")))
     if not xs:
         print("no xplane found")
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    data, _ = rtd.xspace_to_tool_data([xs[-1]], "framework_op_stats", {})
-    import json
-    try:
-        rows = json.loads(data)
-    except Exception:
-        # gviz csv fallback
-        print(data[:2000])
-        return
-    print(json.dumps(rows, indent=1)[:400])
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
+                          "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    space = xplane_pb2.XSpace()
+    space.ParseFromString(open(xs[-1], "rb").read())
+    for p in space.planes:
+        if p.name != "/device:TPU:0":
+            continue
+        for line in p.lines:
+            if line.name != "XLA Ops":
+                continue
+            total, cnt, cat = {}, {}, {}
+            for ev in line.events:
+                name = p.event_metadata[ev.metadata_id].name
+                op = name.split(" = ")[0].lstrip("%")
+                base = re.sub(r"[.\d]+$", "", op)
+                total[base] = total.get(base, 0) + ev.duration_ps
+                cnt[base] = cnt.get(base, 0) + 1
+            tot = sum(total.values())
+            print(f"total XLA-op time {tot / 1e9 / steps:.3f} ms/step")
+            attn = sum(v for k, v in total.items()
+                       if "decode_call" in k or "attention" in k
+                       or "ragged" in k)
+            print(f"attention kernels: {attn / 1e9 / steps:.3f} ms/step")
+            for name, ps in sorted(total.items(),
+                                   key=lambda kv: -kv[1])[:12]:
+                print(f"{ps / 1e9 / steps:8.3f} ms/step "
+                      f"{100 * ps / tot:5.1f}%  x{cnt[name]:6d}  "
+                      f"{name[:70]}")
 
 
 if __name__ == "__main__":

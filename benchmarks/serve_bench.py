@@ -197,6 +197,13 @@ def main() -> None:
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    # The axon TPU plugin prepends itself to jax_platforms even when
+    # JAX_PLATFORMS=cpu is exported; re-pin explicitly for CPU smoke
+    # runs (same as bench.py / subprocess servers).
+    if os.environ.get("ARCTIC_TPU_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    elif os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     on_tpu = jax.default_backend() == "tpu"
     if len(args.configs) > 1:
         # One engine per process: HBM is only reliably released at
