@@ -147,13 +147,10 @@ class ModelRunner:
         # (see parallel/multihost.py).
         self.is_multihost = jax.process_count() > 1
         self.mh_channel = None
-        if self.dp > 1 and (
-                getattr(module, "NEEDS_SWIFT_SCHEDULE", False)
-                or self.is_multihost):
+        if self.dp > 1 and self.is_multihost:
             raise NotImplementedError(
-                "in-engine dp supports standard decoder models on a "
-                "single-host mesh (SwiftKV's second ragged schedule and "
-                "the multihost mirror are not dp-stacked yet)")
+                "in-engine dp runs on a single-host mesh (the multihost "
+                "mirror is not dp-stacked)")
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -589,6 +586,8 @@ class ModelRunner:
         row_count: list[int] = []
         t_cur = [0] * dp
         r_cur = [0] * dp
+        s_cnt = [0] * dp          # swift: sample rows per shard so far
+        recs: list[tuple] = []    # swift: (shard, ts, n, k, local_off)
 
         for s in scheduled:
             req = s.request
@@ -619,15 +618,36 @@ class ModelRunner:
             query_lens[sh, r] = n
             last_pos[sh, r] = ctx + n - 1
             k = len(s.spec_token_ids) + 1
-            row_start.append(len(sample_rows))
-            row_count.append(k)
-            sample_rows.extend(range(t0 + n - k, t0 + n))
+            if self.swift:
+                recs.append((sh, ts, n, k, s_cnt[sh]))
+                s_cnt[sh] += k
+            else:
+                row_start.append(len(sample_rows))
+                row_count.append(k)
+                sample_rows.extend(range(t0 + n - k, t0 + n))
             t_cur[sh] += n
 
-        s_pad = pad_to_bucket(max(len(sample_rows), 1),
-                              self.sample_buckets)
-        logits_indices = np.zeros(s_pad, np.int32)
-        logits_indices[:len(sample_rows)] = sample_rows
+        if self.swift:
+            # SwiftKV x dp: sample rows are gathered INSIDE each dp
+            # group's forward (token drop), so the device row order is
+            # dp-major with per-shard padding — lay out row bookkeeping,
+            # the local gather indices and the sampling params to match.
+            s_sh = pad_to_bucket(max(max(s_cnt), 1), self.sample_buckets)
+            s_pad = s_sh * dp
+            li_dp = np.zeros((dp, s_sh), np.int32)
+            logits_indices = np.zeros(s_pad, np.int32)
+            for (sh, ts, n, k, off) in recs:
+                row_start.append(sh * s_sh + off)
+                row_count.append(k)
+                loc = np.arange(ts + n - k, ts + n, dtype=np.int32)
+                li_dp[sh, off:off + k] = loc
+                logits_indices[sh * s_sh + off:sh * s_sh + off + k] = \
+                    sh * t_shard + loc
+        else:
+            s_pad = pad_to_bucket(max(len(sample_rows), 1),
+                                  self.sample_buckets)
+            logits_indices = np.zeros(s_pad, np.int32)
+            logits_indices[:len(sample_rows)] = sample_rows
 
         temperature = np.zeros(s_pad, np.float32)
         top_k = np.zeros(s_pad, np.int32)
@@ -674,6 +694,26 @@ class ModelRunner:
         )
         for i, key in enumerate(_ATTN_SCHED_KEYS):
             arrays[key] = np.stack([p[i] for p in parts])
+        if self.swift:
+            arrays["logits_indices_dp"] = li_dp
+            sw_items = s_sh // 8 + b
+            sw_parts = []
+            for sh in range(dp):
+                srow = np.zeros(b, np.int64)
+                idx = 0
+                for s in scheduled:
+                    if s.request.dp_shard == sh:
+                        srow[idx] = len(s.spec_token_ids) + 1
+                        idx += 1
+                sw_parts.append(build_work_items(
+                    srow, last_pos[sh], 8, self.block_size, sw_items,
+                    s_sh))
+            for i, key in enumerate(("item_req", "item_qstart",
+                                     "item_qlen", "item_pages",
+                                     "item_pos_base", "token_item",
+                                     "token_off")):
+                arrays[f"swift_{key}"] = np.stack(
+                    [pp[i] for pp in sw_parts])
         if any_penalties:
             la = pad_to_bucket(
                 max(max((s.request.num_tokens for s in scheduled),
@@ -719,7 +759,7 @@ class ModelRunner:
     _PEN_KEYS = ("pen_out_tokens", "pen_all_tokens",
                  "attn_tree_start", "attn_row_tree_mask",
                  "attn_item_tree_start", "attn_item_tree_mask",
-                 "positions_flat",
+                 "positions_flat", "logits_indices_dp",
                  "guided_rows", "guided_mask",
                  "gd_slot", "gd_src", "gd_init")
 

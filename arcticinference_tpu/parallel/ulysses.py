@@ -233,7 +233,12 @@ def token_in_specs(mode: str, dp: bool = False) -> P:
 DP_KEYS = ("positions", "req_idx", "slot_mapping", "seq_lens",
            "block_tables", "attn_item_req", "attn_item_qstart",
            "attn_item_qlen", "attn_item_pages", "attn_item_pos_base",
-           "attn_token_item", "attn_token_off")
+           "attn_token_item", "attn_token_off",
+           # SwiftKV x dp: per-group local sample-row gather indices and
+           # the second (sample-row) attention schedule.
+           "logits_indices_dp", "swift_item_req", "swift_item_qstart",
+           "swift_item_qlen", "swift_item_pages", "swift_item_pos_base",
+           "swift_token_item", "swift_token_off")
 
 
 def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
@@ -289,6 +294,11 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
         # Per-dp-group arrays arrive with a local leading [1] axis.
         inputs.update({k: v[0] for k, v in dp_inputs.items()})
         inputs.update(tok_inputs)
+        if "logits_indices_dp" in inputs:
+            # SwiftKV x dp: the model's token-drop gather uses the
+            # GROUP-LOCAL indices (the flat global logits_indices in
+            # full_inputs addresses the step fn's non-swift path).
+            inputs["logits_indices"] = inputs.pop("logits_indices_dp")
         kv, h = module.forward(
             params, arch, kv, inputs, attn_impl=attn_impl, pctx=pctx)
         return kv, h
@@ -303,7 +313,10 @@ def make_sharded_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
             {k: P("dp") for k in dp_keys},
             P(),  # full_inputs replicated
         )
-        out_specs = (kv_spec, P() if rows_out else tok_spec)
+        # SwiftKV returns only the (per-group) sample rows: dp-major
+        # sharded under dp, replicated otherwise.
+        rows_spec = P("dp") if use_dp else P()
+        out_specs = (kv_spec, rows_spec if rows_out else tok_spec)
         return shard_map(body, mesh=mesh, in_specs=specs,
                          out_specs=out_specs, check_vma=False)
 

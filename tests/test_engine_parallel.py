@@ -303,3 +303,47 @@ class TestDPFusedSpec:
         eng = self._run(single_outputs, spec, data_parallel_size=2,
                         ulysses_sequence_parallel_size=2)
         assert eng._fused is not None
+
+
+class TestDPSwiftKV:
+    """In-engine DP composed with SwiftKV (round-3 item): the token-drop
+    gather and the second (sample-row) attention schedule are per-dp-
+    group; outputs must match the single-chip SwiftKV engine exactly."""
+
+    SWIFT_HF = dict(num_attention_heads=8, num_key_value_heads=8,
+                    head_dim=8, num_hidden_layers=4,
+                    num_key_value_layers=2)
+
+    def _swift_cfg(self, **par):
+        import dataclasses
+
+        cfg = tiny_config(hf=dict(self.SWIFT_HF))
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, model="llama_swiftkv"))
+        if par:
+            cfg = cfg.replace(parallel=ParallelConfig(**par))
+        return cfg
+
+    @pytest.fixture(scope="class")
+    def swift_single(self):
+        llm = LLM(self._swift_cfg())
+        return llm.generate(prompt_token_ids=PROMPTS,
+                            sampling_params=SamplingParams(max_tokens=10))
+
+    def test_dp2_tp2_swiftkv_matches_single(self, swift_single):
+        llm = LLM(self._swift_cfg(data_parallel_size=2,
+                                  tensor_parallel_size=2))
+        outs = llm.generate(prompt_token_ids=PROMPTS,
+                            sampling_params=SamplingParams(max_tokens=10))
+        for o, ref in zip(outs, swift_single):
+            assert o.token_ids == ref.token_ids
+
+    def test_dp2_sp2_shift_swiftkv_matches_single(self, swift_single):
+        llm = LLM(self._swift_cfg(data_parallel_size=2,
+                                  ulysses_sequence_parallel_size=2,
+                                  enable_shift_parallel=True,
+                                  shift_parallel_threshold=4))
+        outs = llm.generate(prompt_token_ids=PROMPTS,
+                            sampling_params=SamplingParams(max_tokens=10))
+        for o, ref in zip(outs, swift_single):
+            assert o.token_ids == ref.token_ids
