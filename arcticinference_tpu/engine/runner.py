@@ -677,9 +677,20 @@ class ModelRunner:
                 freq_pen[lo:lo + k] = sp.frequency_penalty
                 any_penalties = True
 
-        attn_qb = 8 if int(query_lens.max(initial=1)) <= 8 else 32
-        n_items = t_shard // attn_qb + b
-        parts = [build_work_items(query_lens[sh], last_pos[sh], attn_qb,
+        from arcticinference_tpu import envs
+
+        max_qlen = int(query_lens.max(initial=1))
+        # Same grouped-decode eligibility as the non-dp path: one
+        # frontier row per request in request order (per shard).
+        pure_decode = (
+            max_qlen == 1 and bool(scheduled)
+            and not envs.ARCTIC_TPU_DISABLE_GROUPED_DECODE
+            and (jax.default_backend() == "tpu"
+                 or envs.ARCTIC_TPU_FORCE_PALLAS_INTERPRET))
+        attn_qb = 1 if pure_decode else (8 if max_qlen <= 8 else 32)
+        sched_qb = 8 if attn_qb == 1 else attn_qb
+        n_items = t_shard // sched_qb + b
+        parts = [build_work_items(query_lens[sh], last_pos[sh], sched_qb,
                                   self.block_size, n_items, t_shard)
                  for sh in range(dp)]
         arrays = dict(

@@ -388,8 +388,20 @@ def main():
             sllm, SamplingParams, spec_prompts, spec_prompts,
             spec_prompts, gen_len)
         st = sllm.engine.spec_stats
+        # Fused-step bandwidth accounting (VERDICT r2 item 2): wall
+        # ms/step from emitted tokens/step, bytes = weights + one KV
+        # sweep (all K+1 verify rows of a sequence read each KV chunk
+        # once in the grouped kernel).
+        tok_per_step = (1 + st.mean_accepted_per_draft) * spec_batch \
+            if st.num_drafts else spec_batch
+        spec_step_ms = tok_per_step / spec_toks_s * 1e3
+        spec_bytes = step_bytes(sllm, spec_batch,
+                                prompt_len + gen_len // 2)
         spec_result = {
             "spec_decode_tokens_per_s": round(spec_toks_s, 2),
+            "spec_step_ms_wall": round(spec_step_ms, 2),
+            "spec_step_gbps": round(
+                spec_bytes / (spec_step_ms / 1e3) / 1e9, 1),
             "greedy_decode_tokens_per_s_same_batch":
                 round(greedy_comparator, 2),
             "spec_speedup": round(spec_toks_s / greedy_comparator, 3),

@@ -412,3 +412,22 @@ def test_swiftkv_grouped_decode_matches():
 
     on, off = _grouped_parity_run(cfg, prompts)
     assert on == off
+
+
+def test_engine_grouped_decode_under_dp():
+    """Sync dp decode steps route to the grouped kernel per shard."""
+    from arcticinference_tpu.config import ParallelConfig
+    from tests.test_engine import tiny_config
+
+    hf = dict(num_attention_heads=8, num_key_value_heads=8, head_dim=8)
+    rng = np.random.default_rng(9)
+    prompts = [[int(x) for x in rng.integers(1, 90, int(n))]
+               for n in (11, 6, 19)]
+
+    def cfg():
+        return tiny_config(hf=dict(hf)).replace(
+            parallel=ParallelConfig(data_parallel_size=2,
+                                    tensor_parallel_size=2))
+
+    on, off = _grouped_parity_run(cfg, prompts)
+    assert on == off
