@@ -371,11 +371,29 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
 # --------------------------------------------------------------------- #
 
 class _InflightFused:
-    __slots__ = ("telemetry", "hidden")
+    __slots__ = ("telemetry", "hidden", "k")
 
-    def __init__(self, telemetry, hidden=None):
+    def __init__(self, telemetry, hidden=None, k=0):
         self.telemetry = telemetry
         self.hidden = hidden
+        self.k = k
+
+
+def adapt_state_k(state, k: int, put):
+    """Resize a fused state's draft lanes to width ``k`` (adaptive-K:
+    suffix-only loops drop to K=0 while no path is available, so dry
+    slots stop paying K+1 verify rows per step).  Draft contents never
+    survive the switch (both directions zero them — correct: the drafts
+    were either consumed or nonexistent)."""
+    w = max(k, 1)
+    d = state["drafts"]
+    if d.shape[1] == w:
+        return state
+    state = dict(state)
+    b = d.shape[0]
+    state["drafts"] = put(np.zeros((b, w), np.int32))
+    state["draft_len"] = put(np.zeros(b, np.int32))
+    return state
 
 
 class FusedDecodeLoop:
@@ -405,6 +423,12 @@ class FusedDecodeLoop:
         self._announce_state = None         # multihost: state to mirror
         self._bt_dirty = False
         self._spec_params_global = None     # multihost: replicated copy
+        self._dry_drains = 0                # consecutive draft-free drains
+        self._k_switches = 0                # adaptive-K transitions
+        self._steps_k0 = 0                  # fused steps run demoted
+        self._steps_k = 0                   # fused steps run at full K
+        self._reject_streak = 0             # drafts offered, none accepted
+        self._probe_cd = 0                  # steps until next K>0 probe
 
     # -- entry ----------------------------------------------------------
 
@@ -556,6 +580,8 @@ class FusedDecodeLoop:
         self._bt_dev = self._put(self._bt_np)
         self._bt_dirty = True
         self._inflight = []
+        self._dry_drains = 0
+        self._reject_streak = 0
         self.active = True
         # Admission steps may preempt on block pressure; fused-owned
         # requests must never be victims (device steps write their
@@ -621,26 +647,56 @@ class FusedDecodeLoop:
             return finished + self.exit()
 
         capture = eng.hidden_capture is not None
-        key = (self._state["n_computed"].shape[0], self._k,
+        spec_params = self._spec_params()
+        paths_np = (self._host_paths() if self._suffix is not None
+                    else None)
+        # Adaptive K (suffix-only loops): while the host has no path to
+        # offer and the last depth+1 drains walked no device path
+        # either, run the K=0 program — dry slots then cost one row
+        # instead of K+1 verify rows (fresh-prompt workloads decay to
+        # plain-decode throughput instead of paying spec overhead).
+        k_eff = self._k
+        import os as _os
+        if (self._suffix is not None and eng._drafter is None
+                and self._k > 0
+                and _os.environ.get("ARCTIC_TPU_ADAPTIVE_K") == "1"):
+            # EXPERIMENTAL (opt-in): drop to the K=0 program after a
+            # long draft-free streak.  Measured on-chip it currently
+            # LOSES on both workload classes (repeat: 3736 -> 1511
+            # tok/s even with only 13/172 demoted steps — the cost is
+            # not the step mix and needs deeper profiling; random:
+            # +9% at best).  The right design is per-slot adaptation
+            # inside one program, not a global K switch; keeping the
+            # machinery + tests for that follow-up.
+            have_paths = bool((paths_np[2] > 0).any())
+            if self._state["drafts"].shape[1] == 1 and self._k > 1:
+                # currently demoted: stay until a path shows up
+                k_eff = self._k if have_paths else 0
+            elif not have_paths and self._dry_drains > 16:
+                k_eff = 0
+        if max(k_eff, 1) != self._state["drafts"].shape[1]:
+            self._k_switches += 1
+            # Grace: the wiped in-flight drafts guarantee depth dry
+            # drains right after a switch; don't let them re-trigger.
+            self._dry_drains = -2 * (self.depth + 1)
+        self._state = adapt_state_k(self._state, k_eff, self._put)
+        key = (self._state["n_computed"].shape[0], k_eff,
                self._need_sampling)
         fn = self._fns.get(key)
         if fn is None:
-            fn = build_fused_step(self.runner, eng._drafter, self._k,
+            fn = build_fused_step(self.runner, eng._drafter, k_eff,
                                   self._need_sampling, eng.eos_token_id,
                                   use_suffix=self._suffix is not None,
                                   path_len_max=self._plen,
                                   ring_w=self._ring_w, batch=key[0],
                                   export_hidden=True)
             self._fns[key] = fn
-        spec_params = self._spec_params()
-        paths_np = (self._host_paths() if self._suffix is not None
-                    else None)
         ch = self.runner.mh_channel
         if ch is not None:
             # Mirror the fused step on every process (same contract as
             # runner.dispatch: broadcast first, then issue the program).
             ch.broadcast({
-                "kind": "fused", "b": key[0], "k": self._k,
+                "kind": "fused", "b": key[0], "k": k_eff,
                 "need_sampling": self._need_sampling,
                 "use_suffix": self._suffix is not None,
                 "plen": self._plen, "ring_w": self._ring_w,
@@ -659,8 +715,13 @@ class FusedDecodeLoop:
             telem.copy_to_host_async()
         except AttributeError:
             pass
+        if k_eff == 0 and self._k > 0:
+            self._steps_k0 += 1
+        else:
+            self._steps_k += 1
         self._inflight.append(
-            _InflightFused(telem, hidden if capture else None))
+            _InflightFused(telem, hidden if capture else None,
+                           k=k_eff))
         eng.engine_stats.num_steps += 1
 
         while len(self._inflight) > self.depth:
@@ -758,13 +819,15 @@ class FusedDecodeLoop:
         eng = self.engine
         step = self._inflight.pop(0)
         telem = np.asarray(step.telemetry)
-        r = self._k + 1
+        r = step.k + 1
         finished: list = []
         capture_rows = capture_items = None
         if step.hidden is not None and eng.hidden_capture is not None:
             capture_rows = np.asarray(step.hidden).reshape(
                 telem.shape[0] * r, -1)
             capture_items = []
+        any_drafts = False
+        any_accepted = False
         for i, req in enumerate(self._slots):
             if req is None or not self._host_alive[i]:
                 continue
@@ -782,6 +845,9 @@ class FusedDecodeLoop:
             req.output_token_ids.extend(toks)
             eng.scheduler.register_computed(req)
             if dlen_used > 0:
+                any_drafts = True
+                if len(toks) > 1:
+                    any_accepted = True
                 n_acc = len(toks) - 1
                 eng.spec_stats.observe(dlen_used, min(n_acc, dlen_used))
                 req.num_draft_tokens += dlen_used
@@ -805,6 +871,12 @@ class FusedDecodeLoop:
                 eng.engine_stats.num_finished += 1
         if capture_items:
             eng.hidden_capture(capture_rows, capture_items)
+        self._dry_drains = 0 if any_drafts else self._dry_drains + 1
+        if any_accepted:
+            self._reject_streak = 0
+            self._probe_cd = 0
+        elif any_drafts:
+            self._reject_streak += 1
         return finished
 
     # -- exit -----------------------------------------------------------

@@ -280,6 +280,13 @@ def follower_serve(engine, channel: FollowerChannel) -> None:
             if msg["state"] is not None:
                 fused_state = {k: runner._replicated(v)
                                for k, v in msg["state"].items()}
+            from arcticinference_tpu.engine.fused_decode import (
+                adapt_state_k)
+
+            # Adaptive K: mirror the leader's draft-lane resize so the
+            # replicated state matches the per-step program width.
+            fused_state = adapt_state_k(fused_state, msg["k"],
+                                        runner._replicated)
             if msg["bt"] is not None:
                 fused_bt = runner._replicated(msg["bt"])
             args = (tuple(runner._replicated(a) for a in msg["paths"])

@@ -578,3 +578,43 @@ def test_corruption_knob_preserves_output(monkeypatch):
     # Full corruption: drafts were made but (almost) none accepted.
     assert st.num_drafts > 0
     assert st.acceptance_rate < 0.2
+
+
+class TestAdaptiveK:
+
+    def test_suffix_only_drops_to_k0_and_recovers(self, monkeypatch):
+        monkeypatch.setenv("ARCTIC_TPU_ADAPTIVE_K", "1")
+        """Suffix-only fused loop: with an empty cache (fresh prompts)
+        the loop demotes to the K=0 program after depth+1 dry drains;
+        outputs stay exact; a repeat pass (cache warm) drafts again."""
+        from arcticinference_tpu.config import SpeculativeConfig
+
+        prompts = _prompts(3, seed=11)
+        base = LLM(tiny_config())
+        sp = SamplingParams(max_tokens=20, ignore_eos=True)
+        want = [o.token_ids for o in base.generate(
+            prompt_token_ids=prompts, sampling_params=sp)]
+        # min_token_prob > 1 makes the cache unable to offer paths:
+        # permanently dry (the tiny looping model would otherwise feed
+        # its own suffix cache mid-generation).
+        llm = LLM(tiny_config(speculative=SpeculativeConfig(
+            method="suffix", suffix_cache_max_depth=32,
+            suffix_min_token_prob=1.01, enable_fused_decode=True)))
+        got = [o.token_ids for o in llm.generate(
+            prompt_token_ids=prompts, sampling_params=sp)]
+        assert got == want
+        fl = llm.engine._fused
+        # The K=0 program was actually compiled and used.
+        assert any(k[1] == 0 for k in fl._fns), list(fl._fns)
+
+        # Normal config: fresh pass then repeat pass -> drafts flow and
+        # output stays exact.
+        llm2 = LLM(tiny_config(speculative=SpeculativeConfig(
+            method="suffix", suffix_cache_max_depth=32,
+            enable_fused_decode=True)))
+        got1 = [o.token_ids for o in llm2.generate(
+            prompt_token_ids=prompts, sampling_params=sp)]
+        got2 = [o.token_ids for o in llm2.generate(
+            prompt_token_ids=prompts, sampling_params=sp)]
+        assert got1 == want and got2 == want
+        assert llm2.engine.spec_stats.num_accepted_tokens > 0
