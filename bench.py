@@ -258,6 +258,12 @@ def main():
                          vocab_size=1024)
     vocab = overrides["vocab_size"]
 
+    # Batch 64 remains the headline: batch-128 no longer OOMs and wins
+    # at the DEVICE level (20.9 vs 16.7 ms/step -> 6122 vs 3841 tok/s
+    # dispatch-sustained, see diagnose_b128.py), but the end-to-end
+    # generate loop at 128 still shows multi-second stalls at random
+    # steps in this environment (tunnel jitter amplified; device time
+    # stays flat) — ROADMAP item.  ARCTIC_BENCH_BATCH=128 measures it.
     batch = int(os.environ.get("ARCTIC_BENCH_BATCH", 64 if on_tpu else 4))
     prompt_len = int(os.environ.get("ARCTIC_BENCH_PROMPT",
                                     128 if on_tpu else 16))
@@ -277,7 +283,8 @@ def main():
                               max_model_len=4096 if on_tpu else 256),
             cache=CacheConfig(block_size=32,
                               num_blocks=blocks
-                              or (900 if on_tpu else 64),
+                              or ((1408 if max_seqs >= 128 else 900)
+                                  if on_tpu else 64),
                               enable_prefix_caching=prefix_caching),
             scheduler=SchedulerConfig(max_num_seqs=max_seqs,
                                       max_num_batched_tokens=2048
@@ -304,7 +311,9 @@ def main():
     from arcticinference_tpu.utils import chip_specs
     _, peak_bps = chip_specs()
 
-    llm = LLM(engine_cfg(batch))
+    llm = LLM(engine_cfg(
+        batch,
+        prefix_caching=not os.environ.get("ARCTIC_BENCH_NO_PREFIX")))
 
     # Warmup covers every measured shape bucket (prefill bucket + decode
     # buckets at batch, spec_batch and 1); measured passes use FRESH
