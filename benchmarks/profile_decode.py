@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--logdir", default="/tmp/arctic_profile")
     ap.add_argument("--no-grouped", action="store_true")
+    ap.add_argument("--quant", default="fp8",
+                    choices=["fp8", "int8", "int4", "none"])
     args = ap.parse_args()
 
     if args.no_grouped:
@@ -50,7 +52,9 @@ def main():
 
     cfg = EngineConfig(
         model=ModelConfig(model="llama", hf_overrides=overrides,
-                          quantization="fp8" if on_tpu else None,
+                          quantization=(None if args.quant == "none"
+                                        else args.quant)
+                          if on_tpu else None,
                           max_model_len=4096 if on_tpu else 256),
         cache=CacheConfig(block_size=32,
                           num_blocks=900 if on_tpu else 64),
