@@ -677,6 +677,22 @@ class ModelRunner:
                 freq_pen[lo:lo + k] = sp.frequency_penalty
                 any_penalties = True
 
+        # Grammar-guided vocab bitmasks (host-mask path): rows index the
+        # dp-major sample-row layout; the mask is applied to the logits
+        # OUTSIDE shard_map (auto-GSPMD), so the dp layout needs no
+        # per-shard plumbing.  (The device-resident grammar pool stays
+        # single-dp: runner.guided_device_ok.)
+        guided_entries: list[tuple[int, np.ndarray]] = []
+        for r, s in enumerate(scheduled):
+            req = s.request
+            g = req.sampling.guided
+            if g is None or getattr(g, "mask_words", None) is None:
+                continue
+            if req.num_computed_tokens + s.num_new_tokens <                     req.num_tokens:
+                continue
+            guided_entries.append((row_start[r] + row_count[r] - 1,
+                                   g.mask_words()))
+
         from arcticinference_tpu import envs
 
         max_qlen = int(query_lens.max(initial=1))
@@ -705,6 +721,18 @@ class ModelRunner:
         )
         for i, key in enumerate(_ATTN_SCHED_KEYS):
             arrays[key] = np.stack([p[i] for p in parts])
+        if guided_entries:
+            w = (self.arch.vocab_size + 31) // 32
+            g_buckets = [g for g in (1, 2, 4, 8, 16, 32, 64, 128)
+                         if g <= max(self.b_max, 1)] + [self.b_max]
+            g_pad = pad_to_bucket(len(guided_entries), g_buckets)
+            grows = np.full(g_pad, -1, np.int32)
+            gmask = np.zeros((g_pad, w), np.uint32)
+            for i, (row, mask) in enumerate(guided_entries):
+                grows[i] = row
+                gmask[i, :len(mask)] = mask
+            arrays["guided_rows"] = grows
+            arrays["guided_mask"] = gmask.view(np.int32)
         if self.swift:
             arrays["logits_indices_dp"] = li_dp
             sw_items = s_sh // 8 + b

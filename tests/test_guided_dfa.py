@@ -590,3 +590,52 @@ class TestEngineEndToEnd:
         assert set(doc0) == {"a", "b"}
         assert json.loads(outs["g1"]) in ["red", "green", "blue", 17,
                                           None]
+
+
+class TestGuidedUnderDP:
+
+    def test_guided_masks_on_dp_mesh(self):
+        """In-engine dp: the host-mask guided path ships device-applied
+        vocab bitmasks through the dp layout (applied to the logits
+        outside shard_map); output conforms and matches single-chip."""
+        from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                                ModelConfig,
+                                                ParallelConfig,
+                                                SchedulerConfig)
+        from arcticinference_tpu.engine.llm import LLM
+        from arcticinference_tpu.engine.request import SamplingParams
+
+        tok = ByteTokenizer()
+        schema = SCHEMAS[0]
+
+        def run(par):
+            idx = compile_guided_dfa(tok, 139, schema_to_regex(schema))
+            cfg = EngineConfig(
+                model=ModelConfig(model="llama",
+                                  hf_overrides=dict(
+                                      vocab_size=139, hidden_size=64,
+                                      intermediate_size=128,
+                                      num_hidden_layers=2,
+                                      num_attention_heads=8,
+                                      num_key_value_heads=8, head_dim=8),
+                                  max_model_len=256, dtype="float32"),
+                cache=CacheConfig(block_size=8, num_blocks=64),
+                scheduler=SchedulerConfig(max_num_seqs=4,
+                                          max_num_batched_tokens=64),
+                parallel=par or ParallelConfig())
+            llm = LLM(cfg)
+            out = llm.generate(
+                prompt_token_ids=[[3, 14, 15], [7, 9]],
+                sampling_params=[SamplingParams(
+                    max_tokens=60, temperature=1.0, seed=4,
+                    guided=DfaGuidedDecoder(idx, schema=schema)),
+                    SamplingParams(max_tokens=10, ignore_eos=True)])
+            return [o.token_ids for o in out]
+
+        dp_toks = run(ParallelConfig(data_parallel_size=2,
+                                     tensor_parallel_size=2))
+        single = run(None)
+        text = "".join(ByteTokenizer().vocab[t] for t in dp_toks[0])
+        doc = json.loads(text)
+        assert set(doc) == {"a", "b"}
+        assert dp_toks == single
