@@ -180,8 +180,17 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
             # SwiftKV: at the decode frontier every row is a sample row,
             # so nothing drops and the swift-half schedule IS the main
             # schedule (the reference's "all-combined" config,
-            # benchmark_utils.py:17-70, riding the fused loop).
-            inputs["logits_indices"] = jnp.arange(b * r, dtype=jnp.int32)
+            # benchmark_utils.py:17-70, riding the fused loop).  Under
+            # dp the token-drop gather runs per shard_map group, so the
+            # indices must be GROUP-LOCAL (logits_indices_dp, renamed
+            # inside the dp body — parallel/ulysses.py).
+            if dp > 1:
+                inputs["logits_indices_dp"] = jnp.broadcast_to(
+                    jnp.arange(b // dp * r, dtype=jnp.int32)[None],
+                    (dp, b // dp * r))
+            else:
+                inputs["logits_indices"] = jnp.arange(b * r,
+                                                      dtype=jnp.int32)
         if jax.default_backend() == "tpu" and not grouped and dp == 1:
             # (dp > 1 pairs with the grouped kernel or the reference
             # path; the flat in-jit schedule below is not dp-stacked.)
@@ -581,7 +590,6 @@ class FusedDecodeLoop:
         self._bt_dirty = True
         self._inflight = []
         self._dry_drains = 0
-        self._reject_streak = 0
         self.active = True
         # Admission steps may preempt on block pressure; fused-owned
         # requests must never be victims (device steps write their
@@ -827,7 +835,6 @@ class FusedDecodeLoop:
                 telem.shape[0] * r, -1)
             capture_items = []
         any_drafts = False
-        any_accepted = False
         for i, req in enumerate(self._slots):
             if req is None or not self._host_alive[i]:
                 continue
@@ -846,8 +853,6 @@ class FusedDecodeLoop:
             eng.scheduler.register_computed(req)
             if dlen_used > 0:
                 any_drafts = True
-                if len(toks) > 1:
-                    any_accepted = True
                 n_acc = len(toks) - 1
                 eng.spec_stats.observe(dlen_used, min(n_acc, dlen_used))
                 req.num_draft_tokens += dlen_used
@@ -872,11 +877,6 @@ class FusedDecodeLoop:
         if capture_items:
             eng.hidden_capture(capture_rows, capture_items)
         self._dry_drains = 0 if any_drafts else self._dry_drains + 1
-        if any_accepted:
-            self._reject_streak = 0
-            self._probe_cd = 0
-        elif any_drafts:
-            self._reject_streak += 1
         return finished
 
     # -- exit -----------------------------------------------------------

@@ -861,7 +861,8 @@ def _grouped_decode_kernel(
             def body(c, carry):
                 # Single-buffered within a sequence (the slot's partner
                 # holds the NEXT sequence's prefetch): issue chunk c>0
-                # then wait.  One chunk covers 512 tokens, so decode
+                # then wait.  One chunk covers G_CHUNK_PAGES*block_size
+                # tokens (256 at the tuned default), so short decode
                 # contexts rarely loop.
                 @pl.when(c > 0)
                 def _issue(c=c):

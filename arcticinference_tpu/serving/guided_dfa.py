@@ -114,6 +114,8 @@ def vocab_codepoints(tokenizer, vocab_size: int) -> VocabCodepoints:
         if entry is None or entry[0] is not tokenizer or \
                 entry[1].vocab_size != vocab_size:
             vc = VocabCodepoints(tokenizer, vocab_size)
+            if len(_VOCAB_CACHE) > 8:   # bound the strong refs
+                _VOCAB_CACHE.clear()
             _VOCAB_CACHE[key] = (tokenizer, vc)
         else:
             vc = entry[1]
@@ -314,9 +316,19 @@ class TokenDfaIndex:
         """
         cached = getattr(self, "_token_dead_ends", None)
         if cached is None:
-            empty = ~self._all_masks().any(axis=1)
-            live_accept = self.dfa.accept.astype(bool)
-            cached = bool((empty & ~live_accept).any())
+            if self._handle is None and \
+                    self.dfa.n_states * self.vocab.vocab_size > 2_000_000:
+                # No native sweeper and a big product: the full sweep is
+                # the O(S*V*len) pure-Python loop — minutes at real
+                # vocab sizes.  Check only the start state (catches the
+                # vocab-disjoint grammar class outright); deeper dead
+                # ends are caught by the engine's runtime abort (HTTP
+                # 500), never a silent empty 200.
+                cached = not self.mask(self.dfa.start).any()
+            else:
+                empty = ~self._all_masks().any(axis=1)
+                live_accept = self.dfa.accept.astype(bool)
+                cached = bool((empty & ~live_accept).any())
             self._token_dead_ends = cached
         return cached
 

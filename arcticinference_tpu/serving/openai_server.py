@@ -482,6 +482,10 @@ def _check_aborted(results) -> None:
 def _reason(finish: Optional[str]) -> str:
     if finish == "finished_length":
         return "length"
+    if finish in ("finished_aborted", "engine_error"):
+        # Never dress an engine abort up as a clean stop — streaming
+        # clients must see the failure (non-streaming paths raise 500).
+        return "error"
     return "stop"
 
 

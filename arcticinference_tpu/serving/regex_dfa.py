@@ -170,11 +170,10 @@ class _Parser:
             while j < len(self.pat) and self.pat[j].isdigit():
                 digits2 += self.pat[j]
                 j += 1
-            # Both '{m,n}' and '{,n}' are quantifiers in re/regex
-            # ('{,n}' means {0,n}); only a brace with neither bound is a
-            # literal '{'.
-            if j < len(self.pat) and self.pat[j] == "}" and \
-                    (digits or digits2):
+            # '{m,n}', '{m,}', '{,n}' and even '{,}' are all
+            # quantifiers in re/regex ('{,}' == {0,inf}); only a brace
+            # with no comma and no digits is a literal '{'.
+            if j < len(self.pat) and self.pat[j] == "}":
                 self.i = j + 1
                 m = int(digits) if digits else 0
                 n = int(digits2) if digits2 else None

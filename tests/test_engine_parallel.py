@@ -347,3 +347,37 @@ class TestDPSwiftKV:
                             sampling_params=SamplingParams(max_tokens=10))
         for o, ref in zip(outs, swift_single):
             assert o.token_ids == ref.token_ids
+
+
+def test_dp_swiftkv_fused_spec_matches_single():
+    """The triple composition: in-engine dp x SwiftKV x fused spec loop
+    (review finding: the fused step's token-drop gather must use
+    group-local indices under dp)."""
+    import dataclasses
+
+    from arcticinference_tpu.config import SpeculativeConfig
+
+    hf = dict(num_attention_heads=8, num_key_value_heads=8, head_dim=8,
+              num_hidden_layers=4, num_key_value_layers=2)
+
+    def cfg(par=None, spec=None):
+        c = tiny_config(hf=dict(hf), speculative=spec)
+        c = c.replace(model=dataclasses.replace(c.model,
+                                                model="llama_swiftkv"))
+        if par:
+            c = c.replace(parallel=par)
+        return c
+
+    want = [o.token_ids for o in LLM(cfg()).generate(
+        prompt_token_ids=PROMPTS,
+        sampling_params=SamplingParams(max_tokens=10))]
+    spec = SpeculativeConfig(method="arctic", num_speculative_tokens=3,
+                             enable_fused_decode=True)
+    llm = LLM(cfg(par=ParallelConfig(data_parallel_size=2,
+                                     tensor_parallel_size=2),
+                  spec=spec))
+    got = [o.token_ids for o in llm.generate(
+        prompt_token_ids=PROMPTS,
+        sampling_params=SamplingParams(max_tokens=10))]
+    assert got == want
+    assert llm.engine.spec_stats.num_drafts > 0

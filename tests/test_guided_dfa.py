@@ -118,6 +118,12 @@ class TestCompileDfa:
                          ("aaaab", False), ("a{,3}b", False)):
             st = dfa.walk(dfa.start, text)
             assert (st >= 0 and dfa.is_accept(st)) == ok, text
+        # '{,}' is the {0,inf} quantifier too (== '*').
+        dfa = compile_dfa(r"a{,}b")
+        for text, ok in (("b", True), ("aaaaab", True),
+                         ("a{,}b", False)):
+            st = dfa.walk(dfa.start, text)
+            assert (st >= 0 and dfa.is_accept(st)) == ok, text
 
     def test_reversed_quantifier_bounds_rejected(self):
         # re/regex raise on 'a{3,1}'; compiling it as anything would
