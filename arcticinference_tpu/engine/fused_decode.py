@@ -103,6 +103,14 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
 
     corrupt = float(_os.environ.get("ARCTIC_TPU_FUSED_CORRUPT_RATE",
                                     "0") or 0)
+    if corrupt and getattr(runner, "mh_channel", None) is not None:
+        # Multihost: the env var is read independently at trace time in
+        # every process; a leader/follower mismatch would desync the
+        # replicated RNG (the corrupted path takes an extra
+        # jax.random.split).  The knob is a single-host bench aid only.
+        logger.warning("ARCTIC_TPU_FUSED_CORRUPT_RATE ignored under "
+                       "multihost (would desync mirrored programs)")
+        corrupt = 0.0
     qb = 1 if grouped else (8 if r <= 8 else 32)
     dq = r if grouped else 1
     eos = -1 if eos_token_id is None else int(eos_token_id)

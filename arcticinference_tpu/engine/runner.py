@@ -688,7 +688,8 @@ class ModelRunner:
             g = req.sampling.guided
             if g is None or getattr(g, "mask_words", None) is None:
                 continue
-            if req.num_computed_tokens + s.num_new_tokens <                     req.num_tokens:
+            if (req.num_computed_tokens + s.num_new_tokens
+                    < req.num_tokens):
                 continue
             guided_entries.append((row_start[r] + row_count[r] - 1,
                                    g.mask_words()))

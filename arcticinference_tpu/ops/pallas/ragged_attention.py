@@ -679,7 +679,11 @@ def decode_paged_attention_kernel(
 # 8 pages (256 tokens) measured best at decode contexts on v5e: the
 # head-packed dense dots scale with chunk width on the N side, and 256
 # halves the MXU waste vs 512 at typical contexts (in-engine profile:
-# attention 3.26 -> 2.41 ms/step at batch 64 / ctx 160).
+# attention 3.26 -> 2.41 ms/step at batch 64 / ctx 160).  This tuning is
+# v5e-SPECIFIC: chips with different DMA latency, or workloads at much
+# longer decode contexts, may prefer wider chunks (fewer chunk-loop
+# iterations) — re-tune via ARCTIC_TPU_ATTN_GCHUNK_PAGES (e.g. 16) and
+# benchmarks/attn_microbench.py when bringing up new hardware.
 G_CHUNK_PAGES = int(os.environ.get("ARCTIC_TPU_ATTN_GCHUNK_PAGES", "8"))
 
 

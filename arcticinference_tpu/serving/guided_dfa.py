@@ -114,8 +114,11 @@ def vocab_codepoints(tokenizer, vocab_size: int) -> VocabCodepoints:
         if entry is None or entry[0] is not tokenizer or \
                 entry[1].vocab_size != vocab_size:
             vc = VocabCodepoints(tokenizer, vocab_size)
-            if len(_VOCAB_CACHE) > 8:   # bound the strong refs
-                _VOCAB_CACHE.clear()
+            while len(_VOCAB_CACHE) > 8:   # bound the strong refs
+                # Evict oldest entries only (insertion order); clearing
+                # everything would force full vocab re-decodes for
+                # tokenizers still in active use.
+                _VOCAB_CACHE.pop(next(iter(_VOCAB_CACHE)))
             _VOCAB_CACHE[key] = (tokenizer, vc)
         else:
             vc = entry[1]
@@ -320,17 +323,47 @@ class TokenDfaIndex:
                     self.dfa.n_states * self.vocab.vocab_size > 2_000_000:
                 # No native sweeper and a big product: the full sweep is
                 # the O(S*V*len) pure-Python loop — minutes at real
-                # vocab sizes.  Check only the start state (catches the
-                # vocab-disjoint grammar class outright); deeper dead
-                # ends are caught by the engine's runtime abort (HTTP
-                # 500), never a silent empty 200.
-                cached = not self.mask(self.dfa.start).any()
+                # vocab sizes.  Bounded BFS from the start state over
+                # codepoint transitions, masking each visited state: a
+                # dead end inside the budget is detected exactly; if the
+                # budget runs out before full coverage, answer True
+                # conservatively (host-side partial-match decoding)
+                # rather than risk a runtime dead state surfacing as an
+                # HTTP 500 abort.
+                budget = max(1, 2_000_000 // max(self.vocab.vocab_size, 1))
+                cached = self._dead_end_bfs(budget)
             else:
                 empty = ~self._all_masks().any(axis=1)
                 live_accept = self.dfa.accept.astype(bool)
                 cached = bool((empty & ~live_accept).any())
             self._token_dead_ends = cached
         return cached
+
+    def _dead_end_bfs(self, budget: int) -> bool:
+        """Bounded BFS from the start state over codepoint-reachable DFA
+        states, computing each visited state's token mask.  Returns True
+        on the first non-accept state with an empty mask, or — if the
+        state budget runs out before full coverage — True conservatively
+        (callers then route the grammar to the host-side partial-match
+        decoders instead of the device path)."""
+        dfa = self.dfa
+        seen = {int(dfa.start)}
+        queue = [int(dfa.start)]
+        visited = 0
+        while queue:
+            if visited >= budget:
+                return True          # coverage incomplete: can't certify
+            s = queue.pop()
+            visited += 1
+            if not bool(dfa.accept[s]) and not self.mask(s).any():
+                return True
+            a, b = int(dfa.trans_offsets[s]), int(dfa.trans_offsets[s + 1])
+            for nxt in np.unique(dfa.trans_next[a:b]):
+                nxt = int(nxt)
+                if nxt >= 0 and nxt not in seen:
+                    seen.add(nxt)
+                    queue.append(nxt)
+        return False
 
     def advance(self, state: int, tok: int) -> int:
         if self._handle is not None:
