@@ -112,15 +112,30 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                        "multihost (would desync mirrored programs)")
         corrupt = 0.0
     qb = 1 if grouped else (8 if r <= 8 else 32)
-    dq = r if grouped else 1
     eos = -1 if eos_token_id is None else int(eos_token_id)
     plen = path_len_max
     w = ring_w
-    sharded_fwd = None
+    sharded_fwds = {}
+    # Per-slot draft width, degenerate case (round-4 verdict item 3):
+    # suffix-only loops spend most steps with NO drafts anywhere on dry
+    # workloads (fresh prompts), yet the K+1-row verify program pays
+    # K+1 model rows per slot regardless.  With a drafter the rows are
+    # always in use; without one, draft availability is data-dependent
+    # (host path uploads), so the step carries BOTH a wide (K+1 rows)
+    # and a narrow (1 row) forward under ``lax.cond`` keyed on "any slot
+    # holds drafts".  One program, no host round trip, no program
+    # switch (the measured failure mode of the global adaptive-K
+    # experiment was host-paced switching); dry steps run at plain
+    # greedy-decode cost.
+    narrow = use_suffix and drafter is None and k > 0
+    widths = (r, 1) if narrow else (r,)
     if runner.mesh is not None:
-        mesh_mode = runner._choose_mode(batch * r)
-        sharded_fwd = runner._forward_fn(qb, mesh_mode, batch * r,
-                                         decode_qlen=dq)
+        for rr in widths:
+            mesh_mode = runner._choose_mode(batch * rr)
+            dq_rr = rr if grouped else 1
+            sharded_fwds[rr] = runner._forward_fn(
+                qb if not grouped else 1, mesh_mode, batch * rr,
+                decode_qlen=dq_rr)
 
     if drafter is not None:
         from arcticinference_tpu.models import speculators as spec_mod
@@ -138,112 +153,144 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
         dlen = state["draft_len"]                          # [B]
         limit = state["limit"]                             # [B] max total
         drafts = state["drafts"]                           # [B, max(K,1)]
+        rng, sub = jax.random.split(state["rng"])
+
+        def fwd_rowvals(kv, rr, dlen_rr):
+            """Build inputs, run the model on ``B*rr`` rows (row i*rr+j =
+            slot i's j-th verify row), return (kv, rowvals [B, rr], h)."""
+            jr = jnp.arange(rr, dtype=jnp.int32)[None, :]  # [1, rr]
+            tokens = jnp.concatenate(
+                [state["last_token"][:, None], drafts[:, :rr - 1]],
+                axis=1)                                    # [B, rr]
+            pos = n_comp[:, None] + jr                     # [B, rr]
+            row_valid = ((alive[:, None] > 0) & (jr <= dlen_rr[:, None])
+                         & (pos < limit[:, None]))
+
+            blk = block_tables[jnp.arange(b)[:, None],
+                               jnp.clip(pos // bs, 0, maxblk - 1)]
+            slot = jnp.where(row_valid, blk * bs + pos % bs, -1)
+
+            dp = runner.dp
+            if dp > 1:
+                # In-engine DP: slots are dp-major (shard s owns slots
+                # [s*Bs, (s+1)*Bs)), block ids are shard-local, and the
+                # forward's dp layout shards the token axis + per-request
+                # arrays over "dp" (parallel/ulysses.py DP_KEYS; the
+                # "positions_flat" key selects that layout).
+                bsh = b // dp
+                local_req = jnp.where(
+                    row_valid,
+                    (jnp.arange(b, dtype=jnp.int32) % bsh)[:, None], -1)
+                inputs = {
+                    "input_ids": tokens.reshape(-1),
+                    "positions_flat": pos.reshape(-1),
+                    "positions": pos.reshape(dp, bsh * rr),
+                    "req_idx": local_req.reshape(dp, bsh * rr),
+                    "slot_mapping": slot.reshape(dp, bsh * rr),
+                    "block_tables": block_tables.reshape(dp, bsh, maxblk),
+                    "seq_lens": (n_comp + rr).reshape(dp, bsh),
+                    "kv_scale": kv_scale,
+                }
+            else:
+                flat_req = jnp.where(
+                    row_valid,
+                    jnp.arange(b, dtype=jnp.int32)[:, None],
+                    -1).reshape(-1)
+                inputs = {
+                    "input_ids": tokens.reshape(-1),
+                    "positions": pos.reshape(-1),
+                    "req_idx": flat_req,
+                    "slot_mapping": slot.reshape(-1),
+                    "block_tables": block_tables,
+                    "seq_lens": n_comp + rr,
+                    "kv_scale": kv_scale,
+                }
+            if runner.swift:
+                # SwiftKV: at the decode frontier every row is a sample
+                # row, so nothing drops and the swift-half schedule IS
+                # the main schedule (the reference's "all-combined"
+                # config, benchmark_utils.py:17-70, riding the fused
+                # loop).  Under dp the token-drop gather runs per
+                # shard_map group, so the indices must be GROUP-LOCAL
+                # (logits_indices_dp, renamed inside the dp body —
+                # parallel/ulysses.py).
+                if dp > 1:
+                    inputs["logits_indices_dp"] = jnp.broadcast_to(
+                        jnp.arange(b // dp * rr, dtype=jnp.int32)[None],
+                        (dp, b // dp * rr))
+                else:
+                    inputs["logits_indices"] = jnp.arange(
+                        b * rr, dtype=jnp.int32)
+            if jax.default_backend() == "tpu" and not grouped and dp == 1:
+                # (dp > 1 pairs with the grouped kernel or the reference
+                # path; the flat in-jit schedule below is not dp-stacked.)
+                # In-jit attention schedule: one work item per request,
+                # rows packed densely at stride rr, qstart aligned down
+                # to the sublane tile exactly like the host builder
+                # (ops/pallas/ragged_attention.py:build_work_items).
+                qpos = jnp.arange(b, dtype=jnp.int32) * rr
+                aligned = jnp.bitwise_and(qpos, ~7)
+                rows = jnp.arange(b * rr, dtype=jnp.int32)
+                inputs.update(
+                    attn_item_req=jnp.arange(b, dtype=jnp.int32),
+                    attn_item_qstart=aligned,
+                    attn_item_qlen=rr * alive,
+                    attn_item_pages=jnp.minimum(
+                        (n_comp + rr - 1) // bs + 1, maxblk),
+                    attn_item_pos_base=n_comp - (qpos - aligned),
+                    attn_token_item=rows // rr,
+                    attn_token_off=rows - aligned[rows // rr],
+                )
+                if runner.swift:
+                    for key in ("item_req", "item_qstart", "item_qlen",
+                                "item_pages", "item_pos_base",
+                                "token_item", "token_off"):
+                        inputs[f"swift_{key}"] = inputs[f"attn_{key}"]
+
+            if sharded_fwds:
+                kv2, h = sharded_fwds[rr](params, kv, inputs)
+            else:
+                from arcticinference_tpu.engine.runner import _make_attn
+                unroll = jax.default_backend() == "tpu" and b * rr <= 512
+                qb_rr = 1 if grouped else qb
+                dq_rr = rr if grouped else 1
+                kv2, h = module.forward(params, arch, kv, inputs,
+                                        attn_impl=_make_attn(module, qb_rr,
+                                                             dq_rr),
+                                        unroll=unroll)
+            logits = module.compute_logits(params, h)      # [B*rr, V]
+            if need_sampling:
+                from arcticinference_tpu.ops.sampling import sample
+                rep = lambda x: jnp.repeat(x, rr,
+                                           total_repeat_length=b * rr)
+                rowvals = sample(logits, rep(state["temperature"]),
+                                 rep(state["top_k"]), rep(state["top_p"]),
+                                 sub)
+            else:
+                rowvals = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return kv2, rowvals.reshape(b, rr), h
 
         j = jnp.arange(r, dtype=jnp.int32)[None, :]        # [1, R]
-        tokens = jnp.concatenate(
-            [state["last_token"][:, None], drafts[:, :k]], axis=1)  # [B,R]
-        pos = n_comp[:, None] + j                          # [B, R]
-        row_valid = ((alive[:, None] > 0) & (j <= dlen[:, None])
-                     & (pos < limit[:, None]))
+        if narrow:
+            def wide_branch(kv):
+                kv, rowvals, h = fwd_rowvals(kv, r, dlen)
+                return kv, rowvals, h.reshape(b, r, -1)
 
-        blk = block_tables[jnp.arange(b)[:, None],
-                           jnp.clip(pos // bs, 0, maxblk - 1)]
-        slot = jnp.where(row_valid, blk * bs + pos % bs, -1)
+            def narrow_branch(kv):
+                kv, rv1, h1 = fwd_rowvals(kv, 1, jnp.zeros_like(dlen))
+                # Pad to [B, R]; only column 0 is ever consumed (dlen is
+                # all-zero on this branch, so n_acc == 0 below).
+                rowvals = jnp.pad(rv1, ((0, 0), (0, r - 1)),
+                                  constant_values=NO_TOKEN)
+                hpad = jnp.zeros((b, r, h1.shape[-1]), h1.dtype)
+                return kv, rowvals, hpad.at[:, 0, :].set(h1)
 
-        dp = runner.dp
-        if dp > 1:
-            # In-engine DP: slots are dp-major (shard s owns slots
-            # [s*Bs, (s+1)*Bs)), block ids are shard-local, and the
-            # forward's dp layout shards the token axis + per-request
-            # arrays over "dp" (parallel/ulysses.py DP_KEYS; the
-            # "positions_flat" key selects that layout).
-            bsh = b // dp
-            local_req = jnp.where(
-                row_valid,
-                (jnp.arange(b, dtype=jnp.int32) % bsh)[:, None], -1)
-            inputs = {
-                "input_ids": tokens.reshape(-1),
-                "positions_flat": pos.reshape(-1),
-                "positions": pos.reshape(dp, bsh * r),
-                "req_idx": local_req.reshape(dp, bsh * r),
-                "slot_mapping": slot.reshape(dp, bsh * r),
-                "block_tables": block_tables.reshape(dp, bsh, maxblk),
-                "seq_lens": (n_comp + r).reshape(dp, bsh),
-                "kv_scale": kv_scale,
-            }
+            kv, rowvals, h_brd = jax.lax.cond(
+                jnp.any(dlen > 0), wide_branch, narrow_branch, kv)
+            h = None                      # drafter path unused (gen None)
         else:
-            flat_req = jnp.where(row_valid,
-                                 jnp.arange(b, dtype=jnp.int32)[:, None],
-                                 -1).reshape(-1)
-            inputs = {
-                "input_ids": tokens.reshape(-1),
-                "positions": pos.reshape(-1),
-                "req_idx": flat_req,
-                "slot_mapping": slot.reshape(-1),
-                "block_tables": block_tables,
-                "seq_lens": n_comp + r,
-                "kv_scale": kv_scale,
-            }
-        if runner.swift:
-            # SwiftKV: at the decode frontier every row is a sample row,
-            # so nothing drops and the swift-half schedule IS the main
-            # schedule (the reference's "all-combined" config,
-            # benchmark_utils.py:17-70, riding the fused loop).  Under
-            # dp the token-drop gather runs per shard_map group, so the
-            # indices must be GROUP-LOCAL (logits_indices_dp, renamed
-            # inside the dp body — parallel/ulysses.py).
-            if dp > 1:
-                inputs["logits_indices_dp"] = jnp.broadcast_to(
-                    jnp.arange(b // dp * r, dtype=jnp.int32)[None],
-                    (dp, b // dp * r))
-            else:
-                inputs["logits_indices"] = jnp.arange(b * r,
-                                                      dtype=jnp.int32)
-        if jax.default_backend() == "tpu" and not grouped and dp == 1:
-            # (dp > 1 pairs with the grouped kernel or the reference
-            # path; the flat in-jit schedule below is not dp-stacked.)
-            # In-jit attention schedule: one work item per request, rows
-            # packed densely at stride R, qstart aligned down to the
-            # sublane tile exactly like the host builder
-            # (ops/pallas/ragged_attention.py:build_work_items).
-            qpos = jnp.arange(b, dtype=jnp.int32) * r
-            aligned = jnp.bitwise_and(qpos, ~7)
-            rows = jnp.arange(b * r, dtype=jnp.int32)
-            inputs.update(
-                attn_item_req=jnp.arange(b, dtype=jnp.int32),
-                attn_item_qstart=aligned,
-                attn_item_qlen=r * alive,
-                attn_item_pages=jnp.minimum((n_comp + r - 1) // bs + 1,
-                                            maxblk),
-                attn_item_pos_base=n_comp - (qpos - aligned),
-                attn_token_item=rows // r,
-                attn_token_off=rows - aligned[rows // r],
-            )
-            if runner.swift:
-                for key in ("item_req", "item_qstart", "item_qlen",
-                            "item_pages", "item_pos_base", "token_item",
-                            "token_off"):
-                    inputs[f"swift_{key}"] = inputs[f"attn_{key}"]
-
-        if sharded_fwd is not None:
-            kv, h = sharded_fwd(params, kv, inputs)
-        else:
-            from arcticinference_tpu.engine.runner import _make_attn
-            unroll = jax.default_backend() == "tpu" and b * r <= 512
-            kv, h = module.forward(params, arch, kv, inputs,
-                                   attn_impl=_make_attn(module, qb, dq),
-                                   unroll=unroll)
-        logits = module.compute_logits(params, h)          # [B*R, V]
-
-        rng, sub = jax.random.split(state["rng"])
-        if need_sampling:
-            from arcticinference_tpu.ops.sampling import sample
-            rep = lambda x: jnp.repeat(x, r, total_repeat_length=b * r)
-            rowvals = sample(logits, rep(state["temperature"]),
-                             rep(state["top_k"]), rep(state["top_p"]), sub)
-        else:
-            rowvals = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        rowvals = rowvals.reshape(b, r)
+            kv, rowvals, h = fwd_rowvals(kv, r, dlen)
+            h_brd = None
 
         # Greedy prefix-match verification (sample-and-compare when
         # temperature > 0: both draft and target row come from the same
@@ -366,7 +413,8 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
             # random-weight target even a fusion-level change can flip
             # greedy argmax and derail the memorised trajectory
             # (spec/distill.py:capture_pairs).
-            return kv, state2, telemetry, h.reshape(b, r, -1)
+            return (kv, state2, telemetry,
+                    h_brd if h_brd is not None else h.reshape(b, r, -1))
         return kv, state2, telemetry
 
     n_out = 4 if export_hidden else 3
@@ -396,23 +444,6 @@ class _InflightFused:
         self.k = k
 
 
-def adapt_state_k(state, k: int, put):
-    """Resize a fused state's draft lanes to width ``k`` (adaptive-K:
-    suffix-only loops drop to K=0 while no path is available, so dry
-    slots stop paying K+1 verify rows per step).  Draft contents never
-    survive the switch (both directions zero them — correct: the drafts
-    were either consumed or nonexistent)."""
-    w = max(k, 1)
-    d = state["drafts"]
-    if d.shape[1] == w:
-        return state
-    state = dict(state)
-    b = d.shape[0]
-    state["drafts"] = put(np.zeros((b, w), np.int32))
-    state["draft_len"] = put(np.zeros(b, np.int32))
-    return state
-
-
 class FusedDecodeLoop:
     """Engine-side controller: entry/exit, block pre-extension, telemetry
     commits.  One instance per LLMEngine; active between ``enter`` and
@@ -440,12 +471,6 @@ class FusedDecodeLoop:
         self._announce_state = None         # multihost: state to mirror
         self._bt_dirty = False
         self._spec_params_global = None     # multihost: replicated copy
-        self._dry_drains = 0                # consecutive draft-free drains
-        self._k_switches = 0                # adaptive-K transitions
-        self._steps_k0 = 0                  # fused steps run demoted
-        self._steps_k = 0                   # fused steps run at full K
-        self._reject_streak = 0             # drafts offered, none accepted
-        self._probe_cd = 0                  # steps until next K>0 probe
 
     # -- entry ----------------------------------------------------------
 
@@ -597,7 +622,6 @@ class FusedDecodeLoop:
         self._bt_dev = self._put(self._bt_np)
         self._bt_dirty = True
         self._inflight = []
-        self._dry_drains = 0
         self.active = True
         # Admission steps may preempt on block pressure; fused-owned
         # requests must never be victims (device steps write their
@@ -666,36 +690,12 @@ class FusedDecodeLoop:
         spec_params = self._spec_params()
         paths_np = (self._host_paths() if self._suffix is not None
                     else None)
-        # Adaptive K (suffix-only loops): while the host has no path to
-        # offer and the last depth+1 drains walked no device path
-        # either, run the K=0 program — dry slots then cost one row
-        # instead of K+1 verify rows (fresh-prompt workloads decay to
-        # plain-decode throughput instead of paying spec overhead).
+        # Per-slot draft-width adaptation happens INSIDE the compiled
+        # step (build_fused_step's narrow/wide lax.cond): a host-paced
+        # program switch (the removed ARCTIC_TPU_ADAPTIVE_K experiment)
+        # measured a 2.5x loss because choosing the program from device
+        # state forces a telemetry sync that breaks the async pipeline.
         k_eff = self._k
-        import os as _os
-        if (self._suffix is not None and eng._drafter is None
-                and self._k > 0
-                and _os.environ.get("ARCTIC_TPU_ADAPTIVE_K") == "1"):
-            # EXPERIMENTAL (opt-in): drop to the K=0 program after a
-            # long draft-free streak.  Measured on-chip it currently
-            # LOSES on both workload classes (repeat: 3736 -> 1511
-            # tok/s even with only 13/172 demoted steps — the cost is
-            # not the step mix and needs deeper profiling; random:
-            # +9% at best).  The right design is per-slot adaptation
-            # inside one program, not a global K switch; keeping the
-            # machinery + tests for that follow-up.
-            have_paths = bool((paths_np[2] > 0).any())
-            if self._state["drafts"].shape[1] == 1 and self._k > 1:
-                # currently demoted: stay until a path shows up
-                k_eff = self._k if have_paths else 0
-            elif not have_paths and self._dry_drains > 16:
-                k_eff = 0
-        if max(k_eff, 1) != self._state["drafts"].shape[1]:
-            self._k_switches += 1
-            # Grace: the wiped in-flight drafts guarantee depth dry
-            # drains right after a switch; don't let them re-trigger.
-            self._dry_drains = -2 * (self.depth + 1)
-        self._state = adapt_state_k(self._state, k_eff, self._put)
         key = (self._state["n_computed"].shape[0], k_eff,
                self._need_sampling)
         fn = self._fns.get(key)
@@ -731,10 +731,6 @@ class FusedDecodeLoop:
             telem.copy_to_host_async()
         except AttributeError:
             pass
-        if k_eff == 0 and self._k > 0:
-            self._steps_k0 += 1
-        else:
-            self._steps_k += 1
         self._inflight.append(
             _InflightFused(telem, hidden if capture else None,
                            k=k_eff))
@@ -884,7 +880,6 @@ class FusedDecodeLoop:
                 eng.engine_stats.num_finished += 1
         if capture_items:
             eng.hidden_capture(capture_rows, capture_items)
-        self._dry_drains = 0 if any_drafts else self._dry_drains + 1
         return finished
 
     # -- exit -----------------------------------------------------------

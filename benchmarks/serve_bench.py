@@ -171,12 +171,6 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
         "ttft_p99_ms": round(float(np.percentile(ttfts, 99)) * 1e3, 1),
         "tpot_mean_ms": round(float(np.mean(tpots)) * 1e3, 2),
         "spec": eng.spec_stats.summary(),
-        "k_switches": getattr(eng._fused, "_k_switches", 0)
-        if eng._fused is not None else 0,
-        "steps_k0": getattr(eng._fused, "_steps_k0", 0)
-        if eng._fused is not None else 0,
-        "steps_k": getattr(eng._fused, "_steps_k", 0)
-        if eng._fused is not None else 0,
         "engine_steps": eng.engine_stats.num_steps,
     }
     return out

@@ -1,0 +1,202 @@
+"""Drafter TRANSFER demonstration (round-4 verdict item 2).
+
+The 8B bench target has random weights, so its drafter can only
+memorise trajectories (held-out acceptance 0.0 by construction).  This
+script demonstrates the model-drafter machinery EARNING acceptance on
+inputs it was never trained on, the way the reference's speculators do
+on real workloads (reference ``docs/arctic-speculator.rst:89-112``):
+
+1. Train the tiny Markov-corpus checkpoint (tests/quality_utils.py) —
+   a genuinely TRAINED teacher whose greedy continuations follow the
+   corpus language's learnable structure.
+2. Capture (hidden, next-K) pairs from the engine on prompts drawn
+   from one region of the corpus (spec-shaped capture, seed drafter).
+3. Distill the tied-table MLP drafter on those pairs.
+4. Evaluate acceptance + speedup on DISJOINT held-out prompts (corpus
+   tail the drafter never saw) against a same-batch greedy comparator.
+
+Output: one JSON line {"transfer_acceptance": ..., "speedup": ...};
+bench.py embeds it as ``spec_transfer``.
+
+Usage: python benchmarks/transfer_drafter.py [--ckpt checkpoints/tiny-markov]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+
+def corpus_prompts(ids: np.ndarray, n: int, plen: int, seed: int,
+                   lo: float, hi: float) -> list[list[int]]:
+    """n prompts of length plen drawn from the [lo, hi) fraction of a
+    token stream (disjoint fractions give disjoint prompt sets)."""
+    rng = np.random.default_rng(seed)
+    a = int(len(ids) * lo)
+    b = int(len(ids) * hi) - plen - 1
+    starts = rng.integers(a, b, n)
+    return [[int(x) for x in ids[s:s + plen]] for s in starts]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=str(REPO / "checkpoints" /
+                                          "tiny-markov"))
+    ap.add_argument("--drafter-out", default=None)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--prompt-len", type=int, default=64)
+    ap.add_argument("--gen", type=int, default=48)
+    ap.add_argument("--capture-gen", type=int, default=64)
+    ap.add_argument("--n-predict", type=int, default=3)
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/arctic_tpu_jax_cache")
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from quality_utils import make_corpus, train_tiny_checkpoint
+
+    import bench
+    from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                            ModelConfig, SchedulerConfig,
+                                            SpeculativeConfig)
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+    from arcticinference_tpu.spec.distill import (capture_pairs,
+                                                  distill_mlp,
+                                                  init_tied_drafter,
+                                                  save_distilled)
+
+    ckpt = Path(args.ckpt)
+    if not (ckpt / "config.json").exists():
+        print(f"[transfer] training tiny checkpoint -> {ckpt}",
+              file=sys.stderr)
+        t0 = time.time()
+        train_tiny_checkpoint(ckpt, steps=500)
+        print(f"[transfer] trained in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    # One long stream from the SAME Markov language (the transition
+    # matrix depends only on the seed, not n_words): the teacher saw
+    # words [0, 4000); the drafter trains on prompts from the first 40%
+    # of a 16k-word stream and is EVALUATED on prompts from the last
+    # 40% — text the drafter never captured a single pair from.
+    import transformers
+    tokenizer = transformers.AutoTokenizer.from_pretrained(str(ckpt))
+    stream = np.asarray(tokenizer.encode(make_corpus(n_words=16000,
+                                                     seed=0)), np.int64)
+    train_prompts = corpus_prompts(stream, args.batch, args.prompt_len,
+                                   seed=11, lo=0.0, hi=0.4)
+    held_prompts = corpus_prompts(stream, args.batch, args.prompt_len,
+                                  seed=13, lo=0.6, hi=1.0)
+
+    def engine_cfg(speculative=None, prefix_caching=False):
+        return EngineConfig(
+            model=ModelConfig(model=str(ckpt), max_model_len=1024),
+            cache=CacheConfig(block_size=16, num_blocks=256,
+                              enable_prefix_caching=prefix_caching),
+            scheduler=SchedulerConfig(max_num_seqs=args.batch,
+                                      max_num_batched_tokens=1024,
+                                      async_scheduling=False),
+            speculative=speculative,
+        )
+
+    drafter_dir = Path(args.drafter_out or
+                       (REPO / "checkpoints" /
+                        f"drafter-tiny-markov-k{args.n_predict}"))
+    if not (drafter_dir / "config.json").exists():
+        # --- capture on TRAIN prompts (spec-shaped: same programs the
+        # eval run uses) -------------------------------------------------
+        seed_dir = str(drafter_dir) + "-seed"
+        if not (Path(seed_dir) / "config.json").exists():
+            hidden = 128
+            sp, sa = init_tied_drafter((hidden, 256),
+                                       n_predict=args.n_predict)
+            save_distilled(seed_dir, sp, sa,
+                           metrics={"seed_drafter": True})
+        cap_cfg = engine_cfg(speculative=SpeculativeConfig(
+            method="arctic", model=seed_dir,
+            num_speculative_tokens=args.n_predict))
+        llm = LLM(cap_cfg)
+        t0 = time.time()
+        hidden, tok0, targets, mask = capture_pairs(
+            llm, train_prompts, gen_len=args.capture_gen,
+            n_predict=args.n_predict)
+        print(f"[transfer] captured {hidden.shape[0]} pairs in "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+        target_params = llm.engine.runner.params
+        llm.engine = None
+
+        t0 = time.time()
+        params, arch, acc = distill_mlp(
+            target_params, hidden, tok0, targets, mask,
+            n_predict=args.n_predict, steps=args.steps,
+            batch_size=min(1024, hidden.shape[0]), lr=args.lr,
+            log_every=200)
+        print(f"[transfer] distilled in {time.time()-t0:.1f}s; "
+              f"train acc {np.round(acc, 3).tolist()}", file=sys.stderr)
+        save_distilled(drafter_dir, params, arch, metrics={
+            "train_acc": [float(a) for a in acc],
+            "pairs": int(hidden.shape[0]),
+            "transfer_protocol": "train lo=0.0-0.4, eval lo=0.6-1.0",
+        })
+        del llm, target_params
+
+    # --- evaluate on HELD-OUT prompts --------------------------------
+    spec_cfg = SpeculativeConfig(method="arctic", model=str(drafter_dir),
+                                 num_speculative_tokens=args.n_predict)
+    sllm = LLM(engine_cfg(speculative=spec_cfg))
+    sllm.generate(prompt_token_ids=held_prompts,
+                  sampling_params=SamplingParams(max_tokens=8,
+                                                 ignore_eos=True))
+    spec_toks_s, _, _ = bench.decode_tokens_per_s(
+        sllm, SamplingParams, held_prompts, held_prompts, held_prompts,
+        args.gen)
+    st = sllm.engine.spec_stats
+    acceptance = st.acceptance_rate if st.num_drafts else 0.0
+    tokens_per_step = (1 + st.mean_accepted_per_draft
+                       if st.num_drafts else 1.0)
+    del sllm
+
+    gllm = LLM(engine_cfg())
+    gllm.generate(prompt_token_ids=held_prompts,
+                  sampling_params=SamplingParams(max_tokens=8,
+                                                 ignore_eos=True))
+    greedy_toks_s, _, _ = bench.decode_tokens_per_s(
+        gllm, SamplingParams, held_prompts, held_prompts, held_prompts,
+        args.gen)
+    del gllm
+
+    out = {
+        "transfer_acceptance": round(float(acceptance), 4),
+        "transfer_tokens_per_step": round(float(tokens_per_step), 3),
+        "spec_tokens_per_s": round(spec_toks_s, 2),
+        "greedy_tokens_per_s": round(greedy_toks_s, 2),
+        "speedup": round(spec_toks_s / greedy_toks_s, 3),
+        "n_predict": args.n_predict,
+        "batch": args.batch,
+        "protocol": "distilled on corpus[0:40%], evaluated on "
+                    "corpus[60:100%] (disjoint prompts, trained teacher)",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
