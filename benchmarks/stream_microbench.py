@@ -80,6 +80,38 @@ def xla_body_scaled(x, w):
     return (y * s).astype(jnp.bfloat16)
 
 
+def xla_body_f16trick(x, w):
+    """e4m3 bytes (stored int8) -> f16 via shift-and-scale, XLA-fused.
+
+    f16 = bitcast((sign<<15) | (mag<<7)) * 2^8 is EXACT for e4m3
+    normals AND subnormals (the f16 denormal path scales linearly)."""
+    u = jax.lax.bitcast_convert_type(w, jnp.uint8).astype(jnp.uint16)
+    h = jax.lax.bitcast_convert_type(
+        ((u & 0x80) << 8) | ((u & 0x7F) << 7), jnp.float16)
+    wt = (h.astype(jnp.float32) * 256.0).astype(jnp.bfloat16)
+    return jnp.dot(x, wt,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
+def _mm_kernel_f16trick(x_ref, w_ref, o_ref, acc_ref, *, n_k):
+    """Pallas version of the f16 shift-and-scale e4m3 dequant."""
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+    u = pltpu.bitcast(w_ref[...], jnp.uint8).astype(jnp.uint16)
+    h = pltpu.bitcast(((u & 0x80) << 8) | ((u & 0x7F) << 7), jnp.float16)
+    wt = (h.astype(jnp.float32) * 256.0).astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], wt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
 def _mm_kernel_astype(x_ref, w_ref, o_ref, acc_ref, *, n_k):
     kk = pl.program_id(1)
 
@@ -228,7 +260,50 @@ def main():
         del ws
 
 
-if __name__ == "__main__" and "--transpose" not in sys.argv:
+def main_fp8():
+    """Focused fp8 dequant-variant study (round-4 item 1)."""
+    print(f"device: {jax.devices()[0].device_kind} (fp8 variants)")
+    key = jax.random.PRNGKey(0)
+    m = 64
+    cases = [("gateup-fused", 4096, 28672), ("qkv-fused", 4096, 6144),
+             ("down", 14336, 4096), ("qo", 4096, 4096)]
+    for label, k, n in cases:
+        x = jax.random.normal(key, (m, k), jnp.bfloat16)
+        nbytes = k * n
+        ws8 = gen_ws(key, k, n, "fp8asint8")
+        per = slope(xla_body_f16trick, x, ws8)
+        report(f"[{label} {k}x{n}] XLA f16trick", per, nbytes)
+        wsq = gen_ws(key, k, n, "fp8")
+        per = slope(xla_body, x, wsq)
+        report(f"[{label} {k}x{n}] XLA builtin convert", per, nbytes)
+        for bk, bn in ((512, 1024), (512, 2048), (1024, 1024),
+                       (1024, 2048)):
+            if k % bk or n % bn:
+                continue
+            body = make_pallas_body(_mm_kernel_f16trick, m, k, n, bk, bn,
+                                    vmem_mb=96)
+            try:
+                per = slope(body, x, ws8)
+                report(f"[{label}] pallas f16trick bk={bk} bn={bn}",
+                       per, nbytes)
+            except Exception as e:
+                print(f"[{label}] pallas f16trick bk={bk} bn={bn}: FAIL "
+                      f"{str(e)[:90]}")
+            body = make_pallas_body(_mm_kernel_astype, m, k, n, bk, bn,
+                                    vmem_mb=96)
+            try:
+                per = slope(body, x, wsq)
+                report(f"[{label}] pallas fp8-astype bk={bk} bn={bn}",
+                       per, nbytes)
+            except Exception as e:
+                print(f"[{label}] pallas fp8-astype bk={bk} bn={bn}: "
+                      f"FAIL {str(e)[:90]}")
+        del ws8, wsq
+
+
+if __name__ == "__main__" and "--fp8" in sys.argv:
+    main_fp8()
+elif __name__ == "__main__" and "--transpose" not in sys.argv:
     main()
 
 
