@@ -81,6 +81,19 @@ class ModelRunner:
                 "int4 weight quantization is single-chip; use fp8/int8 "
                 "on meshes")
         self.dp = pcfg.data_parallel_size
+        # Fused qkv / gate+up weight layout: one dot per group halves the
+        # fixed per-dot cost on the decode weight stream (exact same
+        # dequant values — per-segment scales ride the dot epilogue).
+        # Requires the out axis unsharded: tp == 1 and no shift re-slice
+        # (shift-mode layer_params slices by unfused key names).
+        from arcticinference_tpu import envs as _envs
+        fuse_hook = getattr(module, "fuse_params", None)
+        if (fuse_hook is not None
+                and pcfg.tensor_parallel_size == 1
+                and pcfg.ulysses_sequence_parallel_size == 1
+                and not pcfg.enable_shift_parallel
+                and not _envs.ARCTIC_TPU_DISABLE_FUSED_WEIGHTS):
+            params = jax.jit(fuse_hook, donate_argnums=0)(params)
         if pcfg.world_size > 1 and mesh is None:
             from arcticinference_tpu.parallel import mesh as mesh_lib
 

@@ -27,6 +27,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # regardless of SpeculativeConfig.enable_fused_decode.
     "ARCTIC_TPU_DISABLE_FUSED":
         lambda: os.environ.get("ARCTIC_TPU_DISABLE_FUSED", "0") == "1",
+    # Disable the fused qkv / gate+up weight layout (models/llama.py
+    # fuse_params); A/B lever for the decode weight stream.
+    "ARCTIC_TPU_DISABLE_FUSED_WEIGHTS":
+        lambda: os.environ.get(
+            "ARCTIC_TPU_DISABLE_FUSED_WEIGHTS", "0") == "1",
     # Force lax.scan over layers for ALL buckets (skip the decode-bucket
     # unroll; A/B lever for compile-time/throughput experiments).
     "ARCTIC_TPU_NO_UNROLL":

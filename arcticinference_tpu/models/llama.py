@@ -192,14 +192,59 @@ def embed_lookup(params: dict, ids: jax.Array) -> jax.Array:
     return e[ids]
 
 
+def fuse_params(params: dict, unfuse: bool = False) -> dict:
+    """Fuse q|k|v -> ``wqkv`` and gate|up -> ``w_gateup`` (one dot each).
+
+    Batched decode on v5e is weight-stream-bound with a fixed per-dot
+    cost, so three small attention dots waste device time the fused
+    [d, nq+2*nkv] dot does not (``benchmarks/stream_microbench.py``).
+    Per-segment quantization scales are preserved exactly (broadcast to
+    per-out-channel, applied in the dot epilogue — see
+    ``ops/fp8.fuse_quantized``).
+
+    Only valid when the out axis is NOT sharded across devices (tp == 1
+    and no shift re-slice): the concatenated column order would not
+    survive an even tp split.  The runner gates on that.  ``unfuse``
+    is for checkpoint save paths that want the HF layout back.
+    """
+    from arcticinference_tpu.ops.fp8 import fuse_quantized
+
+    if unfuse:
+        raise NotImplementedError("save paths keep unfused params")
+    layers = dict(params["layers"])
+    if "wq" in layers:
+        layers["wqkv"] = fuse_quantized(
+            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")])
+        if "bq" in layers:
+            layers["bqkv"] = jnp.concatenate(
+                [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")],
+                axis=-1)
+    if "w_gate" in layers:
+        layers["w_gateup"] = fuse_quantized(
+            [layers.pop("w_gate"), layers.pop("w_up")])
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def _qkv(h, lp, arch):
-    q = matmul(h, lp["wq"])
-    k = matmul(h, lp["wk"])
-    v = matmul(h, lp["wv"])
-    if "bq" in lp:  # Qwen2-style attention bias (sliced like the weights)
-        q = q + lp["bq"].astype(q.dtype)
-        k = k + lp["bk"].astype(k.dtype)
-        v = v + lp["bv"].astype(v.dtype)
+    if "wqkv" in lp:
+        y = matmul(h, lp["wqkv"])
+        if "bqkv" in lp:
+            y = y + lp["bqkv"].astype(y.dtype)
+        nq = arch.num_heads * arch.head_dim
+        nkv = arch.num_kv_heads * arch.head_dim
+        q = y[:, :nq]
+        k = y[:, nq:nq + nkv]
+        v = y[:, nq + nkv:]
+    else:
+        q = matmul(h, lp["wq"])
+        k = matmul(h, lp["wk"])
+        v = matmul(h, lp["wv"])
+        if "bq" in lp:  # Qwen2-style bias (sliced like the weights)
+            q = q + lp["bq"].astype(q.dtype)
+            k = k + lp["bk"].astype(k.dtype)
+            v = v + lp["bv"].astype(v.dtype)
     t = h.shape[0]
     q = q.reshape(t, arch.num_heads, arch.head_dim)
     k = k.reshape(t, arch.num_kv_heads, arch.head_dim)
@@ -343,8 +388,13 @@ def finalize_hidden(params: dict, arch: LlamaArch,
 
 
 def _mlp(x, lp):
-    g = matmul(x, lp["w_gate"])
-    u = matmul(x, lp["w_up"])
+    if "w_gateup" in lp:
+        y = matmul(x, lp["w_gateup"])
+        li = y.shape[-1] // 2
+        g, u = y[:, :li], y[:, li:]
+    else:
+        g = matmul(x, lp["w_gate"])
+        u = matmul(x, lp["w_up"])
     h = (jax.nn.silu(g.astype(jnp.float32)) *
          u.astype(jnp.float32)).astype(x.dtype)
     return matmul(h, lp["w_down"])

@@ -170,6 +170,46 @@ def weight_quantize(w: jax.Array, mode: str) -> QuantizedLinear:
     raise ValueError(f"unknown quantization mode {mode!r}")
 
 
+def fuse_quantized(parts: list):
+    """Concatenate linear weights along the out axis into ONE matmul
+    operand (fused qkv / gate+up decode-path optimization).
+
+    Quantized parts keep their original scale granularity exactly: each
+    part's per-tensor/per-layer scale is broadcast to per-out-channel
+    over its own column span, so ``dequant(fused)[..., span]`` is
+    bit-identical to ``dequant(part)``.  The fused matmul then takes the
+    (already fast) per-out-channel epilogue of the int8 path.
+
+    Why fuse: batched decode is weight-stream-bound and v5e pays a fixed
+    per-dot cost that dominates the small q/k/v dots; one [d, nq+2*nkv]
+    dot streams the same bytes in ~half the device time (measured in
+    ``benchmarks/stream_microbench.py``).
+    """
+    if not any(isinstance(p, QuantizedLinear) for p in parts):
+        return jnp.concatenate(parts, axis=-1)
+    assert all(isinstance(p, QuantizedLinear) for p in parts), \
+        "cannot fuse quantized with unquantized weights"
+    w = jnp.concatenate([p.weight for p in parts], axis=-1)
+    scales = []
+    group = parts[0].scale.ndim == parts[0].weight.ndim
+    for p in parts:
+        s, wq = p.scale, p.weight
+        n = wq.shape[-1]
+        if s.ndim == wq.ndim:                 # int4 group [.., in/g, out]
+            assert group, "mixed scale granularities"
+            scales.append(s)
+            continue
+        assert not group, "mixed scale granularities"
+        if s.ndim == wq.ndim - 1 and s.shape[-1] == n:
+            scales.append(s)                  # per-out-channel already
+        else:                                 # per-tensor / per-layer
+            tgt = wq.shape[:-2] + (n,)
+            s = s.reshape(s.shape + (1,) * (len(tgt) - s.ndim))
+            scales.append(jnp.broadcast_to(s.astype(jnp.float32), tgt))
+    return QuantizedLinear(weight=w,
+                           scale=jnp.concatenate(scales, axis=-1))
+
+
 def fp8_dequantize(q: QuantizedLinear,
                    dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
     """Dequantize any QuantizedLinear (fp8/int8/int4; granularity is

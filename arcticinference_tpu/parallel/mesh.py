@@ -65,6 +65,9 @@ def param_specs(quantized: bool = False, pp: bool = False) -> dict:
             "wo": row,
             "w_gate": col, "w_up": col,
             "w_down": row,
+            # Fused decode layout (models/llama.py fuse_params; only
+            # built when tp == 1, where "tp" col-sharding is trivial):
+            "wqkv": col, "w_gateup": col, "bqkv": P(l_ax, "tp"),
             # Family variants (pruned to the actual param structure by
             # shard_params / _param_spec_tree when absent):
             "bq": P(l_ax, "tp"), "bk": P(l_ax, "tp"), "bv": P(l_ax, "tp"),

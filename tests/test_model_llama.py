@@ -200,3 +200,53 @@ def test_hf_state_loading():
     np.testing.assert_allclose(
         np.asarray(params["layers"]["wq"][0]),
         state["model.layers.0.self_attn.q_proj.weight"].T, rtol=1e-5)
+
+
+@pytest.mark.parametrize("quant", [None, "fp8", "int8", "int4"])
+def test_fused_weights_exact_parity(quant):
+    """fuse_params (wqkv / w_gateup one-dot layout) must be value-exact
+    vs the unfused layout for every quantization mode: per-segment
+    scales are broadcast per-out-channel, not re-derived."""
+    arch = llama.LlamaArch(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16)
+    params = llama.init_params(arch, jax.random.PRNGKey(1), jnp.float32,
+                               quantization=quant)
+    fused = jax.jit(llama.fuse_params)(params)
+    assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+    assert "w_gateup" in fused["layers"]
+    spec = KVCacheSpec(num_layers=2, num_blocks=8, num_kv_heads=2,
+                       block_size=4, head_dim=16, dtype=jnp.float32)
+    inputs = _prefill_inputs()
+
+    def run(p):
+        kv = allocate_kv_cache(spec)
+        kv, h = llama.forward(p, arch, kv, inputs)
+        return llama.compute_logits(p, h)
+
+    a = jax.jit(run)(params)
+    b = jax.jit(run)(fused)
+    tol = 1e-5 if quant is None else 0.0
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol)
+
+
+def test_fused_weights_qwen2_bias_parity():
+    """Qwen2-style attention biases fuse into bqkv with exact parity."""
+    arch = llama.LlamaArch(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+        attention_bias=True)
+    params = llama.init_params(arch, jax.random.PRNGKey(2), jnp.float32)
+    fused = jax.jit(llama.fuse_params)(params)
+    assert "bqkv" in fused["layers"] and "bq" not in fused["layers"]
+    spec = KVCacheSpec(num_layers=2, num_blocks=8, num_kv_heads=2,
+                       block_size=4, head_dim=16, dtype=jnp.float32)
+    inputs = _prefill_inputs()
+
+    def run(p):
+        kv = allocate_kv_cache(spec)
+        kv, h = llama.forward(p, arch, kv, inputs)
+        return llama.compute_logits(p, h)
+
+    np.testing.assert_allclose(np.asarray(jax.jit(run)(params)),
+                               np.asarray(jax.jit(run)(fused)), atol=1e-5)
