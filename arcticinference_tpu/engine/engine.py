@@ -107,9 +107,18 @@ class LLMEngine:
                     "(the tree attention mask rides the standard ragged "
                     "schedule only)")
             if self.spec_config.enable_suffix_decoding:
+                from concurrent.futures import ThreadPoolExecutor
+
                 from arcticinference_tpu.spec.suffix_cache import SuffixCache
                 self._suffix_cache = SuffixCache(
                     self.spec_config.suffix_cache_max_depth)
+                # Prompt-tree builds run here, overlapped with prefill
+                # (admission-time submit; installed at first commit) —
+                # the serial build burst was the dominant first-step
+                # host cost on batch admission (suffix TTFT item).
+                self._prompt_tree_pool = ThreadPoolExecutor(
+                    max_workers=4, thread_name_prefix="suffix-prompt")
+                self._prompt_tree_futs = {}
             if self.spec_config.method in ("arctic", "mlp_speculator",
                                            "lstm_speculator"):
                 # Works multihost too: the drafter chain runs
@@ -150,6 +159,12 @@ class LLMEngine:
                       prompt_token_ids=list(prompt_token_ids),
                       sampling=sampling or SamplingParams(),
                       arrival_time=time.time())
+        if self._suffix_cache is not None and \
+                req_id not in self._prompt_tree_futs and \
+                not self._suffix_cache.has_cached_prompt(req_id):
+            self._prompt_tree_futs[req_id] = self._prompt_tree_pool.submit(
+                self._suffix_cache.build_prompt_tree,
+                req.prompt_token_ids)
         self.scheduler.add_request(req)
         return req
 
@@ -826,11 +841,19 @@ class LLMEngine:
         if self._suffix_cache is None:
             return
         if not self._suffix_cache.has_cached_prompt(req.req_id):
-            self._suffix_cache.cache_prompt(req.req_id,
-                                            req.prompt_token_ids)
+            fut = self._prompt_tree_futs.pop(req.req_id, None)
+            if fut is not None:
+                self._suffix_cache.install_prompt_tree(req.req_id,
+                                                       fut.result())
+            else:
+                self._suffix_cache.cache_prompt(req.req_id,
+                                                req.prompt_token_ids)
         self._suffix_cache.update_response(req.req_id, new_tokens)
 
     def _evict_spec_state(self, req: Request) -> None:
-        if self._suffix_cache is not None and \
-                self._suffix_cache.has_cached_prompt(req.req_id):
-            self._suffix_cache.evict_prompt(req.req_id)
+        if self._suffix_cache is not None:
+            fut = self._prompt_tree_futs.pop(req.req_id, None)
+            if fut is not None:
+                fut.cancel()
+            if self._suffix_cache.has_cached_prompt(req.req_id):
+                self._suffix_cache.evict_prompt(req.req_id)

@@ -27,6 +27,14 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # regardless of SpeculativeConfig.enable_fused_decode.
     "ARCTIC_TPU_DISABLE_FUSED":
         lambda: os.environ.get("ARCTIC_TPU_DISABLE_FUSED", "0") == "1",
+    # Opt-IN deferred KV-write path (grouped-kernel softmax injection +
+    # one whole-model scatter).  Measured on v5e batch 64: the in-kernel
+    # injection costs ~18 us/layer — more than the ~4 us/layer the
+    # bulk scatter saves — so the merged per-layer scatter stays the
+    # default; the machinery is kept for chips where the scatter/
+    # injection balance differs.
+    "ARCTIC_TPU_DEFERRED_KV":
+        lambda: os.environ.get("ARCTIC_TPU_DEFERRED_KV", "0") == "1",
     # Disable the fused qkv / gate+up weight layout (models/llama.py
     # fuse_params); A/B lever for the decode weight stream.
     "ARCTIC_TPU_DISABLE_FUSED_WEIGHTS":

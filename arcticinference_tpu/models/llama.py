@@ -272,19 +272,93 @@ def _write_kv_layer(kv, layer, k, v, slot_mapping, kv_scale=None):
     if kv_scale is not None and kv.dtype == jnp.float8_e4m3fn:
         k = k.astype(jnp.float32) / kv_scale[0]
         v = v.astype(jnp.float32) / kv_scale[1]
-    kv = kv.at[layer, blk, 0, off, :].set(k.reshape(t, -1).astype(kv.dtype))
-    kv = kv.at[layer, blk, 1, off, :].set(v.reshape(t, -1).astype(kv.dtype))
-    return kv
+    # ONE scatter for K and V (profiled: each scatter pays ~12 us fixed
+    # cost on v5e at decode row counts — 2 per layer was ~4% of the
+    # decode step; the k/v axis rides the scatter index instead).
+    rows = jnp.concatenate([k.reshape(t, -1), v.reshape(t, -1)],
+                           axis=0).astype(kv.dtype)
+    blk2 = jnp.concatenate([blk, blk])
+    sel = jnp.concatenate([jnp.zeros((t,), jnp.int32),
+                           jnp.ones((t,), jnp.int32)])
+    off2 = jnp.concatenate([off, off])
+    return kv.at[layer, blk2, sel, off2, :].set(rows)
 
 
-def _attend(q, kv, layer, inputs, arch, attn_impl):
+def _attend(q, kv, layer, inputs, arch, attn_impl, knew=None, vnew=None):
     """Run ragged paged attention against one layer of the stacked cache.
 
     The Pallas path receives the whole stacked cache plus the layer index
     (its page DMAs index ``[layer, page]`` directly — no per-layer slice
     copy); the jnp reference path takes a materialized layer view.
+
+    ``knew``/``vnew`` (cache-dtype rows) are the deferred-write path:
+    the grouped decode kernel injects them into the softmax instead of
+    reading them back from the cache (see ``scan_layers``).
     """
+    if knew is not None:
+        return attn_impl(q, kv, layer, inputs, knew=knew, vnew=vnew)
     return attn_impl(q, kv, layer, inputs)
+
+
+def _quantize_kv_rows(k, v, dtype, kv_scale=None):
+    """New K/V rows in CACHE dtype ([t, Hkv*D]) — the exact bytes the
+    scatter would store, so the injection path is numerics-identical."""
+    t = k.shape[0]
+    if kv_scale is not None and dtype == jnp.float8_e4m3fn:
+        k = k.astype(jnp.float32) / kv_scale[0]
+        v = v.astype(jnp.float32) / kv_scale[1]
+    return (k.reshape(t, -1).astype(dtype), v.reshape(t, -1).astype(dtype))
+
+
+def _bulk_write_kv(kv, k_rows, v_rows, slot_mapping):
+    """ONE whole-model scatter for the step's deferred K/V rows
+    ([L, t, Hkv*D] each; indices shared across the layer axis).
+
+    Profiled on v5e: an XLA scatter pays ~10 us fixed + ~0.07 us/row —
+    32 per-layer scatters cost ~0.65 ms/step at batch 64 while this
+    single op is ~0.3 ms, and the attention kernel injection keeps the
+    rows visible to the step itself (ops/pallas/ragged_attention.py).
+    """
+    num_layers, nblk, _, bs, kvd = kv.shape
+    t = k_rows.shape[1]
+    slots = jnp.where(slot_mapping < 0, 0, slot_mapping)
+    blk = slots // bs
+    off = slots % bs
+    rows = jnp.concatenate([k_rows, v_rows], axis=1)      # [L, 2t, kvd]
+    blk2 = jnp.concatenate([blk, blk])
+    sel = jnp.concatenate([jnp.zeros((t,), jnp.int32),
+                           jnp.ones((t,), jnp.int32)])
+    off2 = jnp.concatenate([off, off])
+    # Flat row indices over a [L*nblk, ...] view: a leading full-slice
+    # batch axis (kv.at[:, blk2, ...]) makes XLA materialise two full
+    # cache copies around the scatter; the flat form scatters in place.
+    lidx = jnp.arange(num_layers, dtype=jnp.int32)[:, None]
+    blkL = (lidx * nblk + blk2[None, :]).reshape(-1)      # [L*2t]
+    selL = jnp.tile(sel, num_layers)
+    offL = jnp.tile(off2, num_layers)
+    flat = kv.reshape(num_layers * nblk, 2, bs, kvd)
+    flat = flat.at[blkL, selL, offL, :].set(
+        rows.reshape(num_layers * 2 * t, kvd).astype(kv.dtype))
+    return flat.reshape(kv.shape)
+
+
+def _defer_kv_writes(attn_impl, pctx) -> bool:
+    """Opt-in (ARCTIC_TPU_DEFERRED_KV=1): grouped-kernel softmax
+    injection + one whole-model scatter instead of per-layer scatters.
+    Kept non-default on v5e — the injection pass costs more than the
+    bulk scatter saves (see envs.py)."""
+    from arcticinference_tpu import envs
+
+    if pctx is not None or attn_impl is None:
+        return False
+    if not getattr(attn_impl, "is_grouped_decode", False):
+        return False
+    if not envs.ARCTIC_TPU_DEFERRED_KV:
+        return False
+    interpret = (envs.ARCTIC_TPU_FORCE_PALLAS_INTERPRET
+                 and jax.default_backend() != "tpu")
+    return (not envs.ARCTIC_TPU_DISABLE_PALLAS
+            and (jax.default_backend() == "tpu" or interpret))
 
 
 def forward(params: dict, arch: LlamaArch, kv: jax.Array,
@@ -344,6 +418,8 @@ def scan_layers(layers: dict, arch: LlamaArch, kv: jax.Array,
     inv_freq = compute_rope_freqs(arch.head_dim, arch.rope_theta,
                                   arch.rope_scaling)
 
+    defer = _defer_kv_writes(attn_impl, pctx)
+
     def layer_step(carry, xs):
         h, kv = carry
         lp, layer = xs
@@ -357,9 +433,20 @@ def scan_layers(layers: dict, arch: LlamaArch, kv: jax.Array,
         if pctx is not None:
             q, k, v = pctx.dispatch(q, k, v)
         ks = inputs.get("kv_scale")
-        kv = _write_kv_layer(kv, layer, k, v, inputs["slot_mapping"],
-                             None if ks is None else ks[layer])
-        o = _attend(q, kv, layer, inputs, arch, attn_impl)
+        if defer:
+            # Deferred-write decode path: the grouped kernel injects
+            # this layer's new rows; ONE whole-model scatter lands them
+            # in the cache after the stack (_bulk_write_kv).
+            kq, vq = _quantize_kv_rows(
+                k, v, kv.dtype, None if ks is None else ks[layer])
+            o = _attend(q, kv, layer, inputs, arch, attn_impl,
+                        knew=kq, vnew=vq)
+            ys = (kq, vq)
+        else:
+            kv = _write_kv_layer(kv, layer, k, v, inputs["slot_mapping"],
+                                 None if ks is None else ks[layer])
+            o = _attend(q, kv, layer, inputs, arch, attn_impl)
+            ys = None
         if pctx is not None:
             o = pctx.combine(o)
         t = o.shape[0]
@@ -367,16 +454,22 @@ def scan_layers(layers: dict, arch: LlamaArch, kv: jax.Array,
         res = h
         x = rms_norm(h, lp["post_norm"], arch.rms_norm_eps)
         h = res + psum(mlp_fn(x, lp, arch, pctx))
-        return (h, kv), None
+        return (h, kv), ys
 
     if unroll:
+        all_ys = []
         for l in range(num_layers):
             lp = jax.tree.map(lambda a: a[l], layers)
-            (h, kv), _ = layer_step((h, kv), (lp, l))
+            (h, kv), ys = layer_step((h, kv), (lp, l))
+            all_ys.append(ys)
+        ys = (jax.tree.map(lambda *a: jnp.stack(a), *all_ys)
+              if defer else None)
     else:
-        (h, kv), _ = jax.lax.scan(
+        (h, kv), ys = jax.lax.scan(
             layer_step, (h, kv),
             (layers, jnp.arange(num_layers)))
+    if defer:
+        kv = _bulk_write_kv(kv, ys[0], ys[1], inputs["slot_mapping"])
     return kv, h
 
 
@@ -414,7 +507,7 @@ def make_attn_impl(attn_qb: int = 32, decode_qlen: int = 1):
     pays at short contexts).  ``decode_qlen > 1`` is the fused
     speculative-verify shape (K+1 rows per request)."""
 
-    def _attn(q, kv, layer, inputs):
+    def _attn(q, kv, layer, inputs, knew=None, vnew=None):
         from arcticinference_tpu import envs
 
         interpret = (envs.ARCTIC_TPU_FORCE_PALLAS_INTERPRET
@@ -434,19 +527,29 @@ def make_attn_impl(attn_qb: int = 32, decode_qlen: int = 1):
             # The padded token bucket may be wider or narrower than the
             # request-slot axis; surplus rows on either side are padding
             # (req_idx -1 / seq_lens 0).
-            if t > b * ql:
-                qd = q[:b * ql]
-            elif t < b * ql:
-                qd = jnp.pad(q, ((0, b * ql - t), (0, 0), (0, 0)))
-            else:
-                qd = q
+            def fit(a, fill=0):
+                if t > b * ql:
+                    return a[:b * ql]
+                if t < b * ql:
+                    pad = [(0, b * ql - t)] + [(0, 0)] * (a.ndim - 1)
+                    return jnp.pad(a, pad, constant_values=fill)
+                return a
+
+            qd = fit(q)
             seq_lens = inputs["seq_lens"]
+            inj = {}
+            if knew is not None:
+                # Deferred-write injection: new rows ride as operands;
+                # their cache slots are not yet written.
+                inj = dict(knew=fit(knew), vnew=fit(vnew),
+                           slot_mapping=fit(inputs["slot_mapping"],
+                                            fill=-1))
 
             def run():
                 out = grouped_decode_attention_kernel(
                     qd, kv, jnp.maximum(seq_lens - ql, 0),
                     inputs["block_tables"], seq_lens, qlen=ql,
-                    kv_scale=inputs.get("kv_scale"), layer=layer)
+                    kv_scale=inputs.get("kv_scale"), layer=layer, **inj)
                 if t > b * ql:
                     out = jnp.pad(out, ((0, t - b * ql), (0, 0), (0, 0)))
                 return out[:t]
@@ -455,6 +558,9 @@ def make_attn_impl(attn_qb: int = 32, decode_qlen: int = 1):
                 with pltpu.force_tpu_interpret_mode():
                     return run()
             return run()
+        assert knew is None, (
+            "deferred KV rows require the grouped decode path "
+            "(_defer_kv_writes mirrors this gate)")
         if "attn_item_req" in inputs and pallas_ok:
             from arcticinference_tpu.ops.pallas.ragged_attention import (
                 ragged_paged_attention_kernel)
@@ -493,6 +599,7 @@ def make_attn_impl(attn_qb: int = 32, decode_qlen: int = 1):
             tree_start=inputs.get("attn_tree_start"),
             row_tree_mask=inputs.get("attn_row_tree_mask"))
 
+    _attn.is_grouped_decode = attn_qb == 1
     return _attn
 
 

@@ -688,21 +688,34 @@ G_CHUNK_PAGES = int(os.environ.get("ARCTIC_TPU_ATTN_GCHUNK_PAGES", "8"))
 
 
 def _grouped_decode_kernel(
-    # scalar prefetch
+    # scalar prefetch (5 args, +2 when fused_write)
     layer_smem, pos_base, seq_lens, block_tables, chunk_base,
-    # inputs
-    q_vmem, kv_hbm, kv_scale_smem,
-    # output
-    out_vmem,
-    # scratch
-    kvbuf, kvsems,
-    *, gsz: int, rows: int, qlen: int, group: int, hkv: int, bs: int,
+    # then: [new_blk, new_off,] inputs, outputs, scratch
+    *rest,
+    gsz: int, rows: int, qlen: int, group: int, hkv: int, bs: int,
     head_dim: int, scale: float, kv_bf16: bool, headpack: bool,
+    fused_write: bool = False, qv: int = 8,
 ):
+    if fused_write:
+        (new_len, q_vmem, kv_hbm, kv_scale_smem, knew_vmem,
+         vnew_vmem, out_vmem, kvbuf, kvsems) = rest
+    else:
+        q_vmem, kv_hbm, kv_scale_smem, out_vmem, kvbuf, kvsems = rest
+        new_len = knew_vmem = vnew_vmem = None
     p = pl.program_id(0)
     d = head_dim
     ck = G_CHUNK_PAGES * bs
     layer = layer_smem[0]
+
+    # ---- injected frontier tokens ---------------------------------- #
+    # The step's new K/V rows arrive as operands (CACHE dtype: host
+    # quantized them first, so softmax numerics match scatter-then-read
+    # bit-for-bit) and are folded into the softmax as a virtual chunk
+    # below; the cache scatter itself is DEFERRED to ONE whole-model
+    # XLA scatter after the layer stack (profiled: each per-layer
+    # scatter pays ~10 us fixed cost; 2/layer was ~4%% of the decode
+    # step).  Rows not yet in the cache are masked out of the page
+    # reads (valid = kv_pos < pos_base).
 
     def npages_of(b):
         return (seq_lens[b] + bs - 1) // bs
@@ -797,7 +810,13 @@ def _grouped_decode_kernel(
             m_prev, l_prev, acc = carry
             kv_pos = (c * ck + jax.lax.broadcasted_iota(
                 jnp.int32, (R, ck), 1))
-            valid = kv_pos <= pos_row
+            if fused_write:
+                # New tokens are injected from registers below; their
+                # cache slots are being written concurrently and must
+                # not be read.
+                valid = (kv_pos < pos_base[b]) & (pos_row >= 0)
+            else:
+                valid = kv_pos <= pos_row
             tok_real = (c * ck + jax.lax.broadcasted_iota(
                 jnp.int32, (ck, 1), 0)) < npages * bs
             k2 = kvbuf[slot, :, 0].reshape(ck, hkv * d)
@@ -829,6 +848,41 @@ def _grouped_decode_kernel(
                 jnp.zeros((R, 1), jnp.float32),
                 jnp.zeros((R, d), jnp.float32))
         m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
+        if fused_write:
+            # Virtual chunk: this step's new tokens, straight from the
+            # knew/vnew operands (cache dtype — numerics identical to
+            # reading them back from the cache as the scatter path did).
+            # Rows are padded to the 8-sublane boundary at call level
+            # (qv = rounded qlen), so the slice is tile-aligned and the
+            # dots run on the MXU like a normal (tiny) chunk; pad
+            # columns are masked by realv (their new_blk is -1).
+            kn = knew_vmem[pl.ds(b * qv, qv)].astype(jnp.bfloat16)
+            vn = vnew_vmem[pl.ds(b * qv, qv)].astype(jnp.bfloat16)
+            s2 = jax.lax.dot_general(
+                qbd, kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [R, qv]
+            colj = jax.lax.broadcasted_iota(jnp.int32, (R, qv), 1)
+            tokidx = rr // group
+            # Padding rows (qv round-up, bucket surplus, dry fused
+            # slots) are a contiguous TAIL per sequence, so one scalar
+            # bounds them (vs a per-column scalar loop — the kernel is
+            # scalar-unit-bound at decode shapes).
+            valid2 = ((colj <= tokidx) & (pos_row >= 0)
+                      & (colj < new_len[b]))
+            s2 = jnp.where(valid2, s2, -jnp.inf)
+            m_cur = jnp.max(s2, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_cur)
+            m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+            alpha = jnp.where(m == -jnp.inf, 0.0, jnp.exp(m - m_safe))
+            p2 = jnp.exp(s2 - m_safe)
+            l = alpha * l + jnp.sum(p2, -1, keepdims=True)
+            od2 = jax.lax.dot_general(
+                p2.astype(jnp.bfloat16), vn, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [R, hkv*d]
+            pv2 = jnp.concatenate(
+                [od2[h * rows:(h + 1) * rows, h * d:(h + 1) * d]
+                 for h in range(hkv)], axis=0)             # [R, d]
+            acc = acc * alpha + pv2
         out = acc * (v_scale / jnp.maximum(l, 1e-20))
         out_vmem[g] = out.reshape(hkv, rows, d).astype(out_vmem.dtype)
 
@@ -875,7 +929,10 @@ def _grouped_decode_kernel(
                 chunk_wait(slot, b, c, npages)
                 kv_pos = (c * ck + jax.lax.broadcasted_iota(
                     jnp.int32, (rows, ck), 1))
-                valid = kv_pos <= pos_row
+                if fused_write:
+                    valid = (kv_pos < pos_base[b]) & (pos_row >= 0)
+                else:
+                    valid = kv_pos <= pos_row
                 tok_real = (c * ck + jax.lax.broadcasted_iota(
                     jnp.int32, (ck, 1), 0)) < npages * bs
                 kchunk = kvbuf[slot, :, 0]
@@ -913,6 +970,36 @@ def _grouped_decode_kernel(
                  jnp.zeros((rows, head_dim), jnp.float32))
                 for _ in range(hkv))
             final = jax.lax.fori_loop(0, n_chunks, body, init)
+            if fused_write:
+                kn = knew_vmem[pl.ds(b * qv, qv)].astype(jnp.bfloat16)
+                vn = vnew_vmem[pl.ds(b * qv, qv)].astype(jnp.bfloat16)
+                colj = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, qv), 1)
+                valid2 = ((colj <= t_off) & (pos_row >= 0)
+                          & (colj < new_len[b]))
+                upd = []
+                for h in range(hkv):
+                    m_prev, l_prev, acc = final[h]
+                    s2 = jax.lax.dot_general(
+                        qf[h], kn[:, h * d:(h + 1) * d],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s2 = jnp.where(valid2, s2, -jnp.inf)
+                    m_cur = jnp.max(s2, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m_prev, m_cur)
+                    m_safe = jnp.where(m_new == -jnp.inf, 0.0, m_new)
+                    alpha = jnp.where(m_prev == -jnp.inf, 0.0,
+                                      jnp.exp(m_prev - m_safe))
+                    p2 = jnp.exp(s2 - m_safe)
+                    l_new = alpha * l_prev + jnp.sum(p2, -1,
+                                                     keepdims=True)
+                    pv2 = jax.lax.dot_general(
+                        p2.astype(jnp.bfloat16),
+                        vn[:, h * d:(h + 1) * d],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    upd.append((m_new, l_new, acc * alpha + pv2))
+                final = tuple(upd)
             for h in range(hkv):
                 _, l, acc = final[h]
                 out = acc * (v_scale / jnp.maximum(l, 1e-20))
@@ -927,7 +1014,8 @@ def _grouped_decode_kernel(
                                               "headpack"))
 def _grouped_decode_call(q, kv_cache, layer, pos_base, block_tables,
                          seq_lens, kv_scale, qlen: int, scale: float,
-                         gsz: int, headpack: bool = True):
+                         gsz: int, headpack: bool = True,
+                         knew=None, vnew=None, slot_mapping=None):
     t, hq, d = q.shape
     num_layers, n_blocks, _, bs, hkv_d = kv_cache.shape
     hkv = hkv_d // d
@@ -963,34 +1051,85 @@ def _grouped_decode_call(q, kv_cache, layer, pos_base, block_tables,
               + jnp.arange(G_CHUNK_PAGES)[None, None, :]).all(-1)
     chunk_base = jnp.where(full & contig, base_v, -1).astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(bp // gsz,),
-        in_specs=[
-            pl.BlockSpec((gsz, hkv, rows, d), lambda i, *_: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (gsz, hkv, rows, d), lambda i, *_: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((N_BUF, G_CHUNK_PAGES, 2, bs, hkv_d),
-                       kv_cache.dtype),
-            pltpu.SemaphoreType.DMA((N_BUF,)),
-        ],
-    )
+    fused_write = knew is not None
+    attn_spec = pl.BlockSpec((gsz, hkv, rows, d),
+                             lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        attn_spec,
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((N_BUF, G_CHUNK_PAGES, 2, bs, hkv_d),
+                   kv_cache.dtype),
+        pltpu.SemaphoreType.DMA((N_BUF,)),
+    ]
     kernel = functools.partial(
         _grouped_decode_kernel, gsz=gsz, rows=rows, qlen=qlen,
         group=group, hkv=hkv, bs=bs, head_dim=d, scale=scale,
-        kv_bf16=kv_cache.dtype == jnp.bfloat16, headpack=headpack)
+        kv_bf16=kv_cache.dtype == jnp.bfloat16, headpack=headpack,
+        fused_write=fused_write)
+    if fused_write:
+        kernel = functools.partial(kernel, qv=-(-qlen // 8) * 8)
+    if not fused_write:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5, grid=(bp // gsz,),
+            in_specs=in_specs, out_specs=attn_spec,
+            scratch_shapes=scratch)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bp, hkv, rows, d), q.dtype),
+            grid_spec=grid_spec,
+        )(layer.reshape(1), pos_base, seq_lens, block_tables, chunk_base,
+          qr, kv_cache, kv_scale)
+        out = out[:b, :, :qlen * group, :].reshape(b, hkv, qlen, group, d)
+        return out.transpose(0, 2, 1, 3, 4).reshape(t, hq, d)
+
+    # Fused frontier write: knew/vnew [t, hkv*d] in CACHE dtype; the
+    # kernel injects them into the softmax (virtual chunk) and DMAs
+    # them into the aliased paged cache — no XLA scatter in the step.
+    tp = bp * qlen
+    if knew.shape[0] != tp:
+        knew = jnp.pad(knew, ((0, tp - knew.shape[0]), (0, 0)))
+        vnew = jnp.pad(vnew, ((0, tp - vnew.shape[0]), (0, 0)))
+        slot_mapping = jnp.pad(slot_mapping, (0, tp - slot_mapping.shape[0]),
+                               constant_values=-1)
+    # Pad each sequence's rows to the 8-sublane boundary so the kernel's
+    # per-seq slices are tile-aligned and the injection dots are MXU
+    # shapes; pad rows carry slot -1 (masked).
+    qv = -(-qlen // 8) * 8
+    slots = slot_mapping.astype(jnp.int32)
+    # Per-seq count of REAL new rows (padding — qv round-up, bucket
+    # surplus, dry fused slots — is a contiguous tail of slot -1).
+    new_len = jnp.sum((slots.reshape(bp, qlen) >= 0).astype(jnp.int32),
+                      axis=1)
+    if qv != qlen:
+        def padq(a):
+            a = a.reshape(bp, qlen, *a.shape[1:])
+            pads = [(0, 0), (0, qv - qlen)] + [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, pads).reshape(bp * qv, *a.shape[2:])
+        knew = padq(knew)
+        vnew = padq(vnew)
+    # Whole-array row blocks with a constant index_map: fetched into
+    # VMEM once and revisited by every grid step (a per-program block
+    # adds two pipeline DMA waits per program — measured ~0.5 ms/step
+    # at batch 64).
+    row_spec = pl.BlockSpec((bp * qv, hkv_d), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6, grid=(bp // gsz,),
+        in_specs=in_specs + [row_spec, row_spec],
+        out_specs=attn_spec,
+        scratch_shapes=scratch,
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bp, hkv, rows, d), q.dtype),
         grid_spec=grid_spec,
     )(layer.reshape(1), pos_base, seq_lens, block_tables, chunk_base,
-      qr, kv_cache, kv_scale)
+      new_len, qr, kv_cache, kv_scale,
+      knew.astype(kv_cache.dtype), vnew.astype(kv_cache.dtype))
     out = out[:b, :, :qlen * group, :].reshape(b, hkv, qlen, group, d)
     return out.transpose(0, 2, 1, 3, 4).reshape(t, hq, d)
 
@@ -1006,6 +1145,9 @@ def grouped_decode_attention_kernel(
     scale: float | None = None,
     kv_scale: jax.Array | None = None,
     layer: jax.Array | None = None,
+    knew: jax.Array | None = None,
+    vnew: jax.Array | None = None,
+    slot_mapping: jax.Array | None = None,
 ) -> jax.Array:
     """Uniform-qlen decode attention, ``gsz`` sequences per program.
 
@@ -1013,11 +1155,21 @@ def grouped_decode_attention_kernel(
     uses it for pure-decode steps (every request contributes exactly
     ``qlen`` frontier rows, seq-major order), where grouping amortizes
     per-program fixed cost ~gsz-fold.
+
+    With ``knew``/``vnew`` ([t, hkv*d] rows in CACHE dtype — the host
+    quantizes to the cache format first, so softmax numerics match the
+    scatter-then-read path bit-for-bit) and ``slot_mapping``, the new
+    frontier rows are INJECTED into the softmax from registers (virtual
+    chunk) instead of being read from the cache, letting the caller
+    defer the cache scatter to one whole-model op after the layer
+    stack (per-layer XLA scatters cost ~10 us fixed each on v5e).
+    ``slot_mapping`` (< 0 = padding/sink) masks non-real rows.
     """
     t, hq, d = q.shape
     if scale is None:
         scale = d ** -0.5
-    if layer is None:
+    single_layer = layer is None
+    if single_layer:
         kv_cache = kv_cache[None]
         layer = jnp.zeros((), jnp.int32)
     if kv_scale is None:
@@ -1028,9 +1180,12 @@ def grouped_decode_attention_kernel(
             kv_scale = jnp.broadcast_to(
                 kv_scale.reshape(-1)[0], (kv_cache.shape[0], 2))
     headpack = os.environ.get("ARCTIC_TPU_ATTN_HEADPACK", "1") != "0"
-    return _grouped_decode_call(
+    res = _grouped_decode_call(
         q, kv_cache, jnp.asarray(layer, jnp.int32),
         jnp.asarray(pos_base, jnp.int32), block_tables,
         jnp.asarray(seq_lens, jnp.int32), kv_scale,
         qlen=int(qlen), scale=float(scale), gsz=int(gsz),
-        headpack=headpack)
+        headpack=headpack, knew=knew, vnew=vnew,
+        slot_mapping=slot_mapping)
+    del single_layer
+    return res

@@ -61,17 +61,33 @@ class SuffixCache:
     def cached_prompt_ids(self) -> list[Hashable]:
         return list(self._prompt_trees)
 
+    def build_prompt_tree(self, prompt_token_ids: Sequence[int]):
+        """Build (but do not install) a private prompt tree.
+
+        Split from :meth:`cache_prompt` so the engine can run the
+        O(len(prompt) * depth) index build on a worker thread during
+        prefill (the ctypes tree calls release the GIL) and install the
+        finished tree at first-commit time — the build is the dominant
+        host cost of the first post-prefill step at high admission rates
+        (TTFT item, benchmarks/RESULTS_r3.md repeat workload).
+        """
+        tree = SuffixTree(self._max_depth, force_python=self._force_python)
+        tree.extend(0, prompt_token_ids)
+        return tree
+
+    def install_prompt_tree(self, req_id: Hashable, tree) -> None:
+        if req_id in self._prompt_trees:
+            raise ValueError(f"Prompt already cached for request {req_id!r}")
+        self._prompt_trees[req_id] = tree
+
     def cache_prompt(self, req_id: Hashable,
                      prompt_token_ids: Sequence[int]) -> None:
         """Index a request's prompt so its own text can seed drafts.
 
         Must be paired with :meth:`evict_prompt` when the request finishes.
         """
-        if req_id in self._prompt_trees:
-            raise ValueError(f"Prompt already cached for request {req_id!r}")
-        tree = SuffixTree(self._max_depth, force_python=self._force_python)
-        tree.extend(0, prompt_token_ids)
-        self._prompt_trees[req_id] = tree
+        self.install_prompt_tree(req_id,
+                                 self.build_prompt_tree(prompt_token_ids))
 
     def evict_prompt(self, req_id: Hashable) -> None:
         if req_id not in self._prompt_trees:

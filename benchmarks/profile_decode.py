@@ -146,6 +146,19 @@ def summarize(logdir: str, steps: int):
                 print(f"{ps / 1e9 / steps:8.3f} ms/step "
                       f"{100 * ps / tot:5.1f}%  x{cnt[name]:6d}  "
                       f"{name[:70]}")
+            # Individual-op breakdown (exact HLO names, to be matched
+            # against --xla_dump_to output): top 30 by total time.
+            itotal, icnt = {}, {}
+            for ev in line.events:
+                name = p.event_metadata[ev.metadata_id].name
+                op = name.split(" = ")[0].lstrip("%")
+                itotal[op] = itotal.get(op, 0) + ev.duration_ps
+                icnt[op] = icnt.get(op, 0) + 1
+            print("--- top individual ops ---")
+            for name, ps in sorted(itotal.items(),
+                                   key=lambda kv: -kv[1])[:30]:
+                print(f"{ps / 1e9 / steps:8.3f} ms/step "
+                      f"x{icnt[name] // steps:5d}/step  {name[:70]}")
 
 
 if __name__ == "__main__":

@@ -431,3 +431,59 @@ def test_engine_grouped_decode_under_dp():
 
     on, off = _grouped_parity_run(cfg, prompts)
     assert on == off
+
+
+def test_grouped_decode_injection_parity():
+    """Opt-in deferred-KV injection: the grouped kernel fed knew/vnew
+    operands (cache dtype) must match scatter-then-attend exactly
+    (same flash accumulation inputs, one extra merge step)."""
+    import os
+
+    from arcticinference_tpu.ops.pallas.ragged_attention import (
+        grouped_decode_attention_kernel)
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(3)
+    for qlen, hkv, group, headpack in ((1, 4, 2, True), (1, 4, 2, False),
+                                       (4, 2, 2, True), (4, 1, 4, False)):
+        os.environ["ARCTIC_TPU_ATTN_HEADPACK"] = "1" if headpack else "0"
+        B, d, bs = 4, 32, 4
+        hq = hkv * group
+        old = rng.integers(1, 10, B)
+        maxp = int(max((o + qlen + bs - 1) // bs for o in old)) + 1
+        bt = np.zeros((B, maxp), np.int32)
+        nxt = 1
+        for i in range(B):
+            for j in range((old[i] + qlen + bs - 1) // bs):
+                bt[i, j] = nxt
+                nxt += 1
+        cache = jnp.asarray(rng.normal(size=(2, nxt + 1, 2, bs, hkv * d)),
+                            jnp.bfloat16)
+        slot = np.full((B * qlen,), -1, np.int64)
+        for i in range(B):
+            for j in range(qlen):
+                s = old[i] + j
+                slot[i * qlen + j] = bt[i, s // bs] * bs + s % bs
+        q = jnp.asarray(rng.normal(size=(B * qlen, hq, d)), jnp.bfloat16)
+        knew = jnp.asarray(rng.normal(size=(B * qlen, hkv * d)),
+                           jnp.bfloat16)
+        vnew = jnp.asarray(rng.normal(size=(B * qlen, hkv * d)),
+                           jnp.bfloat16)
+        seq_lens = jnp.asarray(old + qlen, jnp.int32)
+        pos_base = jnp.asarray(old, jnp.int32)
+        layer = jnp.asarray(1, jnp.int32)
+        blk = slot // bs
+        off = slot % bs
+        cache_ref = cache.at[1, blk, 0, off, :].set(knew) \
+                         .at[1, blk, 1, off, :].set(vnew)
+        with pltpu.force_tpu_interpret_mode():
+            ref = grouped_decode_attention_kernel(
+                q, cache_ref, pos_base, jnp.asarray(bt), seq_lens,
+                qlen=qlen, layer=layer)
+            out = grouped_decode_attention_kernel(
+                q, cache, pos_base, jnp.asarray(bt), seq_lens, qlen=qlen,
+                layer=layer, knew=knew, vnew=vnew,
+                slot_mapping=jnp.asarray(slot))
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=0.05, rtol=0.05)
