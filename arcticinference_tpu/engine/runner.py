@@ -264,7 +264,8 @@ class ModelRunner:
         previous step's output vector (its appended grammar-state
         segment), or -1 to seed from ``init_state``."""
         if self.dp > 1:
-            return self._prepare_inputs_dp(sched_out, passthrough)
+            return self._prepare_inputs_dp(sched_out, passthrough,
+                                           guided_dev)
         scheduled = sched_out.scheduled
         total = sum(s.num_new_tokens for s in scheduled)
         t_pad = pad_to_bucket(max(total, 1), self.token_buckets)
@@ -563,7 +564,8 @@ class ModelRunner:
                           gstate_count=gstate_count)
 
     def _prepare_inputs_dp(self, sched_out: SchedulerOutput,
-                           passthrough: Optional[dict] = None
+                           passthrough: Optional[dict] = None,
+                           guided_dev: Optional[dict] = None
                            ) -> StepInputs:
         """In-engine DP layout: the token axis is dp-major (each group's
         requests packed into its own t_shard window) and every
@@ -690,12 +692,14 @@ class ModelRunner:
                 freq_pen[lo:lo + k] = sp.frequency_penalty
                 any_penalties = True
 
-        # Grammar-guided vocab bitmasks (host-mask path): rows index the
-        # dp-major sample-row layout; the mask is applied to the logits
-        # OUTSIDE shard_map (auto-GSPMD), so the dp layout needs no
-        # per-shard plumbing.  (The device-resident grammar pool stays
-        # single-dp: runner.guided_device_ok.)
+        # Grammar-guided rows: masks/states apply to the gathered
+        # logits OUTSIDE shard_map (auto-GSPMD) and rows are GLOBAL
+        # dp-major sample-row indices, so both the host-mask path and
+        # the device-resident grammar pool work under dp with no
+        # per-shard plumbing (the grammar-state segment rides the
+        # packed output vector like async token passthrough).
         guided_entries: list[tuple[int, np.ndarray]] = []
+        dev_entries: list[tuple[int, int, int, int, str]] = []
         for r, s in enumerate(scheduled):
             req = s.request
             g = req.sampling.guided
@@ -704,8 +708,14 @@ class ModelRunner:
             if (req.num_computed_tokens + s.num_new_tokens
                     < req.num_tokens):
                 continue
-            guided_entries.append((row_start[r] + row_count[r] - 1,
-                                   g.mask_words()))
+            row = row_start[r] + row_count[r] - 1
+            if guided_dev is not None and req.req_id in guided_dev:
+                slot, src, init = guided_dev[req.req_id]
+                dev_entries.append((row, slot, src, init, req.req_id))
+            else:
+                guided_entries.append((row, g.mask_words()))
+        assert not (guided_entries and dev_entries), \
+            "host-mask and device-pool guided rows cannot mix in a step"
 
         from arcticinference_tpu import envs
 
@@ -735,10 +745,12 @@ class ModelRunner:
         )
         for i, key in enumerate(_ATTN_SCHED_KEYS):
             arrays[key] = np.stack([p[i] for p in parts])
+        g_buckets = [g for g in (1, 2, 4, 8, 16, 32, 64, 128)
+                     if g <= max(self.b_max, 1)] + [self.b_max]
+        guided_index = None
+        gstate_count = 0
         if guided_entries:
             w = (self.arch.vocab_size + 31) // 32
-            g_buckets = [g for g in (1, 2, 4, 8, 16, 32, 64, 128)
-                         if g <= max(self.b_max, 1)] + [self.b_max]
             g_pad = pad_to_bucket(len(guided_entries), g_buckets)
             grows = np.full(g_pad, -1, np.int32)
             gmask = np.zeros((g_pad, w), np.uint32)
@@ -747,6 +759,22 @@ class ModelRunner:
                 gmask[i, :len(mask)] = mask
             arrays["guided_rows"] = grows
             arrays["guided_mask"] = gmask.view(np.int32)
+        elif dev_entries:
+            g_pad = pad_to_bucket(len(dev_entries), g_buckets)
+            grows = np.full(g_pad, -1, np.int32)
+            gslot = np.full(g_pad, -1, np.int32)
+            gsrc = np.full(g_pad, -1, np.int32)
+            ginit = np.full(g_pad, -1, np.int32)
+            guided_index = {}
+            for i, (row, slot, src, init, rid) in enumerate(dev_entries):
+                grows[i], gslot[i] = row, slot
+                gsrc[i], ginit[i] = src, init
+                guided_index[rid] = i
+            arrays["guided_rows"] = grows
+            arrays["gd_slot"] = gslot
+            arrays["gd_src"] = gsrc
+            arrays["gd_init"] = ginit
+            gstate_count = g_pad
         if self.swift:
             arrays["logits_indices_dp"] = li_dp
             sw_items = s_sh // 8 + b
@@ -788,7 +816,9 @@ class ModelRunner:
         return StepInputs(arrays=arrays, t_pad=t_pad, s_pad=s_pad,
                           attn_qb=attn_qb, sample_row_start=row_start,
                           sample_row_count=row_count,
-                          total_tokens=sum(shard_tok))
+                          total_tokens=sum(shard_tok),
+                          guided_index=guided_index,
+                          gstate_count=gstate_count)
 
     # ------------------------------------------------------------------ #
     # Device step
@@ -911,10 +941,17 @@ class ModelRunner:
 
     @property
     def guided_device_ok(self) -> bool:
-        """Whether the device-resident guided path is available (the
-        grammar pool is per-process device state: not mirrored to
-        multihost followers, and the dp layout doesn't carry it)."""
-        return not self.is_multihost and self.dp == 1
+        """Whether the device-resident guided path is available.
+
+        The grammar pool and guided ops run on the gathered logits
+        OUTSIDE shard_map (auto-GSPMD), and grammar states ride the
+        packed output vector like async token passthrough, so the
+        in-engine dp layout needs no extra plumbing (rows are global
+        sample-row indices, dp-major like everything else).  Multihost
+        stays excluded: the pool is per-process device state that the
+        follower mirror does not upload.
+        """
+        return not self.is_multihost
 
     def guided_fits_pool(self, index) -> bool:
         return (index.dfa.n_states <= self.GUIDED_POOL_STATES

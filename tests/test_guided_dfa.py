@@ -645,3 +645,61 @@ class TestGuidedUnderDP:
         doc = json.loads(text)
         assert set(doc) == {"a", "b"}
         assert dp_toks == single
+
+
+class TestGuidedDevicePoolUnderDP:
+
+    def test_device_pool_pipelined_on_dp_mesh(self):
+        """In-engine dp now carries the DEVICE-resident guided pool
+        (round-4 item): the grammar state advances on device and rides
+        the async pipeline — zero per-step host mask computation — and
+        the output matches the single-chip device path exactly."""
+        from arcticinference_tpu.config import (CacheConfig, EngineConfig,
+                                                ModelConfig,
+                                                ParallelConfig,
+                                                SchedulerConfig)
+        from arcticinference_tpu.engine.llm import LLM
+        from arcticinference_tpu.engine.request import SamplingParams
+
+        tok = ByteTokenizer()
+        schema = SCHEMAS[0]
+
+        def run(par):
+            idx = compile_guided_dfa(tok, 139, schema_to_regex(schema))
+            cfg = EngineConfig(
+                model=ModelConfig(model="llama",
+                                  hf_overrides=dict(
+                                      vocab_size=139, hidden_size=64,
+                                      intermediate_size=128,
+                                      num_hidden_layers=2,
+                                      num_attention_heads=8,
+                                      num_key_value_heads=8, head_dim=8),
+                                  max_model_len=256, dtype="float32"),
+                cache=CacheConfig(block_size=8, num_blocks=64),
+                scheduler=SchedulerConfig(max_num_seqs=4,
+                                          max_num_batched_tokens=64,
+                                          async_scheduling=True),
+                parallel=par or ParallelConfig())
+            llm = LLM(cfg)
+            eng = llm.engine
+            assert eng.runner.guided_device_ok
+            dec = DfaGuidedDecoder(idx, schema=schema)
+            assert eng.runner.guided_fits_pool(dec.index)
+            out = llm.generate(
+                prompt_token_ids=[[3, 14, 15], [7, 9]],
+                sampling_params=[SamplingParams(
+                    max_tokens=60, temperature=1.0, seed=4, guided=dec),
+                    SamplingParams(max_tokens=10, ignore_eos=True)])
+            # The device pool actually engaged: tables uploaded and the
+            # sync-forcing predicate never saw a reason to bail.
+            assert eng._guided_slots, "device pool never engaged"
+            assert eng.runner._guided_pool is not None
+            return [o.token_ids for o in out]
+
+        dp_toks = run(ParallelConfig(data_parallel_size=2,
+                                     tensor_parallel_size=2))
+        single = run(None)
+        text = "".join(ByteTokenizer().vocab[t] for t in dp_toks[0])
+        doc = json.loads(text)
+        assert set(doc) == {"a", "b"}
+        assert dp_toks == single
