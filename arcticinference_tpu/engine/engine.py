@@ -100,12 +100,15 @@ class LLMEngine:
         self._drafter = None
         self._fused = None
         if self.spec_config is not None:
-            if self.spec_config.use_tree_spec and (
-                    self.runner.mesh is not None or self.runner.swift):
+            if self.spec_config.use_tree_spec and self.runner.swift:
                 raise NotImplementedError(
-                    "use_tree_spec is single-chip, non-SwiftKV for now "
-                    "(the tree attention mask rides the standard ragged "
-                    "schedule only)")
+                    "use_tree_spec does not compose with SwiftKV (the "
+                    "early-exit halves re-run draft rows with different "
+                    "masks)")
+            if self.spec_config.use_tree_spec and self.runner.dp > 1:
+                raise NotImplementedError(
+                    "use_tree_spec runs on sp/tp/shift meshes; the "
+                    "dp-major row layout does not carry tree schedules")
             if self.spec_config.enable_suffix_decoding:
                 from concurrent.futures import ThreadPoolExecutor
 

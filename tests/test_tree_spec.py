@@ -209,9 +209,36 @@ class TestTreeSpecEngine:
         p_surv = p.num_accepted_tokens_per_pos[3] / p.num_drafts
         assert t_surv > p_surv, (t.summary(), p.summary())
 
-    def test_tree_rejects_mesh(self):
+    def test_tree_on_mesh_matches_single_chip(self, baseline):
+        """Round-4 item: tree verify rows ride the shard_map forwards
+        (the work-item schedule — incl. ancestor masks — flows through
+        the replicated full_inputs), so tree spec now runs on sp/tp
+        meshes with exact single-chip output parity and real accepted
+        tokens."""
+        prompts, base = baseline
+        spec = SpeculativeConfig(
+            method="suffix", use_tree_spec=True,
+            enable_fused_decode=False,
+            suffix_max_spec_factor=4.0, suffix_max_spec_offset=8.0,
+            suffix_min_token_prob=0.05)
+        cfg = tiny_config(speculative=spec)
+        cfg.parallel.ulysses_sequence_parallel_size = 2
+        cfg.parallel.tensor_parallel_size = 2
+        llm = LLM(cfg)
+        _seed_cache(llm, prompts, base)
+        outs = llm.generate(prompt_token_ids=prompts,
+                            sampling_params=SamplingParams(
+                                max_tokens=GEN, ignore_eos=True))
+        for o, want in zip(outs, base):
+            assert o.token_ids == want
+        st = llm.engine.spec_stats
+        assert st.num_drafts > 0
+        assert st.num_accepted_tokens > 0
+
+    def test_tree_rejects_dp(self):
         cfg = tiny_config(speculative=SpeculativeConfig(
             method="suffix", use_tree_spec=True))
+        cfg.parallel.data_parallel_size = 2
         cfg.parallel.tensor_parallel_size = 2
         with pytest.raises(NotImplementedError):
             LLM(cfg)
