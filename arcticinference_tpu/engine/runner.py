@@ -97,9 +97,6 @@ class ModelRunner:
         if pcfg.world_size > 1 and mesh is None:
             from arcticinference_tpu.parallel import mesh as mesh_lib
 
-            if self.dp > 1 and pcfg.pipeline_parallel_size > 1:
-                raise NotImplementedError("in-engine dp does not compose "
-                                          "with pp yet")
             self.mesh = mesh_lib.build_mesh(pcfg)
             pp = pcfg.pipeline_parallel_size
             if pp > 1:
@@ -160,10 +157,10 @@ class ModelRunner:
         # (see parallel/multihost.py).
         self.is_multihost = jax.process_count() > 1
         self.mh_channel = None
-        if self.dp > 1 and self.is_multihost:
-            raise NotImplementedError(
-                "in-engine dp runs on a single-host mesh (the multihost "
-                "mirror is not dp-stacked)")
+        # in-engine dp composes with multihost: the leader broadcasts
+        # the dp-stacked step arrays like any others; every process
+        # uploads them replicated and shard_map re-shards onto its local
+        # (dp, ...) submesh slice (no cross-host resharding traffic).
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
@@ -724,6 +721,7 @@ class ModelRunner:
         # frontier row per request in request order (per shard).
         pure_decode = (
             max_qlen == 1 and bool(scheduled)
+            and self.config.parallel.pipeline_parallel_size == 1
             and not envs.ARCTIC_TPU_DISABLE_GROUPED_DECODE
             and (jax.default_backend() == "tpu"
                  or envs.ARCTIC_TPU_FORCE_PALLAS_INTERPRET))
@@ -813,6 +811,40 @@ class ModelRunner:
                     req.all_token_ids
             arrays["pen_out_tokens"] = pen_out
             arrays["pen_all_tokens"] = pen_all
+        ppn = self.config.parallel.pipeline_parallel_size
+        if ppn > 1:
+            # dp x pp: each dp group's t_shard window is GPipe-split
+            # into ppn microbatches; stack per-(shard, microbatch)
+            # work-item schedules as [dp, pp, ...] (the pp body strips
+            # the dp axis and indexes by microbatch).
+            tm = t_shard // ppn
+            n_items_mb = tm // attn_qb + b
+            pp_parts = []
+            for sh in range(dp):
+                sh_scheduled = groups[sh]
+                starts = np.zeros(b, np.int64)
+                starts[1:len(sh_scheduled)] = np.cumsum(
+                    query_lens[sh][:len(sh_scheduled) - 1])
+                mb_parts = []
+                for mi in range(ppn):
+                    lo, hi = mi * tm, (mi + 1) * tm
+                    ql = np.zeros(b, np.int64)
+                    lpos = np.zeros(b, np.int64)
+                    for r in range(len(sh_scheduled)):
+                        a = max(int(starts[r]), lo)
+                        z = min(int(starts[r] + query_lens[sh][r]), hi)
+                        if z > a:
+                            ql[r] = z - a
+                            lpos[r] = (last_pos[sh][r]
+                                       - (starts[r] + query_lens[sh][r]
+                                          - z))
+                    mb_parts.append(build_work_items(
+                        ql, lpos, attn_qb, self.block_size, n_items_mb,
+                        tm))
+                pp_parts.append(mb_parts)
+            for i, key in enumerate(_ATTN_SCHED_KEYS):
+                arrays["pp" + key] = np.stack(
+                    [np.stack([mb[i] for mb in sh]) for sh in pp_parts])
         return StepInputs(arrays=arrays, t_pad=t_pad, s_pad=s_pad,
                           attn_qb=attn_qb, sample_row_start=row_start,
                           sample_row_count=row_count,

@@ -157,7 +157,8 @@ def init_params(arch: LlamaArch, rng: jax.Array,
     return params
 
 
-_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+               "wqkv", "w_gateup")
 
 
 def quantize_params(params: dict, mode: str = "fp8") -> dict:
@@ -173,7 +174,8 @@ def quantize_params(params: dict, mode: str = "fp8") -> dict:
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
-        layers[k] = weight_quantize(layers[k], mode)
+        if k in layers:
+            layers[k] = weight_quantize(layers[k], mode)
     out["layers"] = layers
     if "lm_head" in out and not isinstance(out["lm_head"], QuantizedLinear):
         out["lm_head"] = weight_quantize(out["lm_head"], mode)

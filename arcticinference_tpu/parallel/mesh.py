@@ -79,7 +79,8 @@ def param_specs(quantized: bool = False, pp: bool = False) -> dict:
 
 #: layer-dict keys that only some model variants carry (Qwen2 biases,
 #: Qwen3 qk norms); spec builders drop them when params lack them.
-OPTIONAL_LAYER_KEYS = ("bq", "bk", "bv", "q_norm", "k_norm")
+OPTIONAL_LAYER_KEYS = ("bq", "bk", "bv", "q_norm", "k_norm",
+                       "wqkv", "w_gateup", "bqkv")
 
 
 def quantized_leaf_spec(spec: P, w_ndim: Optional[int] = None,

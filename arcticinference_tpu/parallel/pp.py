@@ -170,6 +170,37 @@ def make_pp_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
         out_specs=(kv_spec, P()),
         check_vma=False)
 
+    # ---- in-engine DP x PP ------------------------------------------- #
+    # The dp layout packs each group's tokens into its own t_shard
+    # window (runner._prepare_inputs_dp) and stacks per-group arrays
+    # with a leading [dp] axis.  shard_map hands every (dp, pp, sp, tp)
+    # device its group's LOCAL view, so the GPipe tick loop above runs
+    # unchanged per dp group — the body only needs the [1] leading axis
+    # stripped, exactly like the non-pipelined dp forward
+    # (ulysses.py make_sharded_forward).
+    PP_DP_KEYS = ("positions", "req_idx", "slot_mapping", "seq_lens",
+                  "block_tables") + tuple("pp" + k for k in _ATTN_KEYS)
+
+    def body_dp(params, kv, tok_inputs, dp_inputs, full_inputs):
+        inputs = dict(full_inputs)
+        inputs.update({k: v[0] for k, v in dp_inputs.items()})
+        inputs.update(tok_inputs)
+        return body(params, kv, inputs)
+
+    smapped_dp_cache: dict = {}
+
+    def make_smapped_dp(dp_keys: tuple):
+        kv_dp = mesh_lib.kv_cache_spec(pp=True, dp=True)
+        specs = (
+            param_specs,
+            kv_dp,
+            {"input_ids": P("dp")},
+            {k: P("dp") for k in dp_keys},
+            P(),
+        )
+        return shard_map(body_dp, mesh=mesh, in_specs=specs,
+                         out_specs=(kv_dp, P("dp")), check_vma=False)
+
     def fn(params, kv, inputs):
         fwd_params = {k: params[k] for k in _FWD_KEYS if k in params}
         # The FLAT schedule arrays describe the full batch; PP attention
@@ -179,6 +210,17 @@ def make_pp_forward(module, arch, mesh: Mesh, cfg: ParallelConfig,
         clean = {k: v for k, v in inputs.items()
                  if not k.startswith("attn_item")
                  and not k.startswith("attn_token")}
+        if cfg.data_parallel_size > 1 and "positions_flat" in clean:
+            tok_inputs = {"input_ids": clean["input_ids"]}
+            dp_keys = tuple(k for k in PP_DP_KEYS if k in clean)
+            dp_inputs = {k: clean[k] for k in dp_keys}
+            skip = set(dp_inputs) | {"input_ids", "positions_flat",
+                                     "logits_indices_dp"}
+            full = {k: v for k, v in clean.items() if k not in skip}
+            sm = smapped_dp_cache.get(dp_keys)
+            if sm is None:
+                sm = smapped_dp_cache[dp_keys] = make_smapped_dp(dp_keys)
+            return sm(fwd_params, kv, tok_inputs, dp_inputs, full)
         return smapped(fwd_params, kv, clean)
 
     return fn

@@ -325,3 +325,51 @@ def test_follower_kill_surfaces_clean_error(tmp_path):
             except subprocess.TimeoutExpired:
                 proc.kill()
                 proc.wait(timeout=10)
+
+
+def test_multihost_dp_engine(tmp_path):
+    """In-engine dp on a mesh spanning two processes (dp2 x tp4): the
+    leader's dp-stacked step arrays broadcast to the follower mirror
+    like any step, and outputs match the same config on one process."""
+    import jax
+
+    from arcticinference_tpu.config import EngineConfig
+    from arcticinference_tpu.engine.llm import LLM
+    from arcticinference_tpu.engine.request import SamplingParams
+
+    cfg_d = json.loads(json.dumps(MH_CFG))
+    cfg_d["parallel"] = {"data_parallel_size": 2,
+                         "tensor_parallel_size": 4}
+
+    prompts = [[3, 14, 15, 92, 65], [27, 18, 28]]
+    ref_llm = LLM(EngineConfig.from_dict(json.loads(json.dumps(cfg_d))))
+    ref = [o.token_ids for o in ref_llm.generate(
+        prompt_token_ids=prompts,
+        sampling_params=SamplingParams(max_tokens=8, temperature=0.0))]
+
+    cfg_path = tmp_path / "mh_dp.json"
+    cfg_path.write_text(json.dumps(cfg_d))
+    coord, channel, http = free_port(), free_port(), free_port()
+    leader = _spawn(str(cfg_path), 0, 2, coord, channel, http)
+    follower = _spawn(str(cfg_path), 1, 2, coord, channel, http + 1)
+    try:
+        wait_http(f"http://127.0.0.1:{http}/health", leader, timeout=240)
+        for want, prompt in zip(ref, prompts):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{http}/v1/completions",
+                data=json.dumps({"prompt_token_ids": prompt,
+                                 "max_tokens": 8,
+                                 "temperature": 0}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=180) as r:
+                data = json.loads(r.read())
+            assert data["choices"][0]["token_ids"] == want
+    finally:
+        for proc in (leader, follower):
+            proc.terminate()
+        for proc in (leader, follower):
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=10)

@@ -131,3 +131,23 @@ def test_engine_pp_shift_switches_modes(single_outputs):
         assert o.token_ids == ref.token_ids
     modes = {k[3] for k in llm.engine.runner._step_fns}
     assert "pp_shift" in modes and "pp" in modes
+
+
+@pytest.mark.parametrize("dp,pp,tp", [(2, 2, 1), (2, 2, 2)])
+def test_engine_dp_pp_matches_single(single_outputs, dp, pp, tp):
+    """Round-4 item: in-engine dp composes with pp — each dp group's
+    token window is GPipe-split independently (per-(shard, microbatch)
+    schedules, dp+pp-sharded KV) with exact single-chip parity."""
+    cfg = _pp_cfg(data_parallel_size=dp, pipeline_parallel_size=pp,
+                  tensor_parallel_size=tp)
+    llm = LLM(cfg)
+    runner = llm.engine.runner
+    assert runner.mesh is not None
+    assert runner.mesh.shape["pp"] == pp
+    assert runner.dp == dp
+    outs = llm.generate(prompt_token_ids=PROMPTS,
+                        sampling_params=SamplingParams(max_tokens=12))
+    for o, ref in zip(outs, single_outputs):
+        assert o.token_ids == ref.token_ids
+    modes = {k[3] for k in runner._step_fns}
+    assert modes == {"pp"}
