@@ -344,7 +344,7 @@ def _bulk_write_kv(kv, k_rows, v_rows, slot_mapping):
     return flat.reshape(kv.shape)
 
 
-def _defer_kv_writes(attn_impl, pctx) -> bool:
+def _defer_kv_writes(attn_impl, pctx, arch=None) -> bool:
     """Opt-in (ARCTIC_TPU_DEFERRED_KV=1): grouped-kernel softmax
     injection + one whole-model scatter instead of per-layer scatters.
     Kept non-default on v5e — the injection pass costs more than the
@@ -357,6 +357,8 @@ def _defer_kv_writes(attn_impl, pctx) -> bool:
         return False
     if not envs.ARCTIC_TPU_DEFERRED_KV:
         return False
+    if arch is not None and arch.head_dim % 128 != 0:
+        return False   # mirrors _attn's d_ok gate (jnp fallback path)
     interpret = (envs.ARCTIC_TPU_FORCE_PALLAS_INTERPRET
                  and jax.default_backend() != "tpu")
     return (not envs.ARCTIC_TPU_DISABLE_PALLAS
@@ -420,7 +422,7 @@ def scan_layers(layers: dict, arch: LlamaArch, kv: jax.Array,
     inv_freq = compute_rope_freqs(arch.head_dim, arch.rope_theta,
                                   arch.rope_scaling)
 
-    defer = _defer_kv_writes(attn_impl, pctx)
+    defer = _defer_kv_writes(attn_impl, pctx, arch)
 
     def layer_step(carry, xs):
         h, kv = carry
@@ -514,7 +516,12 @@ def make_attn_impl(attn_qb: int = 32, decode_qlen: int = 1):
 
         interpret = (envs.ARCTIC_TPU_FORCE_PALLAS_INTERPRET
                      and jax.default_backend() != "tpu")
-        pallas_ok = (not envs.ARCTIC_TPU_DISABLE_PALLAS
+        # Mosaic DMAs/lane-slices need the head dim on the 128-lane
+        # tile boundary; small-model shapes (tiny checkpoints, d=32/64)
+        # run the jnp reference instead (correct everywhere, and such
+        # models are not bandwidth-bound anyway).
+        d_ok = q.shape[-1] % 128 == 0 or interpret
+        pallas_ok = (d_ok and not envs.ARCTIC_TPU_DISABLE_PALLAS
                      and (jax.default_backend() == "tpu" or interpret))
         if attn_qb == 1 and pallas_ok:
             from jax.experimental.pallas import tpu as pltpu

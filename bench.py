@@ -511,6 +511,28 @@ def main():
         if curve:
             spec_result["spec_curve"] = curve
 
+    # Drafter TRANSFER (round-4 item 2): the model-drafter machinery
+    # earning held-out acceptance on a genuinely TRAINED teacher
+    # (benchmarks/transfer_drafter.py; the 8B bench target has random
+    # weights, so its own held-out acceptance is 0 by construction).
+    if on_tpu and not os.environ.get("ARCTIC_BENCH_SKIP_TRANSFER"):
+        import subprocess
+        try:
+            res = subprocess.run(
+                [sys.executable,
+                 str(Path(__file__).parent / "benchmarks" /
+                     "transfer_drafter.py")],
+                capture_output=True, text=True, timeout=1800)
+            line = [ln for ln in res.stdout.splitlines()
+                    if ln.startswith("{")]
+            if line:
+                spec_result["spec_transfer"] = json.loads(line[-1])
+            else:
+                spec_result["spec_transfer"] = {
+                    "error": (res.stderr or "no output")[-300:]}
+        except Exception as e:  # noqa: BLE001 - bench must still print
+            spec_result["spec_transfer"] = {"error": str(e)[:300]}
+
     out = {
         "metric": "llama8b_fp8_greedy_decode_tokens_per_s_per_chip"
                   if on_tpu else "cpu_smoke_tokens_per_s",
