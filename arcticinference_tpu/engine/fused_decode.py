@@ -63,7 +63,8 @@ MAX_STOP_IDS = 4
 def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                      eos_token_id: Optional[int], use_suffix: bool = False,
                      path_len_max: int = 32, ring_w: int = 64,
-                     batch: int = 0, export_hidden: bool = False):
+                     batch: int = 0, export_hidden: bool = False,
+                     wide: bool = True):
     """Compile one fused decode step for batch-width ``B`` (read from the
     state at call time), draft length ``num_spec`` and fixed sampling mode.
 
@@ -119,23 +120,24 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
     # Per-slot draft width, degenerate case (round-4 verdict item 3):
     # suffix-only loops spend most steps with NO drafts anywhere on dry
     # workloads (fresh prompts), yet the K+1-row verify program pays
-    # K+1 model rows per slot regardless.  With a drafter the rows are
-    # always in use; without one, draft availability is data-dependent
-    # (host path uploads), so the step carries BOTH a wide (K+1 rows)
-    # and a narrow (1 row) forward under ``lax.cond`` keyed on "any slot
-    # holds drafts".  One program, no host round trip, no program
-    # switch (the measured failure mode of the global adaptive-K
-    # experiment was host-paced switching); dry steps run at plain
-    # greedy-decode cost.
-    narrow = use_suffix and drafter is None and k > 0
-    widths = (r, 1) if narrow else (r,)
+    # K+1 model rows per slot regardless.  ``wide=False`` builds the
+    # 1-row variant; the HOST picks the program per step from what it
+    # already knows (did it upload any live path recently / did drained
+    # telemetry show drafts) — zero device sync, unlike the removed
+    # adaptive-K experiment (host-paced switch on DEVICE state), and
+    # unlike an in-program lax.cond, which forces XLA to give up the
+    # donated in-place KV update (a full cache copy per step — measured
+    # 2.4x tpot loss on the repeat workload).  A conservative wrong
+    # "wide" guess costs exactly the r3 always-wide behaviour; a wrong
+    # "narrow" guess skips ONE step of path consumption (device path
+    # state persists).  Both programs share one state layout.
+    run_r = r if wide else 1
     if runner.mesh is not None:
-        for rr in widths:
-            mesh_mode = runner._choose_mode(batch * rr)
-            dq_rr = rr if grouped else 1
-            sharded_fwds[rr] = runner._forward_fn(
-                qb if not grouped else 1, mesh_mode, batch * rr,
-                decode_qlen=dq_rr)
+        mesh_mode = runner._choose_mode(batch * run_r)
+        dq_rr = run_r if grouped else 1
+        sharded_fwds[run_r] = runner._forward_fn(
+            qb if not grouped else 1, mesh_mode, batch * run_r,
+            decode_qlen=dq_rr)
 
     if drafter is not None:
         from arcticinference_tpu.models import speculators as spec_mod
@@ -151,6 +153,14 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
         n_comp = state["n_computed"]                       # [B]
         alive = state["alive"]                             # [B] 0/1
         dlen = state["draft_len"]                          # [B]
+        if not wide:
+            # The narrow program computes NO verify rows: any device
+            # drafts must be invisible to verification too, or a lucky
+            # col-0 match "accepts" a draft whose token the padded
+            # rowvals never carried (device advances 2, telemetry
+            # emits 1 — a lost token that wedges the request).  Path
+            # state persists; the next wide step re-derives dlen.
+            dlen = jnp.zeros_like(dlen)
         limit = state["limit"]                             # [B] max total
         drafts = state["drafts"]                           # [B, max(K,1)]
         rng, sub = jax.random.split(state["rng"])
@@ -248,7 +258,7 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                         inputs[f"swift_{key}"] = inputs[f"attn_{key}"]
 
             if sharded_fwds:
-                kv2, h = sharded_fwds[rr](params, kv, inputs)
+                kv2, h = sharded_fwds[run_r](params, kv, inputs)
             else:
                 from arcticinference_tpu.engine.runner import _make_attn
                 unroll = jax.default_backend() == "tpu" and b * rr <= 512
@@ -271,26 +281,19 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
             return kv2, rowvals.reshape(b, rr), h
 
         j = jnp.arange(r, dtype=jnp.int32)[None, :]        # [1, R]
-        if narrow:
-            def wide_branch(kv):
-                kv, rowvals, h = fwd_rowvals(kv, r, dlen)
-                return kv, rowvals, h.reshape(b, r, -1)
-
-            def narrow_branch(kv):
-                kv, rv1, h1 = fwd_rowvals(kv, 1, jnp.zeros_like(dlen))
-                # Pad to [B, R]; only column 0 is ever consumed (dlen is
-                # all-zero on this branch, so n_acc == 0 below).
-                rowvals = jnp.pad(rv1, ((0, 0), (0, r - 1)),
-                                  constant_values=NO_TOKEN)
-                hpad = jnp.zeros((b, r, h1.shape[-1]), h1.dtype)
-                return kv, rowvals, hpad.at[:, 0, :].set(h1)
-
-            kv, rowvals, h_brd = jax.lax.cond(
-                jnp.any(dlen > 0), wide_branch, narrow_branch, kv)
-            h = None                      # drafter path unused (gen None)
-        else:
+        if wide:
             kv, rowvals, h = fwd_rowvals(kv, r, dlen)
             h_brd = None
+        else:
+            kv, rv1, h1 = fwd_rowvals(kv, 1, jnp.zeros_like(dlen))
+            # Pad to [B, R]; only column 0 is ever consumed (the rows
+            # past 0 compare as NO_TOKEN, so n_acc == 0 below and any
+            # device-side drafts simply wait for the next wide step).
+            rowvals = jnp.pad(rv1, ((0, 0), (0, r - 1)),
+                              constant_values=NO_TOKEN)
+            h_brd = jnp.zeros((b, r, h1.shape[-1]),
+                              h1.dtype).at[:, 0, :].set(h1)
+            h = None                      # drafter path unused
 
         # Greedy prefix-match verification (sample-and-compare when
         # temperature > 0: both draft and target row come from the same
@@ -464,6 +467,9 @@ class FusedDecodeLoop:
         self._k = 0
         self._need_sampling = False
         self.depth = max(1, engine.config.scheduler.pipeline_depth)
+        # Host-side wide/narrow program selection (see step()).
+        self._wide_ttl = 0
+        self._probe_count = self.WIDE_PROBE_PERIOD
         # Suffix path lane (None when suffix decoding is off).
         self._suffix = engine._suffix_cache
         self._plen = 32
@@ -473,6 +479,11 @@ class FusedDecodeLoop:
         self._spec_params_global = None     # multihost: replicated copy
 
     # -- entry ----------------------------------------------------------
+
+    #: narrow-mode cadence of wide probe steps (dry workloads pay K
+    #: extra verify rows 1-in-N steps; hot transitions are caught
+    #: within ~N + pipeline-depth steps).
+    WIDE_PROBE_PERIOD = 16
 
     def eligible(self) -> bool:
         """Static eligibility: is there anything to speculate with, on a
@@ -521,6 +532,11 @@ class FusedDecodeLoop:
 
     def enter(self) -> None:
         eng = self.engine
+        # Optimistic start: run wide for the first pipeline-depth steps
+        # so freshly uploaded paths get consumed before narrow mode can
+        # engage (consumption evidence needs a drain round trip).
+        self._wide_ttl = self.depth + 2
+        self._probe_count = self.WIDE_PROBE_PERIOD
         running = [r for r in self._frontier_requests()
                    if self._fusable(r)]
         dp = max(self.runner.dp, 1)
@@ -688,16 +704,38 @@ class FusedDecodeLoop:
 
         capture = eng.hidden_capture is not None
         spec_params = self._spec_params()
-        paths_np = (self._host_paths() if self._suffix is not None
-                    else None)
-        # Per-slot draft-width adaptation happens INSIDE the compiled
-        # step (build_fused_step's narrow/wide lax.cond): a host-paced
-        # program switch (the removed ARCTIC_TPU_ADAPTIVE_K experiment)
-        # measured a 2.5x loss because choosing the program from device
-        # state forces a telemetry sync that breaks the async pipeline.
+        # Per-slot draft width (round-4 item 3): the HOST picks the
+        # wide (K+1 verify rows) or narrow (1 row) program from
+        # information it already holds — no device sync (the removed
+        # adaptive-K experiment's failure mode) and no in-program
+        # lax.cond (which forfeits the donated in-place KV update — a
+        # full cache copy per step).  Wide while drained telemetry
+        # shows drafts being CONSUMED (pipeline-depth TTL, bumped in
+        # _drain_one; host-found paths alone are not evidence — a
+        # looping random-weight target makes the tree "find" paths the
+        # device's gap checks keep rejecting); narrow otherwise, with a
+        # periodic wide PROBE step so a workload turning hot is picked
+        # back up within ~probe-period + depth steps.  Narrow steps
+        # also skip the per-slot host tree walks entirely — paths are
+        # only consumable by wide steps.
         k_eff = self._k
+        wide = True
+        if (self._suffix is not None and eng._drafter is None
+                and k_eff > 0):
+            self._wide_ttl = max(0, self._wide_ttl - 1)
+            if self._wide_ttl <= 0:
+                self._probe_count -= 1
+                wide = self._probe_count <= 0
+                if wide:
+                    self._probe_count = self.WIDE_PROBE_PERIOD
+        if self._suffix is None:
+            paths_np = None
+        elif wide:
+            paths_np = self._host_paths()
+        else:
+            paths_np = self._empty_paths()
         key = (self._state["n_computed"].shape[0], k_eff,
-               self._need_sampling)
+               self._need_sampling, wide)
         fn = self._fns.get(key)
         if fn is None:
             fn = build_fused_step(self.runner, eng._drafter, k_eff,
@@ -705,7 +743,7 @@ class FusedDecodeLoop:
                                   use_suffix=self._suffix is not None,
                                   path_len_max=self._plen,
                                   ring_w=self._ring_w, batch=key[0],
-                                  export_hidden=True)
+                                  export_hidden=True, wide=wide)
             self._fns[key] = fn
         ch = self.runner.mh_channel
         if ch is not None:
@@ -713,6 +751,7 @@ class FusedDecodeLoop:
             # runner.dispatch: broadcast first, then issue the program).
             ch.broadcast({
                 "kind": "fused", "b": key[0], "k": k_eff,
+                "wide": wide,
                 "need_sampling": self._need_sampling,
                 "use_suffix": self._suffix is not None,
                 "plen": self._plen, "ring_w": self._ring_w,
@@ -753,6 +792,18 @@ class FusedDecodeLoop:
             self._spec_params_global = jax.tree.map(
                 self.runner._replicated, eng._drafter.params)
         return self._spec_params_global
+
+    def _empty_paths(self):
+        """Zero-length path upload for narrow steps (h_len == 0 is
+        rejected by the device's usable gate; shapes match
+        _host_paths)."""
+        b = self._state["n_computed"].shape[0]
+        cached = getattr(self, "_empty_paths_np", None)
+        if cached is None or cached[0].shape[0] != b:
+            cached = (np.zeros((b, self._plen), np.int32),
+                      np.zeros(b, np.int32), np.zeros(b, np.int32))
+            self._empty_paths_np = cached
+        return cached
 
     def _host_paths(self):
         """Speculate a suffix path per alive slot from the host's
@@ -857,6 +908,8 @@ class FusedDecodeLoop:
             eng.scheduler.register_computed(req)
             if dlen_used > 0:
                 any_drafts = True
+                # Device drafts in flight: keep the wide program hot.
+                self._wide_ttl = max(self._wide_ttl, 2)
                 n_acc = len(toks) - 1
                 eng.spec_stats.observe(dlen_used, min(n_acc, dlen_used))
                 req.num_draft_tokens += dlen_used

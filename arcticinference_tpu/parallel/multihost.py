@@ -267,7 +267,8 @@ def follower_serve(engine, channel: FollowerChannel) -> None:
             from arcticinference_tpu.engine.fused_decode import (
                 build_fused_step)
 
-            key = (msg["b"], msg["k"], msg["need_sampling"])
+            wide = msg.get("wide", True)
+            key = (msg["b"], msg["k"], msg["need_sampling"], wide)
             fn = fused_fns.get(key)
             if fn is None:
                 fn = build_fused_step(
@@ -275,7 +276,7 @@ def follower_serve(engine, channel: FollowerChannel) -> None:
                     msg["need_sampling"], msg["eos"],
                     use_suffix=msg["use_suffix"], path_len_max=msg["plen"],
                     ring_w=msg["ring_w"], batch=msg["b"],
-                    export_hidden=True)
+                    export_hidden=True, wide=wide)
                 fused_fns[key] = fn
             if msg["state"] is not None:
                 fused_state = {k: runner._replicated(v)

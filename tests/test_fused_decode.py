@@ -581,11 +581,45 @@ def test_corruption_knob_preserves_output(monkeypatch):
 
 
 class TestPerSlotWidth:
-    """Suffix-only fused steps carry a narrow (1-row) and a wide
-    (K+1-row) forward under one in-program lax.cond keyed on draft
-    availability (round-4 verdict item 3; replaces the removed
-    host-paced ARCTIC_TPU_ADAPTIVE_K program switch, which measured a
-    2.5x loss from the telemetry sync it forced)."""
+    """Suffix-only fused loops run a narrow (1-row) or wide (K+1-row)
+    program chosen by the HOST per step from information it already has
+    (consumption TTL + probe cadence; round-4 item 3).  An in-program
+    lax.cond was measured to forfeit the donated in-place KV update (a
+    full cache copy per step), and the removed ARCTIC_TPU_ADAPTIVE_K
+    host switch synced telemetry; this design does neither."""
+
+    def test_narrow_steps_with_live_paths_lose_no_tokens(self):
+        """Regression: a narrow step issued while device path state
+        still holds drafts must treat dlen as 0 end to end — the padded
+        verify rows can coincidentally match draft col 0, and counting
+        that as an accept advances n_computed past what telemetry
+        emitted (a lost token that wedges the request).  Forcing probe
+        cadence 2 interleaves narrow and wide steps while paths are
+        live; exact-output + completion proves no token is lost."""
+        from arcticinference_tpu.config import SpeculativeConfig
+        from arcticinference_tpu.engine import fused_decode as fd
+
+        prompts = _prompts(3, seed=5)
+        base = LLM(tiny_config())
+        sp = SamplingParams(max_tokens=24, ignore_eos=True)
+        want = [o.token_ids for o in base.generate(
+            prompt_token_ids=prompts, sampling_params=sp)]
+        old_period = fd.FusedDecodeLoop.WIDE_PROBE_PERIOD
+        fd.FusedDecodeLoop.WIDE_PROBE_PERIOD = 2
+        try:
+            llm = LLM(tiny_config(speculative=SpeculativeConfig(
+                method="suffix", suffix_cache_max_depth=32,
+                enable_fused_decode=True)))
+            loop = llm.engine._fused
+            # Starve the TTL so narrow steps occur while paths live.
+            loop.depth = 1
+            got1 = [o.token_ids for o in llm.generate(
+                prompt_token_ids=prompts, sampling_params=sp)]
+            got2 = [o.token_ids for o in llm.generate(
+                prompt_token_ids=prompts, sampling_params=sp)]
+        finally:
+            fd.FusedDecodeLoop.WIDE_PROBE_PERIOD = old_period
+        assert got1 == want and got2 == want
 
     def test_dry_and_warm_exact(self):
         """Dry cache (narrow branch every step) and warm cache (wide
