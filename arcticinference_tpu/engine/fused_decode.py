@@ -469,7 +469,8 @@ class FusedDecodeLoop:
         self.depth = max(1, engine.config.scheduler.pipeline_depth)
         # Host-side wide/narrow program selection (see step()).
         self._wide_ttl = 0
-        self._probe_count = self.WIDE_PROBE_PERIOD
+        self._dry_drains = 0
+        self._dry_backoff = 0
         # Suffix path lane (None when suffix decoding is off).
         self._suffix = engine._suffix_cache
         self._plen = 32
@@ -480,10 +481,11 @@ class FusedDecodeLoop:
 
     # -- entry ----------------------------------------------------------
 
-    #: narrow-mode cadence of wide probe steps (dry workloads pay K
-    #: extra verify rows 1-in-N steps; hot transitions are caught
-    #: within ~N + pipeline-depth steps).
-    WIDE_PROBE_PERIOD = 16
+    #: consecutive draft-free WIDE drains before the host's uploads are
+    #: distrusted (device keeps rejecting its paths), and the
+    #: narrow-only backoff window length in steps.
+    DRY_DRAINS_TO_BACKOFF = 4
+    DRY_BACKOFF_STEPS = 16
 
     def eligible(self) -> bool:
         """Static eligibility: is there anything to speculate with, on a
@@ -536,7 +538,8 @@ class FusedDecodeLoop:
         # so freshly uploaded paths get consumed before narrow mode can
         # engage (consumption evidence needs a drain round trip).
         self._wide_ttl = self.depth + 2
-        self._probe_count = self.WIDE_PROBE_PERIOD
+        self._dry_drains = 0
+        self._dry_backoff = 0
         running = [r for r in self._frontier_requests()
                    if self._fusable(r)]
         dp = max(self.runner.dp, 1)
@@ -709,31 +712,29 @@ class FusedDecodeLoop:
         # information it already holds — no device sync (the removed
         # adaptive-K experiment's failure mode) and no in-program
         # lax.cond (which forfeits the donated in-place KV update — a
-        # full cache copy per step).  Wide while drained telemetry
-        # shows drafts being CONSUMED (pipeline-depth TTL, bumped in
-        # _drain_one; host-found paths alone are not evidence — a
-        # looping random-weight target makes the tree "find" paths the
-        # device's gap checks keep rejecting); narrow otherwise, with a
-        # periodic wide PROBE step so a workload turning hot is picked
-        # back up within ~probe-period + depth steps.  Narrow steps
-        # also skip the per-slot host tree walks entirely — paths are
-        # only consumable by wide steps.
+        # full cache copy per step).  Wide while the host holds live
+        # paths OR drained telemetry shows drafts being consumed (the
+        # TTL keeps the merge step's successor wide — a path needs two
+        # consecutive wide steps: merge, then verify).  Host-found
+        # paths alone are not durable evidence — a looping
+        # random-weight target makes the tree "find" paths the
+        # device's gap checks keep rejecting — so consecutive
+        # draft-free WIDE drains open a BACKOFF window during which
+        # uploads are ignored and the loop decodes narrow; the window
+        # expiring re-arms a wide retry, so a workload turning hot is
+        # re-detected within ~backoff + depth steps.
         k_eff = self._k
+        paths_np = (self._host_paths() if self._suffix is not None
+                    else None)
         wide = True
         if (self._suffix is not None and eng._drafter is None
                 and k_eff > 0):
             self._wide_ttl = max(0, self._wide_ttl - 1)
-            if self._wide_ttl <= 0:
-                self._probe_count -= 1
-                wide = self._probe_count <= 0
-                if wide:
-                    self._probe_count = self.WIDE_PROBE_PERIOD
-        if self._suffix is None:
-            paths_np = None
-        elif wide:
-            paths_np = self._host_paths()
-        else:
-            paths_np = self._empty_paths()
+            live = bool((paths_np[2] > 0).any())
+            if live and self._dry_backoff <= 0:
+                self._wide_ttl = max(self._wide_ttl, 2)
+            self._dry_backoff = max(0, self._dry_backoff - 1)
+            wide = self._wide_ttl > 0
         key = (self._state["n_computed"].shape[0], k_eff,
                self._need_sampling, wide)
         fn = self._fns.get(key)
@@ -910,6 +911,7 @@ class FusedDecodeLoop:
                 any_drafts = True
                 # Device drafts in flight: keep the wide program hot.
                 self._wide_ttl = max(self._wide_ttl, 2)
+                self._dry_drains = 0
                 n_acc = len(toks) - 1
                 eng.spec_stats.observe(dlen_used, min(n_acc, dlen_used))
                 req.num_draft_tokens += dlen_used

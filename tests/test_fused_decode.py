@@ -593,32 +593,41 @@ class TestPerSlotWidth:
         still holds drafts must treat dlen as 0 end to end — the padded
         verify rows can coincidentally match draft col 0, and counting
         that as an accept advances n_computed past what telemetry
-        emitted (a lost token that wedges the request).  Forcing probe
-        cadence 2 interleaves narrow and wide steps while paths are
-        live; exact-output + completion proves no token is lost."""
+        emitted (a lost token that wedges the request).  Forcing a
+        narrow step every 3rd call interleaves narrow and wide steps
+        while paths are live; exact-output + completion proves no
+        token is lost."""
         from arcticinference_tpu.config import SpeculativeConfig
-        from arcticinference_tpu.engine import fused_decode as fd
 
         prompts = _prompts(3, seed=5)
         base = LLM(tiny_config())
         sp = SamplingParams(max_tokens=24, ignore_eos=True)
         want = [o.token_ids for o in base.generate(
             prompt_token_ids=prompts, sampling_params=sp)]
-        old_period = fd.FusedDecodeLoop.WIDE_PROBE_PERIOD
-        fd.FusedDecodeLoop.WIDE_PROBE_PERIOD = 2
+        llm = LLM(tiny_config(speculative=SpeculativeConfig(
+            method="suffix", suffix_cache_max_depth=32,
+            enable_fused_decode=True)))
+        loop = llm.engine._fused
+        orig_step = type(loop).step
+        calls = {"n": 0}
+
+        def chopped(self):
+            # Force a narrow step every 3rd call while paths are live —
+            # the exact interleave that lost tokens.
+            calls["n"] += 1
+            if calls["n"] % 3 == 0:
+                self._wide_ttl = 0
+                self._dry_backoff = 2
+            return orig_step(self)
+
+        type(loop).step = chopped
         try:
-            llm = LLM(tiny_config(speculative=SpeculativeConfig(
-                method="suffix", suffix_cache_max_depth=32,
-                enable_fused_decode=True)))
-            loop = llm.engine._fused
-            # Starve the TTL so narrow steps occur while paths live.
-            loop.depth = 1
             got1 = [o.token_ids for o in llm.generate(
                 prompt_token_ids=prompts, sampling_params=sp)]
             got2 = [o.token_ids for o in llm.generate(
                 prompt_token_ids=prompts, sampling_params=sp)]
         finally:
-            fd.FusedDecodeLoop.WIDE_PROBE_PERIOD = old_period
+            type(loop).step = orig_step
         assert got1 == want and got2 == want
 
     def test_dry_and_warm_exact(self):
