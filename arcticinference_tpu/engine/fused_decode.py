@@ -439,12 +439,13 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
 # --------------------------------------------------------------------- #
 
 class _InflightFused:
-    __slots__ = ("telemetry", "hidden", "k")
+    __slots__ = ("telemetry", "hidden", "k", "wide")
 
-    def __init__(self, telemetry, hidden=None, k=0):
+    def __init__(self, telemetry, hidden=None, k=0, wide=True):
         self.telemetry = telemetry
         self.hidden = hidden
         self.k = k
+        self.wide = wide
 
 
 class FusedDecodeLoop:
@@ -773,7 +774,7 @@ class FusedDecodeLoop:
             pass
         self._inflight.append(
             _InflightFused(telem, hidden if capture else None,
-                           k=k_eff))
+                           k=k_eff, wide=wide))
         eng.engine_stats.num_steps += 1
 
         while len(self._inflight) > self.depth:
@@ -891,6 +892,7 @@ class FusedDecodeLoop:
                 telem.shape[0] * r, -1)
             capture_items = []
         any_drafts = False
+        was_wide = getattr(step, "wide", True)
         for i, req in enumerate(self._slots):
             if req is None or not self._host_alive[i]:
                 continue
@@ -933,6 +935,15 @@ class FusedDecodeLoop:
                 self._host_alive[i] = False
                 finished.append(req)
                 eng.engine_stats.num_finished += 1
+        if was_wide and not any_drafts and any(self._host_alive):
+            # A WIDE step whose verify rows went unused: the host's
+            # uploads aren't surviving the device's gap checks.  Enough
+            # of these in a row opens the narrow-only backoff window
+            # (see step()).
+            self._dry_drains += 1
+            if self._dry_drains >= self.DRY_DRAINS_TO_BACKOFF:
+                self._dry_backoff = self.DRY_BACKOFF_STEPS
+                self._dry_drains = 0
         if capture_items:
             eng.hidden_capture(capture_rows, capture_items)
         return finished
