@@ -439,13 +439,15 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
 # --------------------------------------------------------------------- #
 
 class _InflightFused:
-    __slots__ = ("telemetry", "hidden", "k", "wide")
+    __slots__ = ("telemetry", "hidden", "k", "wide", "live")
 
-    def __init__(self, telemetry, hidden=None, k=0, wide=True):
+    def __init__(self, telemetry, hidden=None, k=0, wide=True,
+                 live=False):
         self.telemetry = telemetry
         self.hidden = hidden
         self.k = k
         self.wide = wide
+        self.live = live            # step's upload carried live paths
 
 
 class FusedDecodeLoop:
@@ -728,6 +730,7 @@ class FusedDecodeLoop:
         paths_np = (self._host_paths() if self._suffix is not None
                     else None)
         wide = True
+        live = False
         if (self._suffix is not None and eng._drafter is None
                 and k_eff > 0):
             self._wide_ttl = max(0, self._wide_ttl - 1)
@@ -774,7 +777,7 @@ class FusedDecodeLoop:
             pass
         self._inflight.append(
             _InflightFused(telem, hidden if capture else None,
-                           k=k_eff, wide=wide))
+                           k=k_eff, wide=wide, live=live))
         eng.engine_stats.num_steps += 1
 
         while len(self._inflight) > self.depth:
@@ -935,11 +938,13 @@ class FusedDecodeLoop:
                 self._host_alive[i] = False
                 finished.append(req)
                 eng.engine_stats.num_finished += 1
-        if was_wide and not any_drafts and any(self._host_alive):
-            # A WIDE step whose verify rows went unused: the host's
-            # uploads aren't surviving the device's gap checks.  Enough
-            # of these in a row opens the narrow-only backoff window
-            # (see step()).
+        if was_wide and getattr(step, "live", False) \
+                and not any_drafts and any(self._host_alive):
+            # A WIDE step that HAD live uploads but whose verify rows
+            # went unused: the host's paths aren't surviving the
+            # device's gap checks.  Enough of these in a row opens the
+            # narrow-only backoff window (see step()).  Wide steps with
+            # empty uploads (cold tree) prove nothing and don't count.
             self._dry_drains += 1
             if self._dry_drains >= self.DRY_DRAINS_TO_BACKOFF:
                 self._dry_backoff = self.DRY_BACKOFF_STEPS
