@@ -380,6 +380,13 @@ class TestFusedOnMesh:
         got = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
         for w, g in zip(want, got):
             assert g.token_ids == w.token_ids
+        # Warm-cache pass: host uploads are live from step 1, so the
+        # width controller holds the wide program and paths flow (the
+        # cold pass above may finish inside the narrow cold-start
+        # window since the host-chosen width redesign).
+        got2 = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        for w, g in zip(want, got2):
+            assert g.token_ids == w.token_ids
         assert llm.engine.spec_stats.num_drafts > 0
 
     def test_fused_shift_mode_selected(self):
