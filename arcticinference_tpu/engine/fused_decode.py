@@ -472,8 +472,8 @@ class FusedDecodeLoop:
         self.depth = max(1, engine.config.scheduler.pipeline_depth)
         # Host-side wide/narrow program selection (see step()).
         self._wide_ttl = 0
-        self._dry_drains = 0
-        self._dry_backoff = 0
+        self._retry = 0
+        self._retry_period = self.RETRY_PERIOD
         # Suffix path lane (None when suffix decoding is off).
         self._suffix = engine._suffix_cache
         self._plen = 32
@@ -484,11 +484,12 @@ class FusedDecodeLoop:
 
     # -- entry ----------------------------------------------------------
 
-    #: consecutive draft-free WIDE drains before the host's uploads are
-    #: distrusted (device keeps rejecting its paths), and the
-    #: narrow-only backoff window length in steps.
-    DRY_DRAINS_TO_BACKOFF = 4
-    DRY_BACKOFF_STEPS = 16
+    #: drained steps a single consumed draft keeps the wide program hot
+    #: for, and the initial cadence of wide retries while uploads are
+    #: live but nothing has been consumed recently (doubles to 64 on
+    #: each fruitless retry; resets on consumption).
+    CONSUME_MEMORY = 32
+    RETRY_PERIOD = 4
 
     def eligible(self) -> bool:
         """Static eligibility: is there anything to speculate with, on a
@@ -541,8 +542,8 @@ class FusedDecodeLoop:
         # so freshly uploaded paths get consumed before narrow mode can
         # engage (consumption evidence needs a drain round trip).
         self._wide_ttl = self.depth + 2
-        self._dry_drains = 0
-        self._dry_backoff = 0
+        self._retry = 0
+        self._retry_period = self.RETRY_PERIOD
         running = [r for r in self._frontier_requests()
                    if self._fusable(r)]
         dp = max(self.runner.dp, 1)
@@ -733,11 +734,32 @@ class FusedDecodeLoop:
         live = False
         if (self._suffix is not None and eng._drafter is None
                 and k_eff > 0):
+            # Wide while drafts were consumed within the last
+            # CONSUME_MEMORY drained steps (long memory bridges the
+            # per-slot gaps between path uploads — hot workloads hold
+            # wide continuously, matching the always-wide r3 behaviour
+            # they favour).  With no recent consumption, narrow —
+            # except a 2-step wide RETRY whenever uploads are live and
+            # the retry budget allows (1 per RETRY_PERIOD): the merge
+            # step and its successor must both be wide for a path to
+            # produce its first accept, and dry workloads pay K extra
+            # verify rows only ~2/RETRY_PERIOD of their steps.
             self._wide_ttl = max(0, self._wide_ttl - 1)
-            live = bool((paths_np[2] > 0).any())
-            if live and self._dry_backoff <= 0:
-                self._wide_ttl = max(self._wide_ttl, 2)
-            self._dry_backoff = max(0, self._dry_backoff - 1)
+            # "Live" = long enough to survive the device's gap check:
+            # the host's anchor lags the device by ~pipeline-depth
+            # emitted tokens, and the merge requires gap < h_len —
+            # shorter paths are guaranteed-unusable and must not burn
+            # the retry budget.
+            live = bool((paths_np[2] > self.depth + 1).any())
+            self._retry = max(0, self._retry - 1)
+            if self._wide_ttl <= 0 and live and self._retry <= 0:
+                # Exponential retry backoff: quick probes while paths
+                # first appear (cold start), rare ones when the device
+                # persistently rejects them (dry workload); any
+                # consumption resets the cadence.
+                self._retry = self._retry_period
+                self._retry_period = min(64, self._retry_period * 2)
+                self._wide_ttl = 4
             wide = self._wide_ttl > 0
         key = (self._state["n_computed"].shape[0], k_eff,
                self._need_sampling, wide)
@@ -914,9 +936,9 @@ class FusedDecodeLoop:
             eng.scheduler.register_computed(req)
             if dlen_used > 0:
                 any_drafts = True
-                # Device drafts in flight: keep the wide program hot.
-                self._wide_ttl = max(self._wide_ttl, 2)
-                self._dry_drains = 0
+                # Consumption: keep the wide program hot.
+                self._wide_ttl = max(self._wide_ttl, self.CONSUME_MEMORY)
+                self._retry_period = self.RETRY_PERIOD
                 n_acc = len(toks) - 1
                 eng.spec_stats.observe(dlen_used, min(n_acc, dlen_used))
                 req.num_draft_tokens += dlen_used
@@ -938,17 +960,6 @@ class FusedDecodeLoop:
                 self._host_alive[i] = False
                 finished.append(req)
                 eng.engine_stats.num_finished += 1
-        if was_wide and getattr(step, "live", False) \
-                and not any_drafts and any(self._host_alive):
-            # A WIDE step that HAD live uploads but whose verify rows
-            # went unused: the host's paths aren't surviving the
-            # device's gap checks.  Enough of these in a row opens the
-            # narrow-only backoff window (see step()).  Wide steps with
-            # empty uploads (cold tree) prove nothing and don't count.
-            self._dry_drains += 1
-            if self._dry_drains >= self.DRY_DRAINS_TO_BACKOFF:
-                self._dry_backoff = self.DRY_BACKOFF_STEPS
-                self._dry_drains = 0
         if capture_items:
             eng.hidden_capture(capture_rows, capture_items)
         return finished

@@ -624,7 +624,7 @@ class TestPerSlotWidth:
             calls["n"] += 1
             if calls["n"] % 3 == 0:
                 self._wide_ttl = 0
-                self._dry_backoff = 2
+                self._retry = 2
             return orig_step(self)
 
         type(loop).step = chopped
