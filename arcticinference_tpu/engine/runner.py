@@ -823,8 +823,10 @@ class ModelRunner:
             for sh in range(dp):
                 sh_scheduled = groups[sh]
                 starts = np.zeros(b, np.int64)
-                starts[1:len(sh_scheduled)] = np.cumsum(
-                    query_lens[sh][:len(sh_scheduled) - 1])
+                if sh_scheduled:  # a drained shard has no rows; [:-1]
+                    # on its empty lens would broadcast-fail into [1:0]
+                    starts[1:len(sh_scheduled)] = np.cumsum(
+                        query_lens[sh][:len(sh_scheduled) - 1])
                 mb_parts = []
                 for mi in range(ppn):
                     lo, hi = mi * tm, (mi + 1) * tm

@@ -402,7 +402,8 @@ def main():
                  "--out", str(drafter), "--batch", str(spec_batch),
                  "--prompt-len", str(prompt_len), "--gen", str(gen_len),
                  "--seed", "2"],
-                check=True, cwd=str(REPO), env=env)
+                check=True, cwd=str(REPO), env=env,
+                stdout=sys.stderr)  # keep bench stdout = ONE JSON line
         spec_cfg = SpeculativeConfig(method="arctic", model=str(drafter),
                                      num_speculative_tokens=3)
         # Config geometry (blocks, batch, buckets) and prefix caching
@@ -515,14 +516,21 @@ def main():
     # earning held-out acceptance on a genuinely TRAINED teacher
     # (benchmarks/transfer_drafter.py; the 8B bench target has random
     # weights, so its own held-out acceptance is 0 by construction).
-    if on_tpu and not os.environ.get("ARCTIC_BENCH_SKIP_TRANSFER"):
-        import subprocess
+    run_transfer = ((on_tpu or os.environ.get("ARCTIC_BENCH_FORCE_TRANSFER"))
+                    and not os.environ.get("ARCTIC_BENCH_SKIP_TRANSFER"))
+    if run_transfer:
         try:
+            cmd = [sys.executable,
+                   str(Path(__file__).parent / "benchmarks" /
+                       "transfer_drafter.py")]
+            # Test hook: clean temp dirs instead of checkpoints/ cache.
+            if os.environ.get("ARCTIC_TRANSFER_CKPT"):
+                cmd += ["--ckpt", os.environ["ARCTIC_TRANSFER_CKPT"]]
+            if os.environ.get("ARCTIC_TRANSFER_DRAFTER"):
+                cmd += ["--drafter-out",
+                        os.environ["ARCTIC_TRANSFER_DRAFTER"]]
             res = subprocess.run(
-                [sys.executable,
-                 str(Path(__file__).parent / "benchmarks" /
-                     "transfer_drafter.py")],
-                capture_output=True, text=True, timeout=1800)
+                cmd, capture_output=True, text=True, timeout=1800)
             line = [ln for ln in res.stdout.splitlines()
                     if ln.startswith("{")]
             if line:

@@ -151,3 +151,23 @@ def test_engine_dp_pp_matches_single(single_outputs, dp, pp, tp):
         assert o.token_ids == ref.token_ids
     modes = {k[3] for k in runner._step_fns}
     assert modes == {"pp"}
+
+
+@pytest.mark.parametrize("max_toks", [(2, 2, 24, 24), (2, 24, 2, 24)])
+def test_engine_dp_pp_uneven_finish(max_toks):
+    """dp x pp with uneven request lifetimes: a dp shard whose requests
+    all finish early drains to zero scheduled rows while the other shard
+    keeps decoding — the per-shard GPipe schedule build must handle the
+    empty shard (round-5 advisor fix: empty-shard cumsum guard) and the
+    surviving requests must still match single-chip output exactly."""
+    prompts = PROMPTS + [[8, 6, 7, 5, 3, 0, 9]]
+    sp = [SamplingParams(max_tokens=m, ignore_eos=True) for m in max_toks]
+    ref_llm = LLM(tiny_config(hf=dict(PP_HF)))
+    refs = ref_llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+
+    cfg = _pp_cfg(data_parallel_size=2, pipeline_parallel_size=2)
+    llm = LLM(cfg)
+    outs = llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+    for o, ref, m in zip(outs, refs, max_toks):
+        assert len(o.token_ids) == m
+        assert o.token_ids == ref.token_ids
