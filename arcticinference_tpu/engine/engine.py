@@ -122,6 +122,12 @@ class LLMEngine:
                 self._prompt_tree_pool = ThreadPoolExecutor(
                     max_workers=4, thread_name_prefix="suffix-prompt")
                 self._prompt_tree_futs = {}
+                # Bound pending builds: a deep waiting queue must not
+                # hold completed trees in futures indefinitely.  A
+                # request past the bound falls back to the synchronous
+                # build at its first commit (_update_suffix_cache).
+                self._prompt_tree_bound = \
+                    2 * config.scheduler.max_num_seqs
             if self.spec_config.method in ("arctic", "mlp_speculator",
                                            "lstm_speculator"):
                 # Works multihost too: the drafter chain runs
@@ -163,7 +169,9 @@ class LLMEngine:
                       sampling=sampling or SamplingParams(),
                       arrival_time=time.time())
         if self._suffix_cache is not None and \
+                self._prompt_tree_pool is not None and \
                 req_id not in self._prompt_tree_futs and \
+                len(self._prompt_tree_futs) < self._prompt_tree_bound and \
                 not self._suffix_cache.has_cached_prompt(req_id):
             self._prompt_tree_futs[req_id] = self._prompt_tree_pool.submit(
                 self._suffix_cache.build_prompt_tree,
@@ -185,6 +193,24 @@ class LLMEngine:
     @property
     def has_unfinished(self) -> bool:
         return self.scheduler.num_unfinished > 0 or bool(self._inflight)
+
+    def close(self) -> None:
+        """Release host-side resources (idempotent).  The suffix
+        prompt-tree worker pool holds non-daemon threads and completed
+        trees in pending futures; engine teardown must not leak them."""
+        pool = getattr(self, "_prompt_tree_pool", None)
+        if pool is not None:
+            for fut in self._prompt_tree_futs.values():
+                fut.cancel()
+            self._prompt_tree_futs.clear()
+            pool.shutdown(wait=False, cancel_futures=True)
+            self._prompt_tree_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------ #
     # Step loop

@@ -439,15 +439,12 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
 # --------------------------------------------------------------------- #
 
 class _InflightFused:
-    __slots__ = ("telemetry", "hidden", "k", "wide", "live")
+    __slots__ = ("telemetry", "hidden", "k")
 
-    def __init__(self, telemetry, hidden=None, k=0, wide=True,
-                 live=False):
+    def __init__(self, telemetry, hidden=None, k=0):
         self.telemetry = telemetry
         self.hidden = hidden
         self.k = k
-        self.wide = wide
-        self.live = live            # step's upload carried live paths
 
 
 class FusedDecodeLoop:
@@ -723,44 +720,63 @@ class FusedDecodeLoop:
         # paths alone are not durable evidence — a looping
         # random-weight target makes the tree "find" paths the
         # device's gap checks keep rejecting — so consecutive
-        # draft-free WIDE drains open a BACKOFF window during which
-        # uploads are ignored and the loop decodes narrow; the window
-        # expiring re-arms a wide retry, so a workload turning hot is
-        # re-detected within ~backoff + depth steps.
+        # draft-free WIDE drains open a BACKOFF window: the loop
+        # decodes narrow, skips the C++ tree walks ENTIRELY and
+        # uploads empty paths (round-4 item 7: at batch 64 the walks
+        # were 64 tree queries per step of pure overhead on dry
+        # workloads); a retry probe every RETRY_PERIOD steps pays one
+        # round of walks to test for live paths and re-arms wide when
+        # it finds them, so a workload turning hot is re-detected
+        # within ~RETRY_PERIOD + depth steps.
         k_eff = self._k
-        paths_np = (self._host_paths() if self._suffix is not None
-                    else None)
         wide = True
-        live = False
-        if (self._suffix is not None and eng._drafter is None
+        paths_np = None
+        from arcticinference_tpu import envs as _envs
+        force = _envs.ARCTIC_TPU_FUSED_FORCE_WIDTH
+        if force and self._suffix is not None and eng._drafter is None \
+                and k_eff > 0:
+            wide = force == "wide"
+            paths_np = (self._host_paths() if wide
+                        else self._empty_paths())
+        elif (self._suffix is not None and eng._drafter is None
                 and k_eff > 0):
             # Wide while drafts were consumed within the last
             # CONSUME_MEMORY drained steps (long memory bridges the
             # per-slot gaps between path uploads — hot workloads hold
             # wide continuously, matching the always-wide r3 behaviour
-            # they favour).  With no recent consumption, narrow —
-            # except a 2-step wide RETRY whenever uploads are live and
-            # the retry budget allows (1 per RETRY_PERIOD): the merge
-            # step and its successor must both be wide for a path to
-            # produce its first accept, and dry workloads pay K extra
-            # verify rows only ~2/RETRY_PERIOD of their steps.
+            # they favour).
             self._wide_ttl = max(0, self._wide_ttl - 1)
-            # "Live" = long enough to survive the device's gap check:
-            # the host's anchor lags the device by ~pipeline-depth
-            # emitted tokens, and the merge requires gap < h_len —
-            # shorter paths are guaranteed-unusable and must not burn
-            # the retry budget.
-            live = bool((paths_np[2] > self.depth + 1).any())
             self._retry = max(0, self._retry - 1)
-            if self._wide_ttl <= 0 and live and self._retry <= 0:
-                # Exponential retry backoff: quick probes while paths
-                # first appear (cold start), rare ones when the device
-                # persistently rejects them (dry workload); any
-                # consumption resets the cadence.
-                self._retry = self._retry_period
-                self._retry_period = min(64, self._retry_period * 2)
-                self._wide_ttl = 4
+            if self._wide_ttl > 0:
+                paths_np = self._host_paths()
+            elif self._retry <= 0:
+                # Retry probe: one round of walks tests for live paths.
+                # "Live" = long enough to survive the device's gap
+                # check: the host's anchor lags the device by
+                # ~pipeline-depth emitted tokens, and the merge requires
+                # gap < h_len — shorter paths are guaranteed-unusable
+                # and must not re-arm the wide program.
+                paths_np = self._host_paths()
+                if bool((paths_np[2] > self.depth + 1).any()):
+                    # Exponential backoff: quick probes while paths
+                    # first appear (cold start), rare ones when the
+                    # device persistently rejects them (dry workload);
+                    # any consumption resets the cadence.
+                    self._retry = self._retry_period
+                    self._retry_period = min(64, self._retry_period * 2)
+                    self._wide_ttl = 4
+                else:
+                    # Nothing live: keep probing at the BASE cadence
+                    # (no doubling — a workload turning hot must be
+                    # seen within ~RETRY_PERIOD steps, matching the
+                    # old walk-every-step liveness check).
+                    self._retry = self.RETRY_PERIOD
+                    paths_np = self._empty_paths()
+            else:
+                paths_np = self._empty_paths()   # backoff: no walks
             wide = self._wide_ttl > 0
+        elif self._suffix is not None:
+            paths_np = self._host_paths()
         key = (self._state["n_computed"].shape[0], k_eff,
                self._need_sampling, wide)
         fn = self._fns.get(key)
@@ -798,8 +814,7 @@ class FusedDecodeLoop:
         except AttributeError:
             pass
         self._inflight.append(
-            _InflightFused(telem, hidden if capture else None,
-                           k=k_eff, wide=wide, live=live))
+            _InflightFused(telem, hidden if capture else None, k=k_eff))
         eng.engine_stats.num_steps += 1
 
         while len(self._inflight) > self.depth:
@@ -916,8 +931,6 @@ class FusedDecodeLoop:
             capture_rows = np.asarray(step.hidden).reshape(
                 telem.shape[0] * r, -1)
             capture_items = []
-        any_drafts = False
-        was_wide = getattr(step, "wide", True)
         for i, req in enumerate(self._slots):
             if req is None or not self._host_alive[i]:
                 continue
@@ -935,7 +948,6 @@ class FusedDecodeLoop:
             req.output_token_ids.extend(toks)
             eng.scheduler.register_computed(req)
             if dlen_used > 0:
-                any_drafts = True
                 # Consumption: keep the wide program hot.
                 self._wide_ttl = max(self._wide_ttl, self.CONSUME_MEMORY)
                 self._retry_period = self.RETRY_PERIOD

@@ -50,6 +50,17 @@ class LLM:
                 self.engine.eos_token_id = self.tokenizer.eos_token_id
         self._next_id = 0
 
+    def close(self) -> None:
+        """Release engine resources (worker threads, pending futures)."""
+        if self.engine is not None:
+            self.engine.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def _load_tokenizer(self):
         path = Path(self.config.model.tokenizer or self.config.model.model)
         if not (path / "tokenizer_config.json").exists() and \

@@ -60,6 +60,12 @@ environment_variables: dict[str, Callable[[], Any]] = {
     "ARCTIC_TPU_FORCE_PALLAS_INTERPRET":
         lambda: os.environ.get(
             "ARCTIC_TPU_FORCE_PALLAS_INTERPRET", "0") == "1",
+    # Pin the fused suffix loop's wide/narrow program choice ("wide" |
+    # "narrow" | "" = policy).  A/B lever for the width-policy serving
+    # matrix (benchmarks/serve_bench.py --force-width): "wide" is the
+    # round-3 always-speculate behaviour, "narrow" never verifies.
+    "ARCTIC_TPU_FUSED_FORCE_WIDTH":
+        lambda: os.environ.get("ARCTIC_TPU_FUSED_FORCE_WIDTH", ""),
 }
 
 

@@ -142,17 +142,26 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
     # workload=repeat re-sends the warm pass's prompts — the agentic
     # re-query pattern and the reference's suffix-decoding sweet spot
     # (docs/suffix-decoding.rst:65-88: responses repeat text the cache
-    # has seen, so the global response tree drafts whole continuations).
+    # has seen, so the global response tree drafts whole continuations);
+    # workload=mixed interleaves both IN ONE BATCH (even slots re-sent =
+    # suffix-hot, odd slots fresh = dry) — the realistic serving case a
+    # batch-global wide/narrow program choice cannot serve per-slot by
+    # construction (round-4 verdict item 3's oracle-loss measurement).
     # Every config runs the same workload, so prefix-cache prefill hits
     # benefit baseline and suffix alike; the suffix win is decode-side.
     one_pass("warm", make_prompts(0))
-    if workload == "repeat":
-        # The repeat pass hits the prefix cache, which lands in DIFFERENT
+    if workload in ("repeat", "mixed"):
+        # The repeat half hits the prefix cache, which lands in DIFFERENT
         # (small catch-up) shape buckets than the full prefill — warm
         # those too so the measured pass is compile-free.
         one_pass("warm2", make_prompts(0))
-    dt, ttfts, finished = one_pass(
-        "run", make_prompts(0 if workload == "repeat" else 1))
+    if workload == "mixed":
+        warm, fresh = make_prompts(0), make_prompts(1)
+        run_prompts = [warm[i] if i % 2 == 0 else fresh[i]
+                       for i in range(num_prompts)]
+    else:
+        run_prompts = make_prompts(0 if workload == "repeat" else 1)
+    dt, ttfts, finished = one_pass("run", run_prompts)
 
     gen_tokens = sum(len(r.output_token_ids) for r in finished)
     tpots = [(dt - ttft) / max(len(r.output_token_ids) - 1, 1)
@@ -173,6 +182,17 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
         "spec": eng.spec_stats.summary(),
         "engine_steps": eng.engine_stats.num_steps,
     }
+    import os
+    if os.environ.get("ARCTIC_TPU_FUSED_FORCE_WIDTH"):
+        out["force_width"] = os.environ["ARCTIC_TPU_FUSED_FORCE_WIDTH"]
+    if workload == "mixed":
+        # Per-class TPOT: even run slots are repeat-hot, odd are fresh.
+        def cls_tpot(parity):
+            vals = [t for r, t in zip(finished, tpots)
+                    if int(r.req_id.rsplit("-", 1)[1]) % 2 == parity]
+            return round(float(np.mean(vals)) * 1e3, 2) if vals else None
+        out["tpot_hot_ms"] = cls_tpot(0)
+        out["tpot_fresh_ms"] = cls_tpot(1)
     return out
 
 
@@ -192,12 +212,22 @@ def main() -> None:
                              "outputs => demonstrates spec acceptance "
                              "with random weights)")
     parser.add_argument("--workload", default="random",
-                        choices=["random", "repeat"],
+                        choices=["random", "repeat", "mixed"],
                         help="repeat = re-send the warm pass's prompts "
-                             "(agentic re-query; suffix sweet spot)")
+                             "(agentic re-query; suffix sweet spot); "
+                             "mixed = half repeat-hot + half fresh in "
+                             "one batch (per-slot width oracle study)")
+    parser.add_argument("--force-width", default=None,
+                        choices=["wide", "narrow"],
+                        help="pin the fused suffix loop's program "
+                             "(ARCTIC_TPU_FUSED_FORCE_WIDTH): the "
+                             "always-wide / always-narrow endpoints the "
+                             "width policy is judged against")
     args = parser.parse_args()
 
     import os
+    if args.force_width:
+        os.environ["ARCTIC_TPU_FUSED_FORCE_WIDTH"] = args.force_width
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/tmp/arctic_tpu_jax_cache")
     import jax
@@ -228,6 +258,8 @@ def main() -> None:
                 cmd += ["--no-fused-decode"]
             if args.workload != "random":
                 cmd += ["--workload", args.workload]
+            if args.force_width:
+                cmd += ["--force-width", args.force_width]
             proc = subprocess.run(cmd, capture_output=True, text=True)
             sys.stderr.write(proc.stderr[-2000:])
             for line in proc.stdout.splitlines():
