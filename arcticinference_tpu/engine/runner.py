@@ -84,16 +84,27 @@ class ModelRunner:
         # Fused qkv / gate+up weight layout: one dot per group halves the
         # fixed per-dot cost on the decode weight stream (exact same
         # dequant values — per-segment scales ride the dot epilogue).
-        # Requires the out axis unsharded: tp == 1 and no shift re-slice
-        # (shift-mode layer_params slices by unfused key names).
+        # On meshes the fusion interleaves PER-FUSED-SHARD segments
+        # (interleave = tp * (sp if shift else 1)) so the column order
+        # survives the contiguous tp split and the shift re-slice
+        # (ops/fp8.fuse_quantized; round-4 verdict item 6).  Gated to
+        # whole heads/columns per fused shard — which also excludes the
+        # kv-replication case (head-granular kv re-slicing cannot reach
+        # inside the fusion).
         from arcticinference_tpu import envs as _envs
         fuse_hook = getattr(module, "fuse_params", None)
         if (fuse_hook is not None
-                and pcfg.tensor_parallel_size == 1
-                and pcfg.ulysses_sequence_parallel_size == 1
-                and not pcfg.enable_shift_parallel
                 and not _envs.ARCTIC_TPU_DISABLE_FUSED_WEIGHTS):
-            params = jax.jit(fuse_hook, donate_argnums=0)(params)
+            tp = pcfg.tensor_parallel_size
+            sp = pcfg.ulysses_sequence_parallel_size
+            fuse_w = tp * (sp if pcfg.enable_shift_parallel else 1)
+            if (arch.num_heads % fuse_w == 0
+                    and arch.num_kv_heads % fuse_w == 0
+                    and arch.intermediate_size % fuse_w == 0):
+                import functools as _ft
+                params = jax.jit(
+                    _ft.partial(fuse_hook, interleave=fuse_w),
+                    donate_argnums=0)(params)
         if pcfg.world_size > 1 and mesh is None:
             from arcticinference_tpu.parallel import mesh as mesh_lib
 

@@ -56,6 +56,12 @@ class LlamaArch:  # registry alias: Arch (see bottom of module)
     # Family variants sharing the Llama decoder body:
     attention_bias: bool = False   # Qwen2/2.5: biases on q/k/v projections
     qk_norm: bool = False          # Qwen3: per-head RMSNorm on q and k
+    # Number of interleaved [q|k|v] / [gate|up] segment groups in the
+    # LOCAL fused wqkv / w_gateup column layout (fuse_params interleave:
+    # an sp-enabled mesh stores tp*sp global segments, so the SP-mode tp
+    # shard sees sp groups; shift re-slices down to 1).  1 = plain
+    # [q|k|v] order (single chip / unfused).
+    fused_seg: int = 1
 
     @classmethod
     def from_hf_config(cls, cfg: dict[str, Any]) -> "LlamaArch":
@@ -194,7 +200,8 @@ def embed_lookup(params: dict, ids: jax.Array) -> jax.Array:
     return e[ids]
 
 
-def fuse_params(params: dict, unfuse: bool = False) -> dict:
+def fuse_params(params: dict, unfuse: bool = False,
+                interleave: int = 1) -> dict:
     """Fuse q|k|v -> ``wqkv`` and gate|up -> ``w_gateup`` (one dot each).
 
     Batched decode on v5e is weight-stream-bound with a fixed per-dot
@@ -204,26 +211,42 @@ def fuse_params(params: dict, unfuse: bool = False) -> dict:
     per-out-channel, applied in the dot epilogue — see
     ``ops/fp8.fuse_quantized``).
 
-    Only valid when the out axis is NOT sharded across devices (tp == 1
-    and no shift re-slice): the concatenated column order would not
-    survive an even tp split.  The runner gates on that.  ``unfuse``
-    is for checkpoint save paths that want the HF layout back.
+    ``interleave=W`` fuses PER-SHARD segments (column order
+    ``[q_0|k_0|v_0|q_1|k_1|v_1|..]`` over W fused shards) so the
+    concatenated order survives a contiguous W-way split of the out
+    axis: the runner passes W = tp * (sp if shift else 1) and the fused
+    weights shard over "tp" / re-slice under shift like the unfused
+    ones (round-4 verdict item 6; see ``ops/fp8.fuse_quantized`` for
+    why no other weight needs reordering).  ``unfuse`` is for
+    checkpoint save paths that want the HF layout back.
     """
     from arcticinference_tpu.ops.fp8 import fuse_quantized
 
     if unfuse:
         raise NotImplementedError("save paths keep unfused params")
+
+    def bias_fuse(parts):
+        if interleave == 1:
+            return jnp.concatenate(parts, axis=-1)
+        segs = []
+        for f in range(interleave):
+            for p in parts:
+                nf = p.shape[-1] // interleave
+                segs.append(p[..., f * nf:(f + 1) * nf])
+        return jnp.concatenate(segs, axis=-1)
+
     layers = dict(params["layers"])
     if "wq" in layers:
         layers["wqkv"] = fuse_quantized(
-            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")])
+            [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")],
+            interleave=interleave)
         if "bq" in layers:
-            layers["bqkv"] = jnp.concatenate(
-                [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")],
-                axis=-1)
+            layers["bqkv"] = bias_fuse(
+                [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")])
     if "w_gate" in layers:
         layers["w_gateup"] = fuse_quantized(
-            [layers.pop("w_gate"), layers.pop("w_up")])
+            [layers.pop("w_gate"), layers.pop("w_up")],
+            interleave=interleave)
     out = dict(params)
     out["layers"] = layers
     return out
@@ -236,9 +259,20 @@ def _qkv(h, lp, arch):
             y = y + lp["bqkv"].astype(y.dtype)
         nq = arch.num_heads * arch.head_dim
         nkv = arch.num_kv_heads * arch.head_dim
-        q = y[:, :nq]
-        k = y[:, nq:nq + nkv]
-        v = y[:, nq + nkv:]
+        g = arch.fused_seg
+        if g > 1:
+            # Local shard holds g interleaved [q_f|k_f|v_f] groups (the
+            # SP-mode tp shard of shift-enabled fused weights); group-
+            # major re-concat restores contiguous global head order.
+            t = h.shape[0]
+            y3 = y.reshape(t, g, (nq + 2 * nkv) // g)
+            q = y3[:, :, :nq // g].reshape(t, nq)
+            k = y3[:, :, nq // g:(nq + nkv) // g].reshape(t, nkv)
+            v = y3[:, :, (nq + nkv) // g:].reshape(t, nkv)
+        else:
+            q = y[:, :nq]
+            k = y[:, nq:nq + nkv]
+            v = y[:, nq + nkv:]
     else:
         q = matmul(h, lp["wq"])
         k = matmul(h, lp["wk"])
@@ -484,11 +518,20 @@ def finalize_hidden(params: dict, arch: LlamaArch,
     return rms_norm(h, params["final_norm"], arch.rms_norm_eps)
 
 
-def _mlp(x, lp):
+def _mlp(x, lp, groups: int = 1):
     if "w_gateup" in lp:
         y = matmul(x, lp["w_gateup"])
         li = y.shape[-1] // 2
-        g, u = y[:, :li], y[:, li:]
+        if groups > 1:
+            # g interleaved [gate_f|up_f] groups (see _qkv): group-major
+            # re-concat restores contiguous column order, matching
+            # w_down's (unpermuted) in-axis rows.
+            t = y.shape[0]
+            y3 = y.reshape(t, groups, 2 * li // groups)
+            g = y3[:, :, :li // groups].reshape(t, li)
+            u = y3[:, :, li // groups:].reshape(t, li)
+        else:
+            g, u = y[:, :li], y[:, li:]
     else:
         g = matmul(x, lp["w_gate"])
         u = matmul(x, lp["w_up"])
@@ -498,7 +541,8 @@ def _mlp(x, lp):
 
 
 def _dense_mlp_fn(x, lp, arch, pctx):
-    return _mlp(x, lp)
+    return _mlp(x, lp, groups=(pctx.arch_view(arch).fused_seg
+                               if pctx is not None else arch.fused_seg))
 
 
 def make_attn_impl(attn_qb: int = 32, decode_qlen: int = 1):

@@ -170,7 +170,7 @@ def weight_quantize(w: jax.Array, mode: str) -> QuantizedLinear:
     raise ValueError(f"unknown quantization mode {mode!r}")
 
 
-def fuse_quantized(parts: list):
+def fuse_quantized(parts: list, interleave: int = 1):
     """Concatenate linear weights along the out axis into ONE matmul
     operand (fused qkv / gate+up decode-path optimization).
 
@@ -180,16 +180,40 @@ def fuse_quantized(parts: list):
     bit-identical to ``dequant(part)``.  The fused matmul then takes the
     (already fast) per-out-channel epilogue of the int8 path.
 
+    ``interleave=W`` emits the W-shard-interleaved column order
+    ``[p0_0|p1_0|..|p0_1|p1_1|..]`` (chunk f of each part = its f-th
+    1/W out-column slice): a contiguous W-way split of the fused out
+    axis then hands shard f exactly ``[q_f|k_f|v_f]`` — the layout that
+    lets the fused weights shard over tp and re-slice under shift
+    (parallel/ulysses.py layer_params).  Because consecutive chunks of
+    one part tile its contiguous column range in order, the PER-PART
+    column order inside any contiguous group of shards is unchanged —
+    no wo/w_down row permutation is needed anywhere.
+
     Why fuse: batched decode is weight-stream-bound and v5e pays a fixed
     per-dot cost that dominates the small q/k/v dots; one [d, nq+2*nkv]
     dot streams the same bytes in ~half the device time (measured in
     ``benchmarks/stream_microbench.py``).
     """
+    def chunks(arrs):
+        """Interleave: per-shard chunks of each part, shard-major."""
+        if interleave == 1:
+            return list(arrs)
+        out = []
+        for f in range(interleave):
+            for a in arrs:
+                n = a.shape[-1]
+                assert n % interleave == 0, \
+                    f"out dim {n} not divisible by interleave={interleave}"
+                nf = n // interleave
+                out.append(a[..., f * nf:(f + 1) * nf])
+        return out
+
     if not any(isinstance(p, QuantizedLinear) for p in parts):
-        return jnp.concatenate(parts, axis=-1)
+        return jnp.concatenate(chunks(parts), axis=-1)
     assert all(isinstance(p, QuantizedLinear) for p in parts), \
         "cannot fuse quantized with unquantized weights"
-    w = jnp.concatenate([p.weight for p in parts], axis=-1)
+    w = jnp.concatenate(chunks([p.weight for p in parts]), axis=-1)
     scales = []
     group = parts[0].scale.ndim == parts[0].weight.ndim
     for p in parts:
@@ -207,7 +231,7 @@ def fuse_quantized(parts: list):
             s = s.reshape(s.shape + (1,) * (len(tgt) - s.ndim))
             scales.append(jnp.broadcast_to(s.astype(jnp.float32), tgt))
     return QuantizedLinear(weight=w,
-                           scale=jnp.concatenate(scales, axis=-1))
+                           scale=jnp.concatenate(chunks(scales), axis=-1))
 
 
 def fp8_dequantize(q: QuantizedLinear,

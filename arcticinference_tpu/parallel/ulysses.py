@@ -64,7 +64,15 @@ class ParallelContext:
                           # Qwen2 qkv biases: [out]-shaped, slice axis 0
                           # (kv biases follow the wk/wv head-granular
                           # slice under GQA replication).
-                          "bq": 0, "bk": 0, "bv": 0}
+                          "bq": 0, "bk": 0, "bv": 0,
+                          # Fused decode layout (llama.fuse_params with
+                          # interleave=tp*sp): the tp shard's out axis
+                          # is sp consecutive [q_f|k_f|v_f] groups, so
+                          # the plain contiguous subchunk slice is
+                          # exactly the fused-shard segment.  Gated to
+                          # kv_rep == 1 by the runner (head-granular kv
+                          # re-slicing cannot reach inside the fusion).
+                          "wqkv": 1, "w_gateup": 1, "bqkv": 0}
 
     def __init__(self, cfg: ParallelConfig, mode: str,
                  num_kv_heads: int = 0, head_dim: int = 0,
@@ -169,10 +177,21 @@ class ParallelContext:
 
     def arch_view(self, arch):
         div = self.tp if self.mode == "sp" else self.tp * self.sp
+        kw = {}
+        if hasattr(arch, "fused_seg"):
+            # Fused-weight group count in the LOCAL shard: the runner
+            # fuses with interleave = tp * (sp if shift-enabled else 1),
+            # so the SP-mode tp shard holds sp groups when shift is on;
+            # shift's layer_params re-slice leaves exactly one.  Read in
+            # _qkv/_mlp only when fused keys are present, so setting it
+            # unconditionally is harmless for unfused params.
+            shift_on = self.cfg.enable_shift_parallel
+            kw["fused_seg"] = (self.sp if (self.mode == "sp" and shift_on
+                                           and self.sp > 1) else 1)
         return dataclasses.replace(
             arch,
             num_heads=arch.num_heads // div,
-            num_kv_heads=max(arch.num_kv_heads // div, 1))
+            num_kv_heads=max(arch.num_kv_heads // div, 1), **kw)
 
     def _rep_kv(self, k):
         """[T, g, D] -> [T, sp, D]: repeat so the sp all-to-all delivers

@@ -284,6 +284,189 @@ def distill_mlp(target_params, hidden, tok0, targets, mask,
     return full_params(train, frozen), arch, per_head
 
 
+def _lstm_chain_logits(params, arch, hidden, tok0, targets):
+    """Teacher-forced sum_lstm chain (mirrors
+    ``speculators.lstm_generate_proposals`` with the argmax feedback
+    replaced by the target's next token); yields per-head fp32 logits."""
+    b = hidden.shape[0]
+    p0 = arch.proj_dim[0]
+    state = hidden.astype(jnp.float32)
+    if arch.scale_input:
+        state = l2_norm_scaled(state, None, None) / SQRT2
+    cell = jnp.zeros((b, arch.inner_dim[0]), jnp.float32)
+    tok = tok0
+    alpha = arch.emb_weight / arch.state_weight
+    out = []
+    for i in range(arch.n_predict):
+        proj = params["proj_first"] if i == 0 else params["proj_rest"]
+        z = _embed(params["forget_emb"], tok)
+        z4 = jnp.tile(z, (1, 4))
+        states = _mm(state, proj) + alpha * z4
+        gates, cand = states[:, :3 * p0], states[:, 3 * p0:]
+        gates = jax.nn.sigmoid(gates)
+        fg, ig, og = (gates[:, :p0], gates[:, p0:2 * p0],
+                      gates[:, 2 * p0:])
+        cand = jax.nn.gelu(
+            l2_norm_scaled(cand, params["cell_ln_w"],
+                           params["cell_ln_b"]).astype(jnp.float32),
+            approximate=False) * ig
+        cell = cell * fg + cand
+        state = jax.nn.gelu(
+            l2_norm_scaled(cell, params["state_ln_w"],
+                           params["state_ln_b"]).astype(jnp.float32),
+            approximate=False) * og
+        out.append(_mm(state, params["head"]))
+        tok = targets[:, i]          # teacher forcing
+    return out
+
+
+def distill_lstm(hidden_dim: int, vocab_size: int, hidden, tok0, targets,
+                 mask, n_predict: int = 3, steps: int = 400,
+                 batch_size: int = 1024, lr: float = 1e-3, seed: int = 0,
+                 log_every: int = 100):
+    """Train a full ``sum_lstm`` drafter (the reference's second
+    speculator architecture, ``arctic_speculator.py:404-470``) on
+    captured (hidden, next-K) pairs.
+
+    Unlike :func:`distill_mlp` the LSTM trains its own embedding and
+    head (the sum_lstm cell consumes a 4x-tiled forget embedding that
+    has no tied-table analogue); intended for small-vocab teachers
+    (benchmarks/transfer_drafter.py --kind lstm).  Returns
+    ``(params, LSTMSpecArch, per_head_accuracy)`` in the inference
+    pytree layout of ``speculators.lstm_generate_proposals``.
+    """
+    import optax
+
+    from arcticinference_tpu.models.speculators import LSTMSpecArch
+
+    d = int(hidden_dim)
+    # emb_dim == proj_dim: the cell consumes the forget embedding tiled
+    # 4x against the [b, 4*p0] gate projection (lstm_generate_proposals).
+    arch = LSTMSpecArch(vocab_size=int(vocab_size), input_hidden_dim=d,
+                        emb_dim=(d,), inner_dim=(d,), proj_dim=(d,),
+                        n_predict=n_predict)
+    rng = jax.random.PRNGKey(seed)
+    ks = iter(jax.random.split(rng, 8))
+
+    def w(shape):
+        return jax.random.normal(next(ks), shape, jnp.float32) \
+            / math.sqrt(shape[0])
+
+    train = {
+        "forget_emb": w((arch.vocab_size, arch.emb_dim[0])),
+        "proj_first": w((d, d * 4)),
+        "proj_rest": w((d, d * 4)),
+        "cell_ln_w": jnp.ones((d,), jnp.float32),
+        "cell_ln_b": jnp.zeros((d,), jnp.float32),
+        "state_ln_w": jnp.ones((d,), jnp.float32),
+        "state_ln_b": jnp.zeros((d,), jnp.float32),
+        "head": w((d, arch.vocab_size)),
+    }
+
+    n = hidden.shape[0]
+    batch_size = min(batch_size, n)
+    data = tuple(jax.device_put(x)
+                 for x in (hidden, tok0, targets, mask))
+
+    opt = optax.adam(lr)
+    opt_state = opt.init(train)
+
+    def loss_fn(train, h, t0, tgt, m):
+        logits = _lstm_chain_logits(train, arch, h, t0, tgt)
+        total = 0.0
+        for i, lg in enumerate(logits):
+            lse = jax.scipy.special.logsumexp(lg, axis=-1)
+            ce = lse - jnp.take_along_axis(
+                lg, tgt[:, i][:, None], axis=1)[:, 0]
+            total = total + jnp.sum(ce * m[:, i]) / jnp.maximum(
+                jnp.sum(m[:, i]), 1.0)
+        return total
+
+    @jax.jit
+    def train_step(train, opt_state, key, hd, td, tg, mk):
+        idx = jax.random.randint(key, (batch_size,), 0, n)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            train, hd[idx], td[idx], tg[idx], mk[idx])
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(train, updates), opt_state, loss
+
+    @jax.jit
+    def eval_acc(train, h, t0, tgt, m):
+        logits = _lstm_chain_logits(train, arch, h, t0, tgt)
+        return jnp.stack([
+            jnp.sum((jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                     == tgt[:, i]) * m[:, i])
+            / jnp.maximum(jnp.sum(m[:, i]), 1.0)
+            for i, lg in enumerate(logits)])
+
+    key = jax.random.PRNGKey(seed + 1)
+    for step in range(steps):
+        key, sub = jax.random.split(key)
+        train, opt_state, loss = train_step(train, opt_state, sub, *data)
+        if log_every and (step + 1) % log_every == 0:
+            logger.info("lstm distill step %d: loss %.4f", step + 1,
+                        float(loss))
+
+    accs = np.zeros(n_predict, np.float64)
+    wsum = np.zeros(n_predict, np.float64)
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        if hi - lo < batch_size:
+            lo = max(0, hi - batch_size)
+        a = np.asarray(eval_acc(train, data[0][lo:hi], data[1][lo:hi],
+                                data[2][lo:hi], data[3][lo:hi]))
+        msum = np.asarray(mask[lo:hi].sum(0))
+        accs += a * msum
+        wsum += msum
+    per_head = accs / np.maximum(wsum, 1.0)
+    logger.info("lstm distill done: per-head accuracy %s",
+                np.round(per_head, 4).tolist())
+    return train, arch, per_head
+
+
+def save_lstm(out_dir, params: dict, arch, metrics: Optional[dict] = None
+              ) -> None:
+    """Write a trained sum_lstm drafter in the HF-style key layout
+    ``speculators.load_lstm_state`` expects (projs transposed back)."""
+    from safetensors.numpy import save_file
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    def t(x):
+        # safetensors writes the raw buffer: a transposed VIEW would be
+        # saved with its pre-transpose layout (silently scrambling the
+        # matrix); force a contiguous copy of the transposed data.
+        return np.ascontiguousarray(np.asarray(x).T)
+
+    tensors = {
+        "forget_emb.0.weight": np.asarray(params["forget_emb"]),
+        "projs.0.weight": t(params["proj_first"]),
+        "projs.1.weight": t(params["proj_rest"]),
+        "cell_ln.0.weight": np.asarray(params["cell_ln_w"]),
+        "cell_ln.0.bias": np.asarray(params["cell_ln_b"]),
+        "state_ln.0.weight": np.asarray(params["state_ln_w"]),
+        "state_ln.0.bias": np.asarray(params["state_ln_b"]),
+        "head.0.weight": t(params["head"]),
+    }
+    save_file(tensors, str(out / "model.safetensors"))
+    cfg = {
+        "method": "sum_lstm",
+        "architectures": ["ArcticLSTMSpeculator"],
+        "n_predict": arch.n_predict,
+        "input_hidden_dim": arch.input_hidden_dim,
+        "emb_dim": list(arch.emb_dim),
+        "inner_dim": list(arch.inner_dim),
+        "proj_dim": list(arch.proj_dim),
+        "vocab_size": arch.vocab_size,
+        "tie_weights": True,
+        "tie_lstm_embs": True,
+        "scale_input": arch.scale_input,
+    }
+    if metrics:
+        cfg["distill_metrics"] = metrics
+    (out / "config.json").write_text(json.dumps(cfg, indent=2))
+
+
 # --------------------------------------------------------------------- #
 # Checkpoint format ("distilled_tied")
 # --------------------------------------------------------------------- #

@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--n-predict", type=int, default=3)
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--kind", default="both",
+                    choices=["mlp", "lstm", "both"],
+                    help="drafter architecture(s): the tied-table MLP "
+                         "chain and/or the sum_lstm cell (reference "
+                         "arctic_speculator.py:404-470)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -118,12 +123,20 @@ def main():
             speculative=speculative,
         )
 
+    from arcticinference_tpu.spec.distill import distill_lstm, save_lstm
+
+    kinds = ["mlp", "lstm"] if args.kind == "both" else [args.kind]
     drafter_dir = Path(args.drafter_out or
                        (REPO / "checkpoints" /
                         f"drafter-tiny-markov-k{args.n_predict}"))
-    if not (drafter_dir / "config.json").exists():
-        # --- capture on TRAIN prompts (spec-shaped: same programs the
-        # eval run uses) -------------------------------------------------
+    dirs = {"mlp": drafter_dir,
+            "lstm": Path(str(drafter_dir) + "-lstm")}
+    missing = [k for k in kinds
+               if not (dirs[k] / "config.json").exists()]
+    if missing:
+        # --- capture on TRAIN prompts ONCE (spec-shaped: same programs
+        # the eval run uses); both drafter kinds train on the same
+        # pairs. -------------------------------------------------------
         seed_dir = str(drafter_dir) + "-seed"
         if not (Path(seed_dir) / "config.json").exists():
             hidden = 128
@@ -142,38 +155,60 @@ def main():
         print(f"[transfer] captured {hidden.shape[0]} pairs in "
               f"{time.time()-t0:.1f}s", file=sys.stderr)
         target_params = llm.engine.runner.params
+        target_arch = llm.engine.runner.arch
         llm.engine = None
 
-        t0 = time.time()
-        params, arch, acc = distill_mlp(
-            target_params, hidden, tok0, targets, mask,
-            n_predict=args.n_predict, steps=args.steps,
-            batch_size=min(1024, hidden.shape[0]), lr=args.lr,
-            log_every=200)
-        print(f"[transfer] distilled in {time.time()-t0:.1f}s; "
-              f"train acc {np.round(acc, 3).tolist()}", file=sys.stderr)
-        save_distilled(drafter_dir, params, arch, metrics={
-            "train_acc": [float(a) for a in acc],
-            "pairs": int(hidden.shape[0]),
-            "transfer_protocol": "train lo=0.0-0.4, eval lo=0.6-1.0",
-        })
+        proto = "train lo=0.0-0.4, eval lo=0.6-1.0"
+        for kind in missing:
+            t0 = time.time()
+            if kind == "mlp":
+                params, arch, acc = distill_mlp(
+                    target_params, hidden, tok0, targets, mask,
+                    n_predict=args.n_predict, steps=args.steps,
+                    batch_size=min(1024, hidden.shape[0]), lr=args.lr,
+                    log_every=200)
+                save_distilled(dirs[kind], params, arch, metrics={
+                    "train_acc": [float(a) for a in acc],
+                    "pairs": int(hidden.shape[0]),
+                    "transfer_protocol": proto,
+                })
+            else:
+                params, arch, acc = distill_lstm(
+                    target_arch.hidden_size, target_arch.vocab_size,
+                    hidden, tok0, targets, mask,
+                    n_predict=args.n_predict, steps=args.steps,
+                    batch_size=min(1024, hidden.shape[0]), lr=args.lr,
+                    log_every=200)
+                save_lstm(dirs[kind], params, arch, metrics={
+                    "train_acc": [float(a) for a in acc],
+                    "pairs": int(hidden.shape[0]),
+                    "transfer_protocol": proto,
+                })
+            print(f"[transfer] {kind} distilled in {time.time()-t0:.1f}s;"
+                  f" train acc {np.round(acc, 3).tolist()}",
+                  file=sys.stderr)
         del llm, target_params
 
     # --- evaluate on HELD-OUT prompts --------------------------------
-    spec_cfg = SpeculativeConfig(method="arctic", model=str(drafter_dir),
-                                 num_speculative_tokens=args.n_predict)
-    sllm = LLM(engine_cfg(speculative=spec_cfg))
-    sllm.generate(prompt_token_ids=held_prompts,
-                  sampling_params=SamplingParams(max_tokens=8,
-                                                 ignore_eos=True))
-    spec_toks_s, _, _ = bench.decode_tokens_per_s(
-        sllm, SamplingParams, held_prompts, held_prompts, held_prompts,
-        args.gen)
-    st = sllm.engine.spec_stats
-    acceptance = st.acceptance_rate if st.num_drafts else 0.0
-    tokens_per_step = (1 + st.mean_accepted_per_draft
-                       if st.num_drafts else 1.0)
-    del sllm
+    def eval_spec(model_dir):
+        spec_cfg = SpeculativeConfig(
+            method="arctic", model=str(model_dir),
+            num_speculative_tokens=args.n_predict)
+        sllm = LLM(engine_cfg(speculative=spec_cfg))
+        sllm.generate(prompt_token_ids=held_prompts,
+                      sampling_params=SamplingParams(max_tokens=8,
+                                                     ignore_eos=True))
+        toks_s, _, _ = bench.decode_tokens_per_s(
+            sllm, SamplingParams, held_prompts, held_prompts,
+            held_prompts, args.gen)
+        st = sllm.engine.spec_stats
+        kind = sllm.engine._drafter.kind
+        acc = st.acceptance_rate if st.num_drafts else 0.0
+        tps = 1 + st.mean_accepted_per_draft if st.num_drafts else 1.0
+        sllm.engine = None
+        return toks_s, acc, tps, kind
+
+    results = {k: eval_spec(dirs[k]) for k in kinds}
 
     gllm = LLM(engine_cfg())
     gllm.generate(prompt_token_ids=held_prompts,
@@ -184,17 +219,29 @@ def main():
         args.gen)
     del gllm
 
+    def block(res):
+        toks_s, acc, tps, kind = res
+        return {
+            "transfer_acceptance": round(float(acc), 4),
+            "transfer_tokens_per_step": round(float(tps), 3),
+            "spec_tokens_per_s": round(toks_s, 2),
+            "greedy_tokens_per_s": round(greedy_toks_s, 2),
+            "speedup": round(toks_s / greedy_toks_s, 3),
+            "drafter_kind": kind,
+        }
+
+    # Top level stays the MLP numbers (bench.py / smoke-test contract);
+    # the sum_lstm architecture lands as a sub-block.
+    first = kinds[0]
     out = {
-        "transfer_acceptance": round(float(acceptance), 4),
-        "transfer_tokens_per_step": round(float(tokens_per_step), 3),
-        "spec_tokens_per_s": round(spec_toks_s, 2),
-        "greedy_tokens_per_s": round(greedy_toks_s, 2),
-        "speedup": round(spec_toks_s / greedy_toks_s, 3),
+        **block(results[first]),
         "n_predict": args.n_predict,
         "batch": args.batch,
         "protocol": "distilled on corpus[0:40%], evaluated on "
                     "corpus[60:100%] (disjoint prompts, trained teacher)",
     }
+    for k in kinds[1:]:
+        out[k] = block(results[k])
     print(json.dumps(out))
 
 

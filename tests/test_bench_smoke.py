@@ -80,6 +80,8 @@ def test_bench_curve_and_transfer_blocks(tmp_path):
     assert xfer, f"spec_transfer missing: {sorted(out)}"
     assert "error" not in xfer, xfer
     # The bar from the verdict: held-out acceptance on the trained
-    # teacher must be well above chance (measured ~0.81).
+    # teacher must be well above chance (measured ~0.81 mlp, ~0.89
+    # lstm — both drafter architectures run by default).
     assert xfer["transfer_acceptance"] > 0.3
     assert xfer["transfer_tokens_per_step"] > 1.5
+    assert xfer["lstm"]["transfer_acceptance"] > 0.3

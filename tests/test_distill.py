@@ -10,6 +10,8 @@ and verify that speculative decoding with the distilled drafter
    >1 token per target step).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -160,3 +162,72 @@ class TestDistill:
         for g, w in zip(got, want):
             assert g.token_ids == w
         assert llm.engine.spec_stats.acceptance_rate > 0.5
+
+
+class TestLSTMDistill:
+    """The sum_lstm drafter kind end-to-end (round-5 item 5): train on
+    captured pairs, save/load through the HF-style checkpoint layout,
+    and draft through the engine."""
+
+    def test_lstm_save_load_roundtrip_exact(self, tmp_path):
+        """save_lstm -> load_lstm_state must be value-exact: safetensors
+        writes raw buffers, so transposed views must be materialised
+        (the round-5 bug: .T views saved with pre-transpose layout)."""
+        import jax.numpy as jnp
+
+        from arcticinference_tpu.models import speculators as sm
+        from arcticinference_tpu.spec.distill import (distill_lstm,
+                                                      save_lstm)
+
+        rng = np.random.default_rng(0)
+        hidden = rng.standard_normal((256, 32)).astype(np.float32)
+        tok0 = rng.integers(0, 64, 256).astype(np.int32)
+        targets = rng.integers(0, 64, (256, 3)).astype(np.int32)
+        mask = np.ones((256, 3), np.float32)
+        params, arch, _ = distill_lstm(32, 64, hidden, tok0, targets,
+                                       mask, steps=3, log_every=0)
+        save_lstm(tmp_path / "d", params, arch)
+
+        import json
+
+        from safetensors import safe_open
+        cfg = json.loads((tmp_path / "d" / "config.json").read_text())
+        arch2 = sm.LSTMSpecArch.from_hf_config(cfg)
+        assert arch2 == arch
+        tensors = {}
+        with safe_open(str(tmp_path / "d" / "model.safetensors"),
+                       framework="numpy") as st:
+            for n in st.keys():
+                tensors[n] = st.get_tensor(n)
+        p2 = sm.load_lstm_state(arch2, tensors, dtype=jnp.float32)
+        for k in params:
+            np.testing.assert_array_equal(np.asarray(params[k]),
+                                          np.asarray(p2[k]), err_msg=k)
+
+    @pytest.mark.slow
+    def test_transfer_pipeline_both_kinds(self, tmp_path):
+        """Drive benchmarks/transfer_drafter.py (capture -> distill ->
+        held-out eval on the trained tiny teacher) for BOTH drafter
+        architectures; held-out acceptance must clear the verdict bar
+        (>0.3; measured ~0.81 mlp / ~0.89 lstm)."""
+        import json
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        repo = Path(__file__).resolve().parent.parent
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        res = subprocess.run(
+            [sys.executable, str(repo / "benchmarks/transfer_drafter.py"),
+             "--ckpt", str(tmp_path / "teacher"),
+             "--drafter-out", str(tmp_path / "drafter"),
+             "--steps", "400"],
+            capture_output=True, text=True, timeout=1200, cwd=str(repo),
+            env=env)
+        assert res.returncode == 0, res.stderr[-2000:]
+        out = json.loads([ln for ln in res.stdout.splitlines()
+                          if ln.startswith("{")][-1])
+        assert out["drafter_kind"] == "mlp"
+        assert out["transfer_acceptance"] > 0.3
+        assert out["lstm"]["transfer_acceptance"] > 0.3
+        assert out["lstm"]["drafter_kind"] == "lstm"
