@@ -148,7 +148,15 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
         gen = spec_arch = None
 
     def step(params, spec_params, kv, state, block_tables, kv_scale,
-             h_path=None, h_start=None, h_len=None):
+             h_pack=None):
+        # Suffix path upload rides ONE packed int32 array [B, PLEN+2]
+        # (= path tokens | anchor | usable length): each extra
+        # host->device transfer costs ~ms on the axon tunnel, and the
+        # loop uploads every step (round-5: was 3 transfers).
+        if h_pack is not None:
+            h_path = h_pack[:, :plen]
+            h_start = h_pack[:, plen]
+            h_len = h_pack[:, plen + 1]
         b = state["n_computed"].shape[0]
         n_comp = state["n_computed"]                       # [B]
         alive = state["alive"]                             # [B] 0/1
@@ -757,7 +765,8 @@ class FusedDecodeLoop:
                 # gap < h_len — shorter paths are guaranteed-unusable
                 # and must not re-arm the wide program.
                 paths_np = self._host_paths()
-                if bool((paths_np[2] > self.depth + 1).any()):
+                if bool((paths_np[:, self._plen + 1]
+                         > self.depth + 1).any()):
                     # Exponential backoff: quick probes while paths
                     # first appear (cold start), rare ones when the
                     # device persistently rejects them (dry workload);
@@ -804,8 +813,16 @@ class FusedDecodeLoop:
                 "paths": paths_np})
             self._announce_state = None
             self._bt_dirty = False
-        args = (tuple(self._put(a) for a in paths_np)
-                if paths_np is not None else ())
+        if paths_np is None:
+            args = ()
+        elif paths_np is getattr(self, "_empty_paths_np", None):
+            # Narrow/backoff steps: reuse the cached device copy — zero
+            # host->device transfers for the whole step.
+            if getattr(self, "_empty_paths_dev", None) is None:
+                self._empty_paths_dev = self._put(paths_np)
+            args = (self._empty_paths_dev,)
+        else:
+            args = (self._put(paths_np),)
         self.runner.kv, self._state, telem, hidden = fn(
             self.runner.params, spec_params, self.runner.kv,
             self._state, self._bt_dev, self.runner.kv_scale, *args)
@@ -836,15 +853,16 @@ class FusedDecodeLoop:
         return self._spec_params_global
 
     def _empty_paths(self):
-        """Zero-length path upload for narrow steps (h_len == 0 is
-        rejected by the device's usable gate; shapes match
-        _host_paths)."""
+        """Zero-length packed path upload for narrow/backoff steps
+        (h_len == 0 is rejected by the device's usable gate; shape
+        matches _host_paths).  The DEVICE copy is cached too, so a
+        narrow step performs zero host->device transfers."""
         b = self._state["n_computed"].shape[0]
         cached = getattr(self, "_empty_paths_np", None)
-        if cached is None or cached[0].shape[0] != b:
-            cached = (np.zeros((b, self._plen), np.int32),
-                      np.zeros(b, np.int32), np.zeros(b, np.int32))
+        if cached is None or cached.shape[0] != b:
+            cached = np.zeros((b, self._plen + 2), np.int32)
             self._empty_paths_np = cached
+            self._empty_paths_dev = None
         return cached
 
     def _host_paths(self):
@@ -857,9 +875,10 @@ class FusedDecodeLoop:
         eng = self.engine
         sc = eng.config.speculative
         b = self._state["n_computed"].shape[0]
-        h_path = np.zeros((b, self._plen), np.int32)
-        h_start = np.zeros(b, np.int32)
-        h_len = np.zeros(b, np.int32)
+        pack = np.zeros((b, self._plen + 2), np.int32)
+        h_path = pack[:, :self._plen]
+        h_start = pack[:, self._plen]
+        h_len = pack[:, self._plen + 1]
         # Suffix wins over the model drafter only when its score clears
         # the drafter's draft length (reference model_runner.py:546-575).
         min_score = (0 if eng._drafter is None
@@ -891,7 +910,7 @@ class FusedDecodeLoop:
                     h_path[i, :n] = res.token_ids[:n]
                     h_start[i] = len(req.all_token_ids)
                     h_len[i] = n
-        return (h_path, h_start, h_len)
+        return pack
 
     def _pre_extend_blocks(self) -> bool:
         """Grow block tables to cover the worst-case frontier of every

@@ -281,16 +281,15 @@ def follower_serve(engine, channel: FollowerChannel) -> None:
             if msg["state"] is not None:
                 fused_state = {k: runner._replicated(v)
                                for k, v in msg["state"].items()}
-            from arcticinference_tpu.engine.fused_decode import (
-                adapt_state_k)
-
-            # Adaptive K: mirror the leader's draft-lane resize so the
-            # replicated state matches the per-step program width.
-            fused_state = adapt_state_k(fused_state, msg["k"],
-                                        runner._replicated)
+            # (adaptive-K was removed in round 4: K is fixed for the
+            # life of a fused session, announced with the state; the
+            # wide/narrow width choice arrives per step via msg["wide"]
+            # and selects between two compiled programs over the SAME
+            # state layout.)
             if msg["bt"] is not None:
                 fused_bt = runner._replicated(msg["bt"])
-            args = (tuple(runner._replicated(a) for a in msg["paths"])
+            # Packed [B, PLEN+2] suffix path upload (one array since r5).
+            args = ((runner._replicated(msg["paths"]),)
                     if msg["paths"] is not None else ())
             outs = fn(
                 runner.params, loop._spec_params(), runner.kv,

@@ -37,7 +37,7 @@ TINY = dict(
 
 
 def build_config(name: str, on_tpu: bool, vocab_size=None,
-                 no_fused=False):
+                 no_fused=False, suffix_spec_len=None):
     from arcticinference_tpu.config import (CacheConfig, EngineConfig,
                                             ModelConfig, SchedulerConfig,
                                             SpeculativeConfig)
@@ -48,9 +48,12 @@ def build_config(name: str, on_tpu: bool, vocab_size=None,
     model = "llama"
     spec = None
     swift_blocks = False
+    sk = {}
+    if suffix_spec_len:
+        sk["fused_suffix_spec_len"] = suffix_spec_len
     if name == "suffix":
         spec = SpeculativeConfig(method="suffix", suffix_cache_max_depth=64,
-                                 enable_fused_decode=not no_fused)
+                                 enable_fused_decode=not no_fused, **sk)
         # Fused-loop programs live alongside the sync spec buckets;
         # trade KV capacity for compiled-program + activation headroom.
         swift_blocks = True
@@ -94,13 +97,14 @@ def build_config(name: str, on_tpu: bool, vocab_size=None,
 
 def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
             on_tpu: bool, vocab_size=None, no_fused=False,
-            workload: str = "random") -> dict:
+            workload: str = "random", suffix_spec_len=None) -> dict:
     import jax
 
     from arcticinference_tpu.engine.llm import LLM
     from arcticinference_tpu.engine.request import SamplingParams
 
-    cfg = build_config(name, on_tpu, vocab_size, no_fused)
+    cfg = build_config(name, on_tpu, vocab_size, no_fused,
+                       suffix_spec_len=suffix_spec_len)
     llm = LLM(cfg)
     vocab = cfg.model.hf_overrides["vocab_size"]
 
@@ -156,7 +160,17 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
         # those too so the measured pass is compile-free.
         one_pass("warm2", make_prompts(0))
     if workload == "mixed":
-        warm, fresh = make_prompts(0), make_prompts(1)
+        # A mixed pass admits the repeat-hot half to the decode
+        # frontier FIRST (catch-up prefill is one chunk), so the fused
+        # loop enters at the HALF-batch bucket before the fresh half
+        # arrives — a program shape the all-hot/all-fresh warm passes
+        # never touch.  Warm it with a sacrificial mixed pass whose
+        # fresh half (seed 2) differs from the measured fresh half
+        # (seed 1), keeping the measured prefills real.
+        warm, fresh_w = make_prompts(0), make_prompts(2)
+        one_pass("warm3", [warm[i] if i % 2 == 0 else fresh_w[i]
+                           for i in range(num_prompts)])
+        fresh = make_prompts(1)
         run_prompts = [warm[i] if i % 2 == 0 else fresh[i]
                        for i in range(num_prompts)]
     else:
@@ -217,6 +231,10 @@ def main() -> None:
                              "(agentic re-query; suffix sweet spot); "
                              "mixed = half repeat-hot + half fresh in "
                              "one batch (per-slot width oracle study)")
+    parser.add_argument("--suffix-spec-len", type=int, default=None,
+                        help="fused_suffix_spec_len override (per-step "
+                             "path-consumption cap K for the fused "
+                             "suffix loop)")
     parser.add_argument("--force-width", default=None,
                         choices=["wide", "narrow"],
                         help="pin the fused suffix loop's program "
@@ -260,6 +278,8 @@ def main() -> None:
                 cmd += ["--workload", args.workload]
             if args.force_width:
                 cmd += ["--force-width", args.force_width]
+            if args.suffix_spec_len:
+                cmd += ["--suffix-spec-len", str(args.suffix_spec_len)]
             proc = subprocess.run(cmd, capture_output=True, text=True)
             sys.stderr.write(proc.stderr[-2000:])
             for line in proc.stdout.splitlines():
@@ -275,7 +295,8 @@ def main() -> None:
     name = args.configs[0]
     r = run_one(name, args.num_prompts, args.input_len,
                 args.output_len, on_tpu, args.vocab_size,
-                no_fused=args.no_fused_decode, workload=args.workload)
+                no_fused=args.no_fused_decode, workload=args.workload,
+                suffix_spec_len=args.suffix_spec_len)
     print(json.dumps(r), flush=True)
 
 
