@@ -490,11 +490,18 @@ class FusedDecodeLoop:
     # -- entry ----------------------------------------------------------
 
     #: drained steps a single consumed draft keeps the wide program hot
-    #: for, and the initial cadence of wide retries while uploads are
-    #: live but nothing has been consumed recently (doubles to 64 on
-    #: each fruitless retry; resets on consumption).
-    CONSUME_MEMORY = 32
+    #: for (bridges the 1-2 step per-slot gaps between path uploads on
+    #: hot workloads, where consumption refreshes it continuously —
+    #: larger values were measured to hold a pure-overhead wide TAIL
+    #: after a batch's hot slots finish: 32 cost the mixed workload
+    #: ~40% throughput), and the initial cadence of wide retries while
+    #: uploads are live but nothing has been consumed recently (doubles
+    #: to 64 on each fruitless retry; resets on consumption).
+    CONSUME_MEMORY = 8
     RETRY_PERIOD = 4
+    #: wide steps per retry engagement: the merge step and its
+    #: successor (a path needs merge, then verify).
+    RETRY_WIDE = 2
 
     def eligible(self) -> bool:
         """Static eligibility: is there anything to speculate with, on a
@@ -543,10 +550,13 @@ class FusedDecodeLoop:
 
     def enter(self) -> None:
         eng = self.engine
-        # Optimistic start: run wide for the first pipeline-depth steps
-        # so freshly uploaded paths get consumed before narrow mode can
-        # engage (consumption evidence needs a drain round trip).
-        self._wide_ttl = self.depth + 2
+        # No optimistic wide start: the FIRST step probes (walks + live
+        # check, ttl == 0 and retry == 0 in step()), so a hot workload
+        # (repeat: the response tree holds live continuations
+        # immediately) goes wide from step 1 while a dry one pays zero
+        # wide steps — measured on the serving matrix, the old
+        # depth+2-step wide tail cost dry workloads ~10ms/step each.
+        self._wide_ttl = 0
         self._retry = 0
         self._retry_period = self.RETRY_PERIOD
         running = [r for r in self._frontier_requests()
@@ -773,7 +783,7 @@ class FusedDecodeLoop:
                     # any consumption resets the cadence.
                     self._retry = self._retry_period
                     self._retry_period = min(64, self._retry_period * 2)
-                    self._wide_ttl = 4
+                    self._wide_ttl = self.RETRY_WIDE
                 else:
                     # Nothing live: keep probing at the BASE cadence
                     # (no doubling — a workload turning hot must be
