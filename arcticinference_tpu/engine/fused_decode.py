@@ -44,6 +44,8 @@ whose suffix-tree score beats the drafter, reference
 from __future__ import annotations
 
 import logging
+import os as _os
+import sys as _sys
 from typing import Optional
 
 import jax
@@ -64,15 +66,29 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                      eos_token_id: Optional[int], use_suffix: bool = False,
                      path_len_max: int = 32, ring_w: int = 64,
                      batch: int = 0, export_hidden: bool = False,
-                     wide: bool = True):
+                     wide: bool = True,
+                     rows_total: Optional[int] = None):
     """Compile one fused decode step for batch-width ``B`` (read from the
     state at call time), draft length ``num_spec`` and fixed sampling mode.
 
     Returns a jitted ``fn(params, spec_params, kv, state, block_tables,
-    kv_scale[, h_path, h_start, h_len]) -> (kv, state, telemetry)`` with
-    kv and state donated.  The ``h_*`` inputs (suffix mode only) carry the
-    host's freshest suffix-tree path per slot: tokens [B, PLEN], absolute
-    anchor index [B], and usable length [B] (0 = nothing good to offer).
+    kv_scale[, h_pack[, rplan]]) -> (kv, state, telemetry)`` with kv and
+    state donated.  ``h_pack`` (suffix mode only, [B, PLEN+2] int32)
+    carries the host's freshest suffix-tree path per slot: tokens,
+    absolute anchor index, usable length (0 = nothing good to offer).
+
+    ``rows_total=R`` compiles the PER-SLOT-WIDTH variant (round-4
+    verdict item 3, single-chip suffix-only): the host assigns each
+    slot 1 or K+1 verify rows and ships the layout as ``rplan``
+    (int32 [2R+2B] = row_slot | row_off | slot_start | slot_rows, R
+    bucketed).  Every row runs as its OWN qlen-1 sequence through the
+    grouped decode kernel (per-row seq_lens / gathered block-table
+    rows, all built in-jit from device state — the host never needs
+    the device's n_computed), so a mixed batch pays K+1 model rows
+    only for its speculating slots.  Verify gathers each slot's rows
+    back to the uniform [B, K+1] layout; everything downstream
+    (stops, ring/path walk, telemetry) is shared with the uniform
+    programs.
 
     On a mesh runner (TP / SP / shift) the model forward runs through the
     runner's shard_map program — the same per-step mode choice as the
@@ -148,7 +164,7 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
         gen = spec_arch = None
 
     def step(params, spec_params, kv, state, block_tables, kv_scale,
-             h_pack=None):
+             h_pack=None, rplan=None):
         # Suffix path upload rides ONE packed int32 array [B, PLEN+2]
         # (= path tokens | anchor | usable length): each extra
         # host->device transfer costs ~ms on the axon tunnel, and the
@@ -161,7 +177,18 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
         n_comp = state["n_computed"]                       # [B]
         alive = state["alive"]                             # [B] 0/1
         dlen = state["draft_len"]                          # [B]
-        if not wide:
+        if rows_total is not None:
+            # Per-slot widths: a slot granted w rows can verify at most
+            # w-1 drafts this step; the rest stay in device path state
+            # (same invariant as the narrow program's dlen=0 — an
+            # unverifiable draft must be invisible to verification).
+            R = rows_total
+            row_slot = rplan[:R]
+            row_off = rplan[R:2 * R]
+            slot_start = rplan[2 * R:2 * R + b]
+            slot_rows = rplan[2 * R + b:2 * R + 2 * b]
+            dlen = jnp.minimum(dlen, jnp.maximum(slot_rows - 1, 0))
+        elif not wide:
             # The narrow program computes NO verify rows: any device
             # drafts must be invisible to verification too, or a lucky
             # col-0 match "accepts" a draft whose token the padded
@@ -288,8 +315,65 @@ def build_fused_step(runner, drafter, num_spec: int, need_sampling: bool,
                 rowvals = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return kv2, rowvals.reshape(b, rr), h
 
+        def fwd_slotted(kv):
+            """Per-slot rows: each of the R rows runs as its own qlen-1
+            sequence (per-row seq_len / block-table row, in-jit from
+            device state).  K+1 rows of one slot re-read that slot's KV
+            pages once each — measured ~0.07 ms/row slope on v5e, far
+            below the uniform program's cost of widening EVERY slot."""
+            s = jnp.clip(row_slot, 0, b - 1)
+            tok = jnp.where(
+                row_off == 0, state["last_token"][s],
+                drafts[s, jnp.clip(row_off - 1, 0, max(k - 1, 0))])
+            pos = n_comp[s] + row_off                      # [R]
+            valid = ((row_slot >= 0) & (alive[s] > 0)
+                     & (row_off <= dlen[s]) & (pos < limit[s]))
+            blk = block_tables[s, jnp.clip(pos // bs, 0, maxblk - 1)]
+            slotm = jnp.where(valid, blk * bs + pos % bs, -1)
+            inputs = {
+                "input_ids": tok,
+                "positions": pos,
+                # Each row IS its own request here (the jnp reference
+                # path indexes block_tables/seq_lens by req_idx).
+                "req_idx": jnp.where(valid,
+                                     jnp.arange(R, dtype=jnp.int32), -1),
+                "slot_mapping": slotm,
+                "block_tables": block_tables[s],           # [R, maxblk]
+                "seq_lens": pos + 1,                       # per-row seq
+                "kv_scale": kv_scale,
+            }
+            if runner.swift:
+                # At the decode frontier every row is a sample row.
+                inputs["logits_indices"] = jnp.arange(R, dtype=jnp.int32)
+            from arcticinference_tpu.engine.runner import _make_attn
+            unroll = jax.default_backend() == "tpu" and R <= 512
+            kv2, h = module.forward(
+                params, arch, kv, inputs,
+                attn_impl=_make_attn(module, 1 if grouped else 8,
+                                     decode_qlen=1),
+                unroll=unroll)
+            logits = module.compute_logits(params, h)      # [R, V]
+            if need_sampling:
+                from arcticinference_tpu.ops.sampling import sample
+                flat = sample(logits, state["temperature"][s],
+                              state["top_k"][s], state["top_p"][s], sub)
+            else:
+                flat = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # Gather each slot's rows back to the uniform [B, K+1]
+            # layout; columns past the slot's allotment read NO_TOKEN.
+            jj = jnp.arange(r, dtype=jnp.int32)[None, :]
+            idx = jnp.clip(slot_start[:, None] + jj, 0, R - 1)
+            in_slot = jj < slot_rows[:, None]
+            rowvals = jnp.where(in_slot, flat[idx], NO_TOKEN)
+            h_rows = jnp.where(in_slot[:, :, None], h[idx],
+                               jnp.zeros((), h.dtype))
+            return kv2, rowvals, h_rows
+
         j = jnp.arange(r, dtype=jnp.int32)[None, :]        # [1, R]
-        if wide:
+        if rows_total is not None:
+            kv, rowvals, h_brd = fwd_slotted(kv)
+            h = None                      # drafter path unused (suffix)
+        elif wide:
             kv, rowvals, h = fwd_rowvals(kv, r, dlen)
             h_brd = None
         else:
@@ -479,6 +563,22 @@ class FusedDecodeLoop:
         self._wide_ttl = 0
         self._retry = 0
         self._retry_period = self.RETRY_PERIOD
+        # Did ANY entry of this loop ever consume drafts, and did the
+        # current entry?  Entry optimism is gated on history: the loop
+        # re-enters on every absorption, and a hot workload must resume
+        # wide immediately (consumption evidence lags by the pipeline
+        # depth, so a short probe window ends before its own evidence
+        # can arrive — measured ~2 lost narrow steps per re-entry).
+        self._hot_history = False
+        self._consumed_this_entry = False
+        # Slots whose drafts were consumed during this entry: while any
+        # is still alive the TTL runs its sticky course; once ALL have
+        # finished, holding wide is pure overhead for the survivors
+        # (the half-hot mixed batch) and the TTL is dropped at once.
+        self._consuming_slots: set = set()
+        #: dispatched fused steps by program width (observability; the
+        #: serving matrix logs it per run).
+        self.width_stats = {"wide": 0, "narrow": 0}
         # Suffix path lane (None when suffix decoding is off).
         self._suffix = engine._suffix_cache
         self._plen = 32
@@ -490,14 +590,20 @@ class FusedDecodeLoop:
     # -- entry ----------------------------------------------------------
 
     #: drained steps a single consumed draft keeps the wide program hot
-    #: for (bridges the 1-2 step per-slot gaps between path uploads on
-    #: hot workloads, where consumption refreshes it continuously —
-    #: larger values were measured to hold a pure-overhead wide TAIL
-    #: after a batch's hot slots finish: 32 cost the mixed workload
-    #: ~40% throughput), and the initial cadence of wide retries while
-    #: uploads are live but nothing has been consumed recently (doubles
-    #: to 64 on each fruitless retry; resets on consumption).
-    CONSUME_MEMORY = 8
+    #: for.  STICKY on purpose: mixing programs mid-generation is not
+    #: just a perf knob — on logit-tie-prone models the wide and narrow
+    #: programs can argmax-diverge, and a pass whose cached response
+    #: interleaves both programs' tokens poisons the suffix cache for
+    #: the next repeat pass (measured: repeat throughput halved when a
+    #: short TTL let hot passes alternate programs).  The mixed-batch
+    #: wide TAIL this used to cost (~40% on half-hot batches) is
+    #: instead cut by the consuming-slot liveness check in step():
+    #: when every recently-consuming slot has finished, the TTL is
+    #: dropped immediately.  RETRY_PERIOD is the initial cadence of
+    #: wide retries while uploads are live but nothing has been
+    #: consumed recently (doubles to 64 on each fruitless retry;
+    #: resets on consumption).
+    CONSUME_MEMORY = 32
     RETRY_PERIOD = 4
     #: wide steps per retry engagement: the merge step and its
     #: successor (a path needs merge, then verify).
@@ -550,15 +656,20 @@ class FusedDecodeLoop:
 
     def enter(self) -> None:
         eng = self.engine
-        # No optimistic wide start: the FIRST step probes (walks + live
-        # check, ttl == 0 and retry == 0 in step()), so a hot workload
-        # (repeat: the response tree holds live continuations
-        # immediately) goes wide from step 1 while a dry one pays zero
-        # wide steps — measured on the serving matrix, the old
-        # depth+2-step wide tail cost dry workloads ~10ms/step each.
-        self._wide_ttl = 0
+        # Entry width from history: a workload that consumed drafts in
+        # a previous entry starts wide for depth+2 steps (long enough
+        # for its own consumption evidence to drain and sustain the
+        # TTL seamlessly); a cold one starts with a first-step PROBE
+        # (walks + live check) and pays zero wide steps while dry —
+        # measured on the serving matrix, unconditional optimism cost
+        # dry workloads ~10ms/step and unconditional probing cost hot
+        # re-entries ~2 narrow steps each.
+        self._wide_ttl = (self.depth + 2) if self._hot_history else 0
         self._retry = 0
         self._retry_period = self.RETRY_PERIOD
+        self._consumed_this_entry = False
+        self._consuming_slots = set()   # slot indices are per-entry
+        self._slot_arrays_ready = False
         running = [r for r in self._frontier_requests()
                    if self._fusable(r)]
         dp = max(self.runner.dp, 1)
@@ -749,15 +860,26 @@ class FusedDecodeLoop:
         k_eff = self._k
         wide = True
         paths_np = None
+        rplan_np = None
+        r_bucket = None
         from arcticinference_tpu import envs as _envs
         force = _envs.ARCTIC_TPU_FUSED_FORCE_WIDTH
-        if force and self._suffix is not None and eng._drafter is None \
-                and k_eff > 0:
+        suffix_only = (self._suffix is not None and eng._drafter is None
+                       and k_eff > 0)
+        slotted = (suffix_only and not force
+                   and self.runner.mesh is None
+                   and not self.runner.is_multihost
+                   and not _os.environ.get("ARCTIC_TPU_DISABLE_SLOTTED"))
+        if force and suffix_only:
             wide = force == "wide"
             paths_np = (self._host_paths() if wide
                         else self._empty_paths())
-        elif (self._suffix is not None and eng._drafter is None
-                and k_eff > 0):
+        elif slotted:
+            # TRUE per-slot draft width (round-4 item 3): each slot gets
+            # K+1 or 1 verify rows by its own TTL/probe state; the
+            # program is compiled per bucketed TOTAL row count.
+            paths_np, rplan_np, r_bucket, wide = self._slot_policy()
+        elif suffix_only:
             # Wide while drafts were consumed within the last
             # CONSUME_MEMORY drained steps (long memory bridges the
             # per-slot gaps between path uploads — hot workloads hold
@@ -765,6 +887,12 @@ class FusedDecodeLoop:
             # they favour).
             self._wide_ttl = max(0, self._wide_ttl - 1)
             self._retry = max(0, self._retry - 1)
+            if self._consuming_slots and not any(
+                    self._host_alive[i] for i in self._consuming_slots):
+                # Every slot that earned the sticky TTL has finished:
+                # wide now only taxes the (dry) survivors.
+                self._wide_ttl = 0
+                self._consuming_slots.clear()
             if self._wide_ttl > 0:
                 paths_np = self._host_paths()
             elif self._retry <= 0:
@@ -796,8 +924,19 @@ class FusedDecodeLoop:
             wide = self._wide_ttl > 0
         elif self._suffix is not None:
             paths_np = self._host_paths()
-        key = (self._state["n_computed"].shape[0], k_eff,
-               self._need_sampling, wide)
+        self.width_stats["wide" if wide else "narrow"] += 1
+        if _os.environ.get("ARCTIC_TPU_FUSED_DEBUG"):
+            live_n = (int((paths_np[:, self._plen + 1] > 0).sum())
+                      if paths_np is not None else -1)
+            print(f"[fused] {'W' if wide else 'n'} ttl={self._wide_ttl} "
+                  f"retry={self._retry}/{self._retry_period} "
+                  f"paths>0={live_n}", file=_sys.stderr)
+        if r_bucket is not None:
+            key = (self._state["n_computed"].shape[0], k_eff,
+                   self._need_sampling, "slot", r_bucket)
+        else:
+            key = (self._state["n_computed"].shape[0], k_eff,
+                   self._need_sampling, wide)
         fn = self._fns.get(key)
         if fn is None:
             fn = build_fused_step(self.runner, eng._drafter, k_eff,
@@ -805,7 +944,8 @@ class FusedDecodeLoop:
                                   use_suffix=self._suffix is not None,
                                   path_len_max=self._plen,
                                   ring_w=self._ring_w, batch=key[0],
-                                  export_hidden=True, wide=wide)
+                                  export_hidden=True, wide=wide,
+                                  rows_total=r_bucket)
             self._fns[key] = fn
         ch = self.runner.mh_channel
         if ch is not None:
@@ -833,6 +973,15 @@ class FusedDecodeLoop:
             args = (self._empty_paths_dev,)
         else:
             args = (self._put(paths_np),)
+        if rplan_np is not None:
+            if rplan_np is getattr(self, "_rplan_narrow_np", None):
+                # All-narrow row plan is deterministic per (b, bucket):
+                # reuse the cached device copy.
+                if getattr(self, "_rplan_narrow_dev", None) is None:
+                    self._rplan_narrow_dev = self._put(rplan_np)
+                args = args + (self._rplan_narrow_dev,)
+            else:
+                args = args + (self._put(rplan_np),)
         self.runner.kv, self._state, telem, hidden = fn(
             self.runner.params, spec_params, self.runner.kv,
             self._state, self._bt_dev, self.runner.kv_scale, *args)
@@ -862,6 +1011,92 @@ class FusedDecodeLoop:
                 self.runner._replicated, eng._drafter.params)
         return self._spec_params_global
 
+    # -- per-slot width policy (round-4 item 3) -------------------------
+
+    def _ensure_slot_arrays(self):
+        b = self._state["n_computed"].shape[0]
+        if not self._slot_arrays_ready:
+            init = (self.depth + 2) if self._hot_history else 0
+            self._slot_ttl = np.full(b, init, np.int32)
+            self._slot_retry = np.zeros(b, np.int32)
+            self._slot_retry_period = np.full(b, self.RETRY_PERIOD,
+                                              np.int32)
+            self._rplan_narrow_np = None
+            self._rplan_narrow_dev = None
+            self._slot_arrays_ready = True
+
+    def _row_buckets(self, b: int, r: int) -> list:
+        """Total-row buckets (each a compiled program): ~1.5x ladder
+        between all-narrow (b) and all-wide (b*r)."""
+        out = []
+        for m in (1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0):
+            v = min(int(-(-b * m // 8) * 8), b * r)
+            if v not in out:
+                out.append(v)
+            if v >= b * r:
+                break
+        if out[-1] != b * r:
+            out.append(b * r)
+        return out
+
+    def _slot_policy(self):
+        """Per-slot TTL/probe state -> per-slot widths -> bucketed row
+        plan.  Same semantics as the global policy, per slot: a slot
+        whose drafts were consumed recently holds K+1 rows for
+        CONSUME_MEMORY drained steps; dry slots hold 1 row, skip their
+        tree walks, and re-probe on an exponential-backoff cadence."""
+        self._ensure_slot_arrays()
+        b = self._state["n_computed"].shape[0]
+        r = self._k + 1
+        ttl, ret = self._slot_ttl, self._slot_retry
+        per = self._slot_retry_period
+        np.maximum(ttl - 1, 0, out=ttl)
+        np.maximum(ret - 1, 0, out=ret)
+        alive = np.asarray(self._host_alive, bool)
+        hot = alive & (ttl > 0)
+        probe = alive & (ttl <= 0) & (ret <= 0)
+        walk = hot | probe
+        paths = (self._host_paths(mask=walk) if walk.any()
+                 else self._empty_paths())
+        live = paths[:, self._plen + 1] > self.depth + 1
+        engage = probe & live
+        if engage.any():
+            ttl[engage] = self.RETRY_WIDE
+            ret[engage] = per[engage]
+            per[engage] = np.minimum(64, per[engage] * 2)
+        miss = probe & ~live
+        if miss.any():
+            ret[miss] = self.RETRY_PERIOD
+        wide_slots = alive & (ttl > 0)
+        widths = np.where(wide_slots, r, 1).astype(np.int64)
+        buckets = self._row_buckets(b, r)
+        r_real = int(widths.sum())
+        r_bucket = next(v for v in buckets if v >= r_real)
+        if not wide_slots.any():
+            # All-narrow: deterministic plan, cached with its device copy.
+            if (self._rplan_narrow_np is None
+                    or len(self._rplan_narrow_np) != 2 * r_bucket + 2 * b):
+                self._rplan_narrow_np = self._build_rplan(
+                    np.ones(b, np.int64), r_bucket)
+                self._rplan_narrow_dev = None
+            return paths, self._rplan_narrow_np, r_bucket, False
+        return paths, self._build_rplan(widths, r_bucket), r_bucket, True
+
+    @staticmethod
+    def _build_rplan(widths, r_bucket: int):
+        b = len(widths)
+        r_real = int(widths.sum())
+        row_slot = np.full(r_bucket, -1, np.int32)
+        row_off = np.zeros(r_bucket, np.int32)
+        sstart = np.zeros(b, np.int32)
+        sstart[1:] = np.cumsum(widths[:-1])
+        rs = np.repeat(np.arange(b, dtype=np.int32),
+                       widths.astype(np.int64))
+        row_slot[:r_real] = rs
+        row_off[:r_real] = np.arange(r_real, dtype=np.int32) - sstart[rs]
+        return np.concatenate([row_slot, row_off, sstart,
+                               widths.astype(np.int32)])
+
     def _empty_paths(self):
         """Zero-length packed path upload for narrow/backoff steps
         (h_len == 0 is rejected by the device's usable gate; shape
@@ -875,11 +1110,13 @@ class FusedDecodeLoop:
             self._empty_paths_dev = None
         return cached
 
-    def _host_paths(self):
+    def _host_paths(self, mask=None):
         """Speculate a suffix path per alive slot from the host's
         lag-synced prefix (reference SuffixCache.speculate semantics,
         ``common/suffix_cache/suffix_cache.py:200-222``); the device
-        verifies the unseen gap and walks the tail.  Returns host
+        verifies the unseen gap and walks the tail.  ``mask`` (bool
+        [B]) restricts the C++ tree walks to the given slots (per-slot
+        width policy: dry slots skip their walks).  Returns host
         (numpy) arrays — the caller places them (and broadcasts them to
         follower mirrors under multihost)."""
         eng = self.engine
@@ -903,6 +1140,8 @@ class FusedDecodeLoop:
         if not eng._spec_disabled_now():
             for i, req in enumerate(self._slots):
                 if req is None or not self._host_alive[i]:
+                    continue
+                if mask is not None and not mask[i]:
                     continue
                 pattern = req.all_token_ids[-sc.suffix_cache_max_depth:]
                 if not pattern:
@@ -980,6 +1219,13 @@ class FusedDecodeLoop:
                 # Consumption: keep the wide program hot.
                 self._wide_ttl = max(self._wide_ttl, self.CONSUME_MEMORY)
                 self._retry_period = self.RETRY_PERIOD
+                self._hot_history = True
+                self._consumed_this_entry = True
+                self._consuming_slots.add(i)
+                if self._slot_arrays_ready:
+                    self._slot_ttl[i] = max(self._slot_ttl[i],
+                                            self.CONSUME_MEMORY)
+                    self._slot_retry_period[i] = self.RETRY_PERIOD
                 n_acc = len(toks) - 1
                 eng.spec_stats.observe(dlen_used, min(n_acc, dlen_used))
                 req.num_draft_tokens += dlen_used
@@ -1011,6 +1257,10 @@ class FusedDecodeLoop:
         finished: list = []
         while self._inflight:
             finished.extend(self._drain_one())
+        if self.active:
+            # A fully-dry entry resets the history: the next entry
+            # probes instead of starting wide.
+            self._hot_history = self._consumed_this_entry
         if self.active and self.runner.mh_channel is not None:
             self.runner.mh_channel.broadcast({"kind": "fused_exit"})
         self.engine.scheduler.protected_ids = set()

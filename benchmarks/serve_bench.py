@@ -196,6 +196,8 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
         "spec": eng.spec_stats.summary(),
         "engine_steps": eng.engine_stats.num_steps,
     }
+    if eng._fused is not None:
+        out["fused_width_steps"] = dict(eng._fused.width_stats)
     import os
     if os.environ.get("ARCTIC_TPU_FUSED_FORCE_WIDTH"):
         out["force_width"] = os.environ["ARCTIC_TPU_FUSED_FORCE_WIDTH"]

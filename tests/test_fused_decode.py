@@ -671,3 +671,124 @@ class TestPerSlotWidth:
             prompt_token_ids=prompts, sampling_params=sp)]
         assert got1 == want and got2 == want
         assert llm2.engine.spec_stats.num_accepted_tokens > 0
+
+
+def test_width_entry_gated_on_consumption_history():
+    """Round-5 policy: a loop whose previous entry consumed drafts
+    re-enters WIDE (depth+2 TTL, so its own consumption evidence can
+    drain before the window closes); a cold loop enters at TTL 0 and
+    probes.  Measured on the serving matrix: unconditional optimism
+    cost dry workloads ~10ms/step, unconditional probing cost hot
+    re-entries ~2 narrow steps each."""
+    from arcticinference_tpu.config import SpeculativeConfig
+
+    prompts = _prompts(3, seed=21)
+    sp = SamplingParams(max_tokens=20, ignore_eos=True)
+    llm = LLM(tiny_config(speculative=SpeculativeConfig(
+        method="suffix", suffix_cache_max_depth=32,
+        enable_fused_decode=True)))
+    loop = llm.engine._fused
+    entry_ttls = []
+    orig_enter = type(loop).enter
+
+    def spy(self):
+        orig_enter(self)
+        entry_ttls.append(self._wide_ttl)
+
+    type(loop).enter = spy
+    try:
+        llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        assert entry_ttls[0] == 0          # cold: probe entry
+        first_pass_entries = len(entry_ttls)
+        # The tiny looping model feeds its own suffix cache: by the
+        # repeat pass the loop has consumption history.
+        llm.generate(prompt_token_ids=prompts, sampling_params=sp)
+        assert llm.engine.spec_stats.num_accepted_tokens > 0
+        assert entry_ttls[first_pass_entries] == loop.depth + 2  # hot
+    finally:
+        type(loop).enter = orig_enter
+
+
+class TestSlottedWidth:
+    """TRUE per-slot draft width (round-5): single-chip suffix-only
+    loops assign each slot 1 or K+1 verify rows per step (bucketed
+    total row count, per-row-as-sequence attention)."""
+
+    def _llm(self):
+        from arcticinference_tpu.config import SpeculativeConfig
+
+        return LLM(tiny_config(speculative=SpeculativeConfig(
+            method="suffix", suffix_cache_max_depth=32,
+            enable_fused_decode=True)))
+
+    def test_mixed_widths_in_one_step_exact(self):
+        """Half the batch hot (repeat prompts), half fresh: steps must
+        run with genuinely MIXED per-slot widths (some slots K+1 rows,
+        some 1) and reproduce the baseline exactly for every request."""
+        hot = _prompts(2, seed=31)
+        fresh = _prompts(2, seed=77)
+        sp = SamplingParams(max_tokens=24, ignore_eos=True)
+        base = LLM(tiny_config())
+        want_hot = [o.token_ids for o in base.generate(
+            prompt_token_ids=hot, sampling_params=sp)]
+        want_mix = [o.token_ids for o in base.generate(
+            prompt_token_ids=hot + fresh, sampling_params=sp)]
+
+        llm = self._llm()
+        loop = llm.engine._fused
+        mixed_steps = {"n": 0}
+        orig = type(loop)._slot_policy
+
+        def spy(self):
+            paths, rplan, r_bucket, wide = orig(self)
+            b = self._state["n_computed"].shape[0]
+            widths = rplan[2 * r_bucket + b:2 * r_bucket + 2 * b]
+            if (widths > 1).any() and (widths[
+                    np.asarray(self._host_alive, bool)] == 1).any():
+                mixed_steps["n"] += 1
+            return paths, rplan, r_bucket, wide
+
+        type(loop)._slot_policy = spy
+        try:
+            # Warm pass trains the cache on the hot prompts only.
+            llm.generate(prompt_token_ids=hot, sampling_params=sp)
+            got = [o.token_ids for o in llm.generate(
+                prompt_token_ids=hot + fresh, sampling_params=sp)]
+        finally:
+            type(loop)._slot_policy = orig
+        assert got == want_mix
+        assert llm.engine.spec_stats.num_accepted_tokens > 0
+        assert mixed_steps["n"] > 0, \
+            "no step ran with mixed per-slot widths"
+        assert want_mix[:2] == want_hot  # sanity: hot half unchanged
+
+    def test_slot_narrow_with_live_path_loses_no_tokens(self):
+        """The slotted analogue of the narrow lost-token regression: a
+        slot granted 1 row while its device path state holds drafts
+        must clamp dlen to 0 for that slot — force every slot narrow on
+        every 3rd step while paths are live."""
+        prompts = _prompts(3, seed=41)
+        sp = SamplingParams(max_tokens=24, ignore_eos=True)
+        want = [o.token_ids for o in LLM(tiny_config()).generate(
+            prompt_token_ids=prompts, sampling_params=sp)]
+        llm = self._llm()
+        loop = llm.engine._fused
+        calls = {"n": 0}
+        orig = type(loop)._slot_policy
+
+        def chopped(self):
+            calls["n"] += 1
+            if calls["n"] % 3 == 0 and self._slot_arrays_ready:
+                self._slot_ttl[:] = 0
+                self._slot_retry[:] = 2
+            return orig(self)
+
+        type(loop)._slot_policy = chopped
+        try:
+            got1 = [o.token_ids for o in llm.generate(
+                prompt_token_ids=prompts, sampling_params=sp)]
+            got2 = [o.token_ids for o in llm.generate(
+                prompt_token_ids=prompts, sampling_params=sp)]
+        finally:
+            type(loop)._slot_policy = orig
+        assert got1 == want and got2 == want
