@@ -583,6 +583,7 @@ class FusedDecodeLoop:
         self._suffix = engine._suffix_cache
         self._plen = 32
         self._ring_w = 64
+        self._prewarmed: set = set()
         self._announce_state = None         # multihost: state to mirror
         self._bt_dirty = False
         self._spec_params_global = None     # multihost: replicated copy
@@ -876,9 +877,16 @@ class FusedDecodeLoop:
                         else self._empty_paths())
         elif slotted:
             # TRUE per-slot draft width (round-4 item 3): each slot gets
-            # K+1 or 1 verify rows by its own TTL/probe state; the
-            # program is compiled per bucketed TOTAL row count.
+            # K+1 or 1 verify rows by its own TTL/probe state.
+            # Homogeneous steps (r_bucket None) run the uniform global
+            # programs; width-mixed steps run the bucketed per-slot
+            # program, with ALL buckets compiled on first mixed use
+            # (lower().compile(), persistent-cache backed) — a serving
+            # step must never eat a mid-measurement compile when the
+            # workload mix shifts.
             paths_np, rplan_np, r_bucket, wide = self._slot_policy()
+            if r_bucket is not None:
+                self._prewarm_slotted(k_eff)
         elif suffix_only:
             # Wide while drafts were consumed within the last
             # CONSUME_MEMORY drained steps (long memory bridges the
@@ -974,14 +982,7 @@ class FusedDecodeLoop:
         else:
             args = (self._put(paths_np),)
         if rplan_np is not None:
-            if rplan_np is getattr(self, "_rplan_narrow_np", None):
-                # All-narrow row plan is deterministic per (b, bucket):
-                # reuse the cached device copy.
-                if getattr(self, "_rplan_narrow_dev", None) is None:
-                    self._rplan_narrow_dev = self._put(rplan_np)
-                args = args + (self._rplan_narrow_dev,)
-            else:
-                args = args + (self._put(rplan_np),)
+            args = args + (self._put(rplan_np),)
         self.runner.kv, self._state, telem, hidden = fn(
             self.runner.params, spec_params, self.runner.kv,
             self._state, self._bt_dev, self.runner.kv_scale, *args)
@@ -1013,6 +1014,44 @@ class FusedDecodeLoop:
 
     # -- per-slot width policy (round-4 item 3) -------------------------
 
+    def _prewarm_slotted(self, k_eff: int) -> None:
+        """Compile every row-bucket program for the current (B, K,
+        sampling) once, ahead of use: the serving loop may hit any
+        bucket as the workload mix shifts, and a cold compile inside a
+        measured pass costs seconds on the tunnel.  ShapeDtypeStructs
+        keep this transfer-free; the persistent jax cache makes repeat
+        processes cheap."""
+        b = self._state["n_computed"].shape[0]
+        tag = (b, k_eff, self._need_sampling)
+        if tag in self._prewarmed:
+            return
+        self._prewarmed.add(tag)
+        eng = self.engine
+
+        def sds(x):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+        params_s = jax.tree.map(sds, self.runner.params)
+        kv_s = sds(self.runner.kv)
+        state_s = {kk: sds(v) for kk, v in self._state.items()}
+        bt_s = sds(self._bt_dev)
+        kvs = self.runner.kv_scale
+        kvs_s = jax.tree.map(sds, kvs) if kvs is not None else None
+        hp_s = jax.ShapeDtypeStruct((b, self._plen + 2), jnp.int32)
+        for R in self._row_buckets(b, k_eff + 1):
+            key = (b, k_eff, self._need_sampling, "slot", R)
+            if key in self._fns:
+                continue
+            fn = build_fused_step(
+                self.runner, eng._drafter, k_eff, self._need_sampling,
+                eng.eos_token_id, use_suffix=True,
+                path_len_max=self._plen, ring_w=self._ring_w, batch=b,
+                export_hidden=True, rows_total=R)
+            rp_s = jax.ShapeDtypeStruct((2 * R + 2 * b,), jnp.int32)
+            self._fns[key] = fn.lower(
+                params_s, None, kv_s, state_s, bt_s, kvs_s, hp_s,
+                rp_s).compile()
+
     def _ensure_slot_arrays(self):
         b = self._state["n_computed"].shape[0]
         if not self._slot_arrays_ready:
@@ -1021,8 +1060,6 @@ class FusedDecodeLoop:
             self._slot_retry = np.zeros(b, np.int32)
             self._slot_retry_period = np.full(b, self.RETRY_PERIOD,
                                               np.int32)
-            self._rplan_narrow_np = None
-            self._rplan_narrow_dev = None
             self._slot_arrays_ready = True
 
     def _row_buckets(self, b: int, r: int) -> list:
@@ -1068,18 +1105,22 @@ class FusedDecodeLoop:
         if miss.any():
             ret[miss] = self.RETRY_PERIOD
         wide_slots = alive & (ttl > 0)
+        # HOMOGENEOUS steps route to the uniform global programs: a hot
+        # batch then runs ONE program for its whole lifetime (program-
+        # numerics consistency matters — on tie-heavy logits, token
+        # streams that cross compiled-program boundaries argmax-diverge
+        # and poison the suffix cache for the next repeat pass;
+        # measured 2x repeat-throughput loss when every bucket was its
+        # own program).  Only genuinely width-MIXED batches pay the
+        # per-slot layout.
+        if not wide_slots.any():
+            return self._empty_paths(), None, None, False
+        if not (alive & ~wide_slots).any():
+            return paths, None, None, True
         widths = np.where(wide_slots, r, 1).astype(np.int64)
         buckets = self._row_buckets(b, r)
         r_real = int(widths.sum())
         r_bucket = next(v for v in buckets if v >= r_real)
-        if not wide_slots.any():
-            # All-narrow: deterministic plan, cached with its device copy.
-            if (self._rplan_narrow_np is None
-                    or len(self._rplan_narrow_np) != 2 * r_bucket + 2 * b):
-                self._rplan_narrow_np = self._build_rplan(
-                    np.ones(b, np.int64), r_bucket)
-                self._rplan_narrow_dev = None
-            return paths, self._rplan_narrow_np, r_bucket, False
         return paths, self._build_rplan(widths, r_bucket), r_bucket, True
 
     @staticmethod

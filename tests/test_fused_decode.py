@@ -741,11 +741,14 @@ class TestSlottedWidth:
 
         def spy(self):
             paths, rplan, r_bucket, wide = orig(self)
-            b = self._state["n_computed"].shape[0]
-            widths = rplan[2 * r_bucket + b:2 * r_bucket + 2 * b]
-            if (widths > 1).any() and (widths[
-                    np.asarray(self._host_alive, bool)] == 1).any():
-                mixed_steps["n"] += 1
+            # Homogeneous steps return r_bucket None (uniform global
+            # programs); only width-MIXED steps carry a row plan.
+            if r_bucket is not None:
+                b = self._state["n_computed"].shape[0]
+                widths = rplan[2 * r_bucket + b:2 * r_bucket + 2 * b]
+                if (widths > 1).any() and (widths[
+                        np.asarray(self._host_alive, bool)] == 1).any():
+                    mixed_steps["n"] += 1
             return paths, rplan, r_bucket, wide
 
         type(loop)._slot_policy = spy
