@@ -1060,6 +1060,7 @@ class FusedDecodeLoop:
             self._slot_retry = np.zeros(b, np.int32)
             self._slot_retry_period = np.full(b, self.RETRY_PERIOD,
                                               np.int32)
+            self._slot_consumed = np.zeros(b, bool)
             self._slot_arrays_ready = True
 
     def _row_buckets(self, b: int, r: int) -> list:
@@ -1076,12 +1077,31 @@ class FusedDecodeLoop:
             out.append(b * r)
         return out
 
+    #: fraction of alive slots that must have consumed drafts this
+    #: entry for the batch to count as HOT overall (-> global wide
+    #: program instead of a per-slot bucket).
+    HOT_BATCH_FRAC = 0.75
+
     def _slot_policy(self):
-        """Per-slot TTL/probe state -> per-slot widths -> bucketed row
-        plan.  Same semantics as the global policy, per slot: a slot
-        whose drafts were consumed recently holds K+1 rows for
-        CONSUME_MEMORY drained steps; dry slots hold 1 row, skip their
-        tree walks, and re-probe on an exponential-backoff cadence."""
+        """Per-slot widths -> (paths, row plan, bucket, any_wide).
+
+        Width rule: a slot keeps K+1 rows while it is alive and has
+        EVER consumed drafts this entry, or while an engagement TTL is
+        running; everything else gets 1 row.  Sticky-by-consumption is
+        deliberate: it keeps each slot's row allotment — and therefore
+        the step's compiled program — STABLE for the slot's lifetime.
+        On tie-heavy logits (the random-weight bench target), token
+        streams that cross compiled-program boundaries argmax-diverge
+        and poison the suffix cache for the next repeat pass (measured
+        2x repeat-throughput loss when widths decayed on a TTL and
+        every bucket shift changed programs).
+
+        Routing: >= HOT_BATCH_FRAC of alive slots ever-consumed ->
+        GLOBAL wide program (a hot batch runs one uniform program for
+        its whole lifetime, r5b-validated); no wide slots -> global
+        narrow; otherwise the bucketed per-slot program, whose bucket
+        stays fixed while the ever-consumed set is stable (the mixed
+        workload's hot half)."""
         self._ensure_slot_arrays()
         b = self._state["n_computed"].shape[0]
         r = self._k + 1
@@ -1090,8 +1110,9 @@ class FusedDecodeLoop:
         np.maximum(ttl - 1, 0, out=ttl)
         np.maximum(ret - 1, 0, out=ret)
         alive = np.asarray(self._host_alive, bool)
-        hot = alive & (ttl > 0)
-        probe = alive & (ttl <= 0) & (ret <= 0)
+        ever = self._slot_consumed & alive
+        hot = alive & (ever | (ttl > 0))
+        probe = alive & ~hot & (ret <= 0)
         walk = hot | probe
         paths = (self._host_paths(mask=walk) if walk.any()
                  else self._empty_paths())
@@ -1104,18 +1125,13 @@ class FusedDecodeLoop:
         miss = probe & ~live
         if miss.any():
             ret[miss] = self.RETRY_PERIOD
-        wide_slots = alive & (ttl > 0)
-        # HOMOGENEOUS steps route to the uniform global programs: a hot
-        # batch then runs ONE program for its whole lifetime (program-
-        # numerics consistency matters — on tie-heavy logits, token
-        # streams that cross compiled-program boundaries argmax-diverge
-        # and poison the suffix cache for the next repeat pass;
-        # measured 2x repeat-throughput loss when every bucket was its
-        # own program).  Only genuinely width-MIXED batches pay the
-        # per-slot layout.
+        wide_slots = alive & (ever | (ttl > 0))
         if not wide_slots.any():
             return self._empty_paths(), None, None, False
-        if not (alive & ~wide_slots).any():
+        n_alive = int(alive.sum())
+        if (not (alive & ~wide_slots).any()
+                or (n_alive and ever.sum() / n_alive
+                    >= self.HOT_BATCH_FRAC)):
             return paths, None, None, True
         widths = np.where(wide_slots, r, 1).astype(np.int64)
         buckets = self._row_buckets(b, r)
@@ -1267,6 +1283,7 @@ class FusedDecodeLoop:
                     self._slot_ttl[i] = max(self._slot_ttl[i],
                                             self.CONSUME_MEMORY)
                     self._slot_retry_period[i] = self.RETRY_PERIOD
+                    self._slot_consumed[i] = True
                 n_acc = len(toks) - 1
                 eng.spec_stats.observe(dlen_used, min(n_acc, dlen_used))
                 req.num_draft_tokens += dlen_used
