@@ -606,9 +606,13 @@ class FusedDecodeLoop:
     #: resets on consumption).
     CONSUME_MEMORY = 32
     RETRY_PERIOD = 4
-    #: wide steps per retry engagement: the merge step and its
-    #: successor (a path needs merge, then verify).
-    RETRY_WIDE = 2
+    #: wide steps per retry engagement: the merge step, its verify
+    #: successor, AND the drain lag — consumption evidence arrives
+    #: ~pipeline-depth steps after the verify, and an engagement that
+    #: ends before its own evidence can land injects narrow interludes
+    #: into an otherwise-hot pass (program-sequence misalignment
+    #: between passes; see _slot_policy).  Resolved per instance as
+    #: depth + 2.
 
     def eligible(self) -> bool:
         """Static eligibility: is there anything to speculate with, on a
@@ -919,7 +923,7 @@ class FusedDecodeLoop:
                     # any consumption resets the cadence.
                     self._retry = self._retry_period
                     self._retry_period = min(64, self._retry_period * 2)
-                    self._wide_ttl = self.RETRY_WIDE
+                    self._wide_ttl = self.depth + 2
                 else:
                     # Nothing live: keep probing at the BASE cadence
                     # (no doubling — a workload turning hot must be
@@ -936,8 +940,11 @@ class FusedDecodeLoop:
         if _os.environ.get("ARCTIC_TPU_FUSED_DEBUG"):
             live_n = (int((paths_np[:, self._plen + 1] > 0).sum())
                       if paths_np is not None else -1)
-            print(f"[fused] {'W' if wide else 'n'} ttl={self._wide_ttl} "
-                  f"retry={self._retry}/{self._retry_period} "
+            ever = (int(self._slot_consumed.sum())
+                    if getattr(self, "_slot_arrays_ready", False) else -1)
+            print(f"[fused] {'W' if wide else 'n'} "
+                  f"bucket={r_bucket} ever={ever} "
+                  f"alive={sum(self._host_alive)} "
                   f"paths>0={live_n}", file=_sys.stderr)
         if r_bucket is not None:
             key = (self._state["n_computed"].shape[0], k_eff,
@@ -1119,7 +1126,7 @@ class FusedDecodeLoop:
         live = paths[:, self._plen + 1] > self.depth + 1
         engage = probe & live
         if engage.any():
-            ttl[engage] = self.RETRY_WIDE
+            ttl[engage] = self.depth + 2
             ret[engage] = per[engage]
             per[engage] = np.minimum(64, per[engage] * 2)
         miss = probe & ~live
