@@ -671,8 +671,7 @@ class FusedDecodeLoop:
         # re-entries ~2 narrow steps each.
         self._wide_ttl = (self.depth + 2) if self._hot_history else 0
         self._retry = 0
-        self._retry_period = (self.RETRY_PERIOD if self._hot_history
-                              else 4 * self.RETRY_PERIOD)
+        self._retry_period = self.RETRY_PERIOD
         self._consumed_this_entry = False
         self._consuming_slots = set()   # slot indices are per-entry
         self._slot_arrays_ready = False
@@ -1066,15 +1065,8 @@ class FusedDecodeLoop:
             init = (self.depth + 2) if self._hot_history else 0
             self._slot_ttl = np.full(b, init, np.int32)
             self._slot_retry = np.zeros(b, np.int32)
-            # Cold-history entries re-probe lazily: on a workload that
-            # has never consumed, "live" paths are usually artifacts
-            # (self-looping outputs) and every failed engagement costs
-            # depth+2 wide steps.  The FIRST probe still fires on step
-            # one either way; consumption resets the cadence to the
-            # fast base.
-            init_period = (self.RETRY_PERIOD if self._hot_history
-                           else 4 * self.RETRY_PERIOD)
-            self._slot_retry_period = np.full(b, init_period, np.int32)
+            self._slot_retry_period = np.full(b, self.RETRY_PERIOD,
+                                              np.int32)
             self._slot_consumed = np.zeros(b, bool)
             self._slot_arrays_ready = True
 
