@@ -12,6 +12,7 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC suffix_tree.cc -o libsuffixtree.so
 
 #include <algorithm>
+#include <cstddef>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -81,15 +82,30 @@ class SuffixTree {
     SpecResult best;
     int lo = std::max(n - max_depth_, 0);
     for (int s = lo; s < n; ++s) {
-      int32_t nid;
-      int32_t off;
-      if (!walk(pattern + s, n - s, &nid, &off)) continue;
       const int match_len = n - s;
-      int budget = std::min(
+      // Exact branch-and-bound: a candidate's score is a sum of
+      // per-token probabilities <= 1 over at most
+      // min(max_spec_tokens, match_len*factor+offset) tokens, and that
+      // bound decreases monotonically as the match shortens.  Once the
+      // incumbent reaches the bound, no later (shorter-match) start can
+      // strictly beat it, so stop — in the hot serving case (a full-
+      // depth match whose path carries probability 1.0) this prunes the
+      // entire remaining O(depth^2) scan after the first start.
+      int bound = std::min(
           max_spec_tokens,
           static_cast<int>(match_len * max_spec_factor + max_spec_offset +
                            1e-6f));
-      if (budget < 0) budget = 0;
+      if (bound < 0) bound = 0;
+      // (monotonicity needs factor >= 0; a negative factor is
+      // pathological config but must not mis-prune)
+      if (max_spec_factor >= 0.0f &&
+          best.score >= static_cast<float>(bound)) {
+        break;
+      }
+      int32_t nid;
+      int32_t off;
+      if (!walk(pattern + s, n - s, &nid, &off)) continue;
+      int budget = bound;
       SpecResult cand = tree_spec
                             ? speculate_tree(nid, off, budget, min_token_prob)
                             : speculate_path(nid, off, budget, min_token_prob);
@@ -347,6 +363,50 @@ SXT_EXPORT int sxt_speculate(void* tree, const int32_t* pattern, int n,
   *out_score = r.score;
   *out_match_len = r.match_len;
   return m;
+}
+
+// Batched speculate over `b` items — one ctypes round-trip per serving
+// step instead of two per slot.  Each item walks its private prompt tree
+// (entry may be NULL) and then the shared response tree, keeping the
+// better-scoring candidate: the SuffixCache.speculate composition
+// (suffix_cache.py:139-148) moved into native code, because at batch
+// 32-64 the per-call ctypes/marshalling overhead (~20us) dominated the
+// walks themselves.  `patterns` is a padded [b, pat_stride] row matrix;
+// outputs are [b, cap_stride] rows.  All trees are only *read*.
+SXT_EXPORT void sxt_speculate_batch(
+    void* response_tree, void** prompt_trees, const int32_t* patterns,
+    const int32_t* pat_lens, int b, int pat_stride,
+    const int32_t* max_spec_tokens, float max_spec_factor,
+    float max_spec_offset, float min_token_prob, int tree_spec,
+    int cap_stride, int32_t* out_tokens, int32_t* out_parents,
+    float* out_probs, float* out_scores, int32_t* out_match_lens,
+    int32_t* out_ns) {
+  SuffixTree* resp = static_cast<SuffixTree*>(response_tree);
+  for (int i = 0; i < b; ++i) {
+    const int32_t* pat = patterns + static_cast<std::ptrdiff_t>(i) * pat_stride;
+    const int n = pat_lens[i];
+    const int cap = max_spec_tokens[i];
+    SpecResult best;
+    SuffixTree* prompt = static_cast<SuffixTree*>(prompt_trees[i]);
+    if (prompt != nullptr) {
+      best = prompt->speculate(pat, n, cap, max_spec_factor,
+                               max_spec_offset, min_token_prob,
+                               tree_spec != 0);
+    }
+    SpecResult cand = resp->speculate(pat, n, cap, max_spec_factor,
+                                      max_spec_offset, min_token_prob,
+                                      tree_spec != 0);
+    if (cand.score > best.score) best = std::move(cand);
+    const int m = static_cast<int>(best.tokens.size());
+    const std::ptrdiff_t row = static_cast<std::ptrdiff_t>(i) * cap_stride;
+    std::memcpy(out_tokens + row, best.tokens.data(), m * sizeof(int32_t));
+    std::memcpy(out_parents + row, best.parents.data(),
+                m * sizeof(int32_t));
+    std::memcpy(out_probs + row, best.probs.data(), m * sizeof(float));
+    out_scores[i] = best.score;
+    out_match_lens[i] = best.match_len;
+    out_ns[i] = m;
+  }
 }
 
 }  // extern "C"

@@ -816,6 +816,7 @@ class LLMEngine:
 
         suffix_results = {}
         if self._suffix_cache is not None:
+            items = []
             for s in sched_out.scheduled:
                 req = s.request
                 if not proposable(req):
@@ -828,16 +829,19 @@ class LLMEngine:
                     cap = min(cap, 30)   # ancestor bitmask width
                 if not pattern or cap <= 0:
                     continue
-                res = self._suffix_cache.speculate(
-                    req.req_id, pattern,
+                items.append((req.req_id, dict(
+                    req_id=req.req_id, pattern=pattern,
                     max_spec_tokens=cap,
                     max_spec_factor=sc.suffix_max_spec_factor,
                     max_spec_offset=sc.suffix_max_spec_offset,
                     min_token_prob=sc.suffix_min_token_prob,
                     use_tree_spec=tree,
                     use_cached_prompt=self._suffix_cache.has_cached_prompt(
-                        req.req_id))
-                suffix_results[req.req_id] = res
+                        req.req_id))))
+            # GIL-free per-request walks over the suffix worker pool
+            # (see SuffixCache.speculate_batch).
+            suffix_results = self._suffix_cache.speculate_batch(
+                items, pool=getattr(self, "_prompt_tree_pool", None))
 
         # Choose suffix drafts when the expected acceptance beats what the
         # draft model would offer (reference model_runner.py:546-575).

@@ -1202,6 +1202,7 @@ class FusedDecodeLoop:
         # ever walked.  Extend the offset by the worst-case lag.
         est_lag = (len(self._inflight) + 1) * (self._k + 1)
         if not eng._spec_disabled_now():
+            items = []
             for i, req in enumerate(self._slots):
                 if req is None or not self._host_alive[i]:
                     continue
@@ -1210,18 +1211,24 @@ class FusedDecodeLoop:
                 pattern = req.all_token_ids[-sc.suffix_cache_max_depth:]
                 if not pattern:
                     continue
-                res = self._suffix.speculate(
-                    req.req_id, pattern,
+                items.append((i, dict(
+                    req_id=req.req_id, pattern=pattern,
                     max_spec_tokens=self._plen,
                     max_spec_factor=sc.suffix_max_spec_factor,
                     max_spec_offset=sc.suffix_max_spec_offset + est_lag,
                     min_token_prob=sc.suffix_min_token_prob,
                     use_cached_prompt=self._suffix.has_cached_prompt(
-                        req.req_id))
+                        req.req_id))))
+            # Per-slot walks fan out over the engine's suffix worker
+            # pool (GIL-free ctypes calls): at batch 32+ the serial
+            # walks were ~half the hot-step host budget.
+            results = self._suffix.speculate_batch(
+                items, pool=getattr(eng, "_prompt_tree_pool", None))
+            for i, res in results.items():
                 if res.token_ids and res.score >= min_score:
                     n = min(len(res.token_ids), self._plen)
                     h_path[i, :n] = res.token_ids[:n]
-                    h_start[i] = len(req.all_token_ids)
+                    h_start[i] = len(self._slots[i].all_token_ids)
                     h_len[i] = n
         return pack
 

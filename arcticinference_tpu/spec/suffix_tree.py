@@ -69,6 +69,22 @@ def _load_native() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.sxt_speculate_batch.restype = None
+    lib.sxt_speculate_batch.argtypes = [
+        ctypes.c_void_p,                    # response tree
+        ctypes.POINTER(ctypes.c_void_p),    # prompt trees (NULLable)
+        ctypes.POINTER(ctypes.c_int32),     # patterns [b, pat_stride]
+        ctypes.POINTER(ctypes.c_int32),     # pat_lens [b]
+        ctypes.c_int, ctypes.c_int,         # b, pat_stride
+        ctypes.POINTER(ctypes.c_int32),     # max_spec_tokens [b]
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,  # factor/off/prob
+        ctypes.c_int, ctypes.c_int,         # tree_spec, cap_stride
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),     # out toks/parents/probs
+        ctypes.POINTER(ctypes.c_float),     # out scores [b]
+        ctypes.POINTER(ctypes.c_int32),     # out match_lens [b]
+        ctypes.POINTER(ctypes.c_int32),     # out ns [b]
+    ]
     _lib = lib
     return lib
 
