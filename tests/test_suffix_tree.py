@@ -208,3 +208,58 @@ class TestSuffixCache:
                               max_spec_tokens=2, max_spec_factor=10.0)
         # Pattern truncated to the last max_depth tokens; still finds a match.
         assert res.match_len <= 4
+
+
+class TestSpeculateBatch:
+    """The one-C-call batched walk must agree exactly with serial
+    speculate() over mixed hot/cold/promptless items."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_batch_matches_serial(self, seed):
+        rng = random.Random(seed)
+        cache = SuffixCache(max_depth=32)
+        resp = {}
+        for rid in range(12):
+            cache.cache_prompt(f"r{rid}",
+                               [rng.randrange(40) for _ in range(60)])
+            resp[rid] = [rng.randrange(40) for _ in range(20)] * 3
+            cache.update_response(f"r{rid}", resp[rid])
+        items = []
+        for rid in range(12):
+            if rid % 3 == 0:
+                pattern = [rng.randrange(40) for _ in range(8)]   # cold
+            else:
+                pattern = resp[rid][-12:]                          # hot
+            items.append((f"r{rid}", dict(
+                req_id=f"r{rid}", pattern=pattern,
+                max_spec_tokens=rng.choice([4, 8, 16]),
+                max_spec_factor=2.0, max_spec_offset=8.0,
+                min_token_prob=0.1,
+                use_cached_prompt=rid % 4 != 0)))
+        serial = {k: cache.speculate(**kw) for k, kw in items}
+        batch = cache.speculate_batch(items)
+        assert set(batch) == set(serial)
+        for k in serial:
+            a, b = serial[k], batch[k]
+            assert a.token_ids == b.token_ids, k
+            assert a.parents == b.parents, k
+            assert a.score == pytest.approx(b.score, abs=1e-5), k
+            assert a.match_len == b.match_len, k
+
+    def test_batch_validates_like_serial(self):
+        cache = SuffixCache(max_depth=8)
+        with pytest.raises(ValueError):
+            cache.speculate_batch([("x", dict(
+                req_id="x", pattern=[1, 2], use_cached_prompt=True))])
+        with pytest.raises(ValueError):
+            cache.speculate_batch([("x", dict(
+                req_id="x", pattern=[], use_cached_prompt=False))])
+        assert cache.speculate_batch([]) == {}
+
+    def test_batch_python_fallback(self):
+        cache = SuffixCache(max_depth=8, force_python=True)
+        cache.update_response("a", [7, 8, 9, 7, 8, 9])
+        out = cache.speculate_batch([("a", dict(
+            req_id="a", pattern=[7, 8], max_spec_tokens=4,
+            max_spec_factor=10.0, use_cached_prompt=False))])
+        assert out["a"].token_ids[:1] == [9]
