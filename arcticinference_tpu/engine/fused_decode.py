@@ -571,6 +571,11 @@ class FusedDecodeLoop:
         # can arrive — measured ~2 lost narrow steps per re-entry).
         self._hot_history = False
         self._consumed_this_entry = False
+        # Engagement windows this entry whose uploads all drained
+        # unconsumed, and the batch-wide new-engagement gate (see
+        # _slot_policy).
+        self._entry_failed = 0
+        self._engage_gate = 0
         # Slots whose drafts were consumed during this entry: while any
         # is still alive the TTL runs its sticky course; once ALL have
         # finished, holding wide is pure overhead for the survivors
@@ -578,7 +583,7 @@ class FusedDecodeLoop:
         self._consuming_slots: set = set()
         #: dispatched fused steps by program width (observability; the
         #: serving matrix logs it per run).
-        self.width_stats = {"wide": 0, "narrow": 0}
+        self.width_stats = {"wide": 0, "narrow": 0, "entries": 0}
         # Suffix path lane (None when suffix decoding is off).
         self._suffix = engine._suffix_cache
         self._plen = 32
@@ -674,6 +679,8 @@ class FusedDecodeLoop:
         self._retry_period = self.RETRY_PERIOD
         self._consumed_this_entry = False
         self._consuming_slots = set()   # slot indices are per-entry
+        self._entry_failed = 0
+        self._engage_gate = 0
         self._slot_arrays_ready = False
         running = [r for r in self._frontier_requests()
                    if self._fusable(r)]
@@ -782,6 +789,7 @@ class FusedDecodeLoop:
         # blocks until the loop drains).
         eng.scheduler.protected_ids = {
             r.req_id for r in slot_of if r is not None}
+        self.width_stats["entries"] += 1
         logger.debug("fused decode: entered with %d requests (B=%d, K=%d)",
                      sum(r is not None for r in slot_of), b, k)
 
@@ -1125,10 +1133,41 @@ class FusedDecodeLoop:
                  else self._empty_paths())
         live = paths[:, self._plen + 1] > self.depth + 1
         engage = probe & live
+        self._engage_gate = max(0, self._engage_gate - 1)
         if engage.any():
-            ttl[engage] = self.depth + 2
-            ret[engage] = per[engage]
-            per[engage] = np.minimum(64, per[engage] * 2)
+            # Batch-shared rejection evidence: every engagement window
+            # this entry that drained with ZERO consumption raises the
+            # re-engagement floor for ALL slots (8, 16, 32, then 64
+            # steps); any consumed draft resets it instantly.  Each slot
+            # independently re-discovering "the device rejects this
+            # workload's live-looking paths" cost dry workloads half
+            # their steps in wasted wide windows — including each slot's
+            # FIRST window, since paths go live staggered as responses
+            # grow, so the failure evidence must also RATE-LIMIT new
+            # engagements batch-wide (the gate), not just lengthen each
+            # slot's own retry ladder.  A genuinely hot workload
+            # consumes in its first windows, resets the counter, and
+            # never sees the gate.  MISSES stay at base cadence on
+            # purpose: a workload turning hot later surfaces as a
+            # miss->live transition, and those probes stay cheap
+            # (narrow program, batched walks), so detection latency is
+            # still ~RETRY_PERIOD steps.
+            esc = (0 if self._entry_failed < 2
+                   else min(64, self.RETRY_PERIOD
+                            << min(self._entry_failed - 1, 4)))
+            if esc and self._engage_gate > 0:
+                # Gated: keep the would-be engagers probing shortly
+                # after the gate opens instead of opening windows now.
+                ret[engage] = self._engage_gate + 1
+            else:
+                win = self.depth + 2
+                ttl[engage] = win
+                # The retry cadence starts AFTER the window drains.
+                ret[engage] = win + np.maximum(per[engage], esc)
+                per[engage] = np.minimum(
+                    64, np.maximum(per[engage], esc) * 2)
+                self._entry_failed += 1
+                self._engage_gate = win + esc
         miss = probe & ~live
         if miss.any():
             ret[miss] = self.RETRY_PERIOD
@@ -1292,6 +1331,8 @@ class FusedDecodeLoop:
                 self._retry_period = self.RETRY_PERIOD
                 self._hot_history = True
                 self._consumed_this_entry = True
+                self._entry_failed = 0
+                self._engage_gate = 0
                 self._consuming_slots.add(i)
                 if self._slot_arrays_ready:
                     self._slot_ttl[i] = max(self._slot_ttl[i],

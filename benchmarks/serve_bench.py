@@ -175,6 +175,8 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
                        for i in range(num_prompts)]
     else:
         run_prompts = make_prompts(0 if workload == "repeat" else 1)
+    width_before = (dict(eng._fused.width_stats)
+                    if eng._fused is not None else None)
     dt, ttfts, finished = one_pass("run", run_prompts)
 
     gen_tokens = sum(len(r.output_token_ids) for r in finished)
@@ -198,6 +200,9 @@ def run_one(name: str, num_prompts: int, input_len: int, output_len: int,
     }
     if eng._fused is not None:
         out["fused_width_steps"] = dict(eng._fused.width_stats)
+        out["fused_width_steps_run"] = {
+            k: eng._fused.width_stats[k] - width_before[k]
+            for k in eng._fused.width_stats}
     import os
     if os.environ.get("ARCTIC_TPU_FUSED_FORCE_WIDTH"):
         out["force_width"] = os.environ["ARCTIC_TPU_FUSED_FORCE_WIDTH"]
